@@ -1,0 +1,121 @@
+package graft.functions
+
+import java.nio.charset.{Charset => JCharset, CodingErrorAction}
+import java.nio.ByteBuffer
+
+/** Payload sniffing (F1) and deterministic charset decoding (F2).
+  *
+  * Decode policy (fixed; feeds the byte-identical output, BASELINE.json:14):
+  *   1. UTF-8 BOM (EF BB BF)  -> UTF-8, BOM stripped.
+  *   2. `charset=NAME` found in the first 1024 bytes (ASCII, case-insensitive,
+  *      e.g. `<meta charset="...">` or http-equiv content) -> that charset if
+  *      supported (utf-8, iso-8859-1/latin-1, windows-1252, us-ascii).
+  *   3. Otherwise UTF-8.
+  * Malformed sequences decode to U+FFFD (REPLACE) — deterministic.
+  */
+object Charset {
+  val KIND_HTML = "html"
+  val KIND_PDF = "pdf"
+  val KIND_TEXT = "text"
+  val KIND_EMPTY = "empty"
+
+  private val PDF_MAGIC = "%PDF-".getBytes("US-ASCII")
+
+  /** Classify raw payload bytes: empty | pdf | html | text. */
+  def sniffKind(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.isEmpty) return KIND_EMPTY
+    if (startsWith(bytes, PDF_MAGIC)) return KIND_PDF
+    val head = asciiLowerHead(bytes, 1024)
+    if (head.contains("<!doctype") || head.contains("<html") || head.contains("<head") || head.contains("<body"))
+      KIND_HTML
+    else KIND_TEXT
+  }
+
+  /** Sniff the charset name per the policy above. */
+  def sniffCharset(bytes: Array[Byte]): String = {
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+      return "utf-8"
+    val head = asciiLowerHead(bytes, 1024)
+    val i = head.indexOf("charset=")
+    if (i >= 0) {
+      var j = i + 8
+      // optional quote
+      if (j < head.length && (head.charAt(j) == '"' || head.charAt(j) == '\'')) j += 1
+      val start = j
+      while (
+        j < head.length && {
+          val c = head.charAt(j)
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '-' || c == '_'
+        }
+      ) j += 1
+      head.substring(start, j) match {
+        case "utf-8" | "utf8"                            => "utf-8"
+        case "iso-8859-1" | "latin-1" | "latin1"         => "windows-1252"
+        case "windows-1252" | "cp1252"                   => "windows-1252"
+        case "us-ascii" | "ascii"                        => "utf-8"
+        case _                                           => "utf-8"
+      }
+    } else "utf-8"
+  }
+
+  /** Decode bytes to a String under the fixed policy. */
+  def decode(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.isEmpty) return ""
+    val hasBom =
+      bytes.length >= 3 && (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf
+    val name = sniffCharset(bytes)
+    val cs = JCharset.forName(if (name == "windows-1252") "windows-1252" else "UTF-8")
+    val dec = cs
+      .newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    val off = if (hasBom) 3 else 0
+    dec.decode(ByteBuffer.wrap(bytes, off, bytes.length - off)).toString
+  }
+
+  private def startsWith(b: Array[Byte], prefix: Array[Byte]): Boolean = {
+    if (b.length < prefix.length) return false
+    var i = 0
+    while (i < prefix.length) { if (b(i) != prefix(i)) return false; i += 1 }
+    true
+  }
+
+  /** First `n` bytes viewed as lowercase ASCII (non-ASCII -> '?'). */
+  private def asciiLowerHead(b: Array[Byte], n: Int): String = {
+    val m = math.min(b.length, n)
+    val sb = new java.lang.StringBuilder(m)
+    var i = 0
+    while (i < m) {
+      val c = b(i) & 0xff
+      if (c < 0x80) {
+        val ch = c.toChar
+        sb.append(if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch)
+      } else sb.append('?')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Canonical whitespace normalization shared by every text-producing path:
+    * all Unicode whitespace (Character.isWhitespace) plus NBSP collapses to a
+    * single ASCII space; leading/trailing stripped. This is THE whitespace
+    * policy of the byte-identical output.
+    */
+  def normalizeWs(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c) || c == '\u00a0') {
+        if (sb.length > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+}

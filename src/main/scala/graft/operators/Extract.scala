@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft._
+import graft.functions.Charset
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The distributed extraction pipeline (SURVEY.md §3.2): scan → per-row
+  * tokenize (typed flatMap, the one legitimately procedural stage) → pure
+  * Catalyst column expressions / window functions / ordered aggregations for
+  * everything else (classification J1/W4/W5, line merge W2/W3/A1, document
+  * assembly A2). The semantics are normatively defined in
+  * [[graft.operators.Classify]]; golden tests assert byte-identical equality
+  * per url between this pipeline and the scalar oracle under any partitioning.
+  *
+  * Shuffle plan (deliberate, scale-first):
+  *   1. one Exchange hash-partitioning block rows by `url` — every window
+  *      below requires only ClusteredDistribution(url, ...) which
+  *      HashPartitioning(url) satisfies, so the two window stages, both
+  *      aggregations, and the final sentinel join all REUSE this single
+  *      exchange (verified via .explain in the spec suite);
+  *   2. a tiny Exchange of the per-document sentinel rows for the metadata
+  *      join (1 row per url, no payload text).
+  * An optional pages-level salted repartition (`saltedPages`) balances
+  * tokenizer work when the input file layout is host-skewed (B:14).
+  */
+object Extract {
+
+  /** Per-page procedural step: sniff, decode, tokenize/parse. Emits the
+    * candidate block rows plus exactly one sentinel row per page carrying
+    * document metadata (so empty/unsupported docs survive the relational
+    * stages, and nBlocks/nDropped are exact).
+    */
+  def toRows(p: Page): Iterator[BlockRow] = {
+    val kind = Charset.sniffKind(p.html)
+    def sentinel(k: String, nBlocks: Int, fullText: String) = BlockRow(
+      url = p.url, warc_ts = p.warc_ts, lang = p.lang, kind = k,
+      seq = -1, tag = "", depth = 0, text = "", textLen = 0, linkChars = 0,
+      wordCount = 0, parentSeq = 0, flags = Model.FLAG_SENTINEL,
+      x = 0, y = 0, w = 0, h = 0, nBlocks = nBlocks, fullText = fullText)
+    def blockRow(k: String, b: RawBlock) = BlockRow(
+      url = p.url, warc_ts = p.warc_ts, lang = p.lang, kind = k,
+      seq = b.seq, tag = b.tag, depth = b.depth, text = b.text,
+      textLen = b.textLen, linkChars = b.linkChars, wordCount = b.wordCount,
+      parentSeq = b.parentSeq, flags = b.flags, x = b.x, y = b.y, w = b.w,
+      h = b.h, nBlocks = 0, fullText = "")
+
+    kind match {
+      case Charset.KIND_HTML =>
+        val blocks = HtmlBlocks.blocks(Charset.decode(p.html))
+        blocks.iterator.map(blockRow(kind, _)) ++
+          Iterator.single(sentinel(kind, blocks.length, ""))
+      case Charset.KIND_PDF =>
+        PdfRuns.parse(p.html) match {
+          case Some(runs) =>
+            runs.iterator.map(blockRow(kind, _)) ++
+              Iterator.single(sentinel(kind, runs.length, ""))
+          case None => Iterator.single(sentinel("pdf_unsupported", 0, ""))
+        }
+      case Charset.KIND_TEXT =>
+        val t = Charset.normalizeWs(Charset.decode(p.html))
+        Iterator.single(sentinel(kind, if (t.isEmpty) 0 else 1, t))
+      case other => Iterator.single(sentinel(other, 0, ""))
+    }
+  }
+
+  /** Optional pages-level balancing shuffle: url-hash plus a salt term folded
+    * into the key (B:14 "salting for skewed hosts"). Changes no output —
+    * property-tested.
+    */
+  def saltedPages(pages: Dataset[Page], numPartitions: Int, salt: Long): Dataset[Page] =
+    pages.repartition(numPartitions, pmod(xxhash64(col("url"), lit(salt)), lit(numPartitions)))
+
+  /** Blocks DataFrame with all classification columns (the SQL-expressible
+    * middle of the pipeline — also materialized for the DuckDB oracle).
+    */
+  def classifiedBlocks(rows: Dataset[BlockRow]): DataFrame = {
+    val sentinelFlag = (col("flags").bitwiseAND(lit(Model.FLAG_SENTINEL))) =!= 0
+    val boiler = (col("flags").bitwiseAND(lit(Model.FLAG_BOILER))) =!= 0
+    val isHtml = col("kind") === Charset.KIND_HTML
+    val isPdf = col("kind") === Charset.KIND_PDF
+
+    // one deliberate exchange; every window/agg below reuses it
+    val cand = rows.toDF
+      .filter(!sentinelFlag && !boiler)
+      .repartition(col("url"))
+
+    val heading = col("tag").isin("h1", "h2", "h3", "h4", "h5", "h6")
+
+    val wParent = Window.partitionBy("url", "parentSeq")
+    val wUrl = Window.partitionBy("url")
+    val wSeq = Window.partitionBy("url").orderBy("seq")
+
+    cand
+      .withColumn("ld", ((lit(100) * col("linkChars")) / col("textLen")).cast("int"))
+      .withColumn(
+        "dense",
+        isHtml && (
+          (col("textLen") >= Classify.DENSE_MIN_LEN && col("ld") < Classify.LINK_DENSITY_MAX) ||
+            (heading && col("textLen") >= Classify.HEADING_MIN_LEN && col("linkChars") === 0)
+        )
+      )
+      .withColumn(
+        "contrib",
+        when(col("dense"), col("textLen").cast("long") - lit(2L) * col("linkChars"))
+      )
+      .withColumn("pscore", sum(col("contrib")).over(wParent))
+      .withColumn(
+        "best",
+        max(when(col("dense"), struct(col("pscore"), (-col("parentSeq")).as("negParent"))))
+          .over(wUrl)
+      )
+      .withColumn(
+        "boost",
+        !col("dense") && col("best").isNotNull &&
+          col("parentSeq") === -col("best.negParent") &&
+          col("ld") < Classify.LINK_DENSITY_MAX &&
+          col("textLen") >= Classify.BOOST_MIN_LEN && isHtml
+      )
+      .withColumn("base", col("dense") || col("boost"))
+      .withColumn(
+        "kept",
+        isPdf || col("base") || (
+          coalesce(lag(col("base"), 1).over(wSeq), lit(false)) &&
+            coalesce(lead(col("base"), 1).over(wSeq), lit(false)) &&
+            col("ld") < Classify.LINK_DENSITY_MAX &&
+            col("textLen") < Classify.SMOOTH_MAX_LEN
+        )
+      )
+  }
+
+  /** Kept blocks → per-line rows: unified ordering (HTML: seq; PDF: -y, x,
+    * seq), line breaks (HTML: every block; PDF: vertical gap > PDF_LINE_GAP),
+    * within-line merge ordered by (x, seq) joined by single space (A1).
+    */
+  def lines(classified: DataFrame): DataFrame = {
+    val isPdf = col("kind") === Charset.KIND_PDF
+    val k1 = when(isPdf, -col("y")).otherwise(col("seq"))
+    val k2 = when(isPdf, col("x")).otherwise(lit(0))
+    val k3 = when(isPdf, col("seq")).otherwise(lit(0))
+    val wOrd = Window.partitionBy("url").orderBy(k1.asc, k2.asc, k3.asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    classified
+      .filter(col("kept"))
+      .withColumn("prevY", lag(col("y"), 1).over(wOrd))
+      .withColumn(
+        "newLine",
+        when(!isPdf, lit(1))
+          .when(col("prevY").isNull, lit(1))
+          .when(col("prevY") - col("y") > Classify.PDF_LINE_GAP, lit(1))
+          .otherwise(lit(0))
+      )
+      .withColumn("lineId", sum(col("newLine")).over(wRun).cast("int"))
+      .groupBy(col("url"), col("lineId"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("x"), col("seq"), col("text")))),
+            e => e.getField("text")
+          ),
+          " "
+        ).as("lineText"),
+        min(col("seq")).as("sourceSeq"),
+        count(lit(1)).as("nRows")
+      )
+  }
+
+  /** Lines → one assembled row per url: lines joined by \n in lineId order,
+    * spans with running UTF-16 offsets computed by an ordered fold (A2).
+    */
+  def assembled(lineDf: DataFrame): DataFrame = {
+    lineDf
+      .groupBy(col("url"))
+      .agg(
+        array_sort(
+          collect_list(struct(col("lineId"), col("lineText"), col("sourceSeq")))
+        ).as("ls"),
+        sum(col("nRows")).as("keptRows")
+      )
+      .withColumn(
+        "atext",
+        array_join(transform(col("ls"), l => l.getField("lineText")), "\n")
+      )
+      .withColumn(
+        "aspans",
+        aggregate(
+          col("ls"),
+          struct(
+            lit(0).as("off"),
+            array().cast("array<struct<lineId:int,start:int,end:int,sourceSeq:int>>").as("sp")
+          ),
+          (acc, l) => {
+            val len = length(l.getField("lineText"))
+            val start = acc.getField("off")
+            struct(
+              (start + len + 1).as("off"),
+              concat(
+                acc.getField("sp"),
+                array(
+                  struct(
+                    l.getField("lineId").as("lineId"),
+                    start.as("start"),
+                    (start + len).as("end"),
+                    l.getField("sourceSeq").as("sourceSeq")
+                  )
+                )
+              ).as("sp")
+            )
+          },
+          acc => acc.getField("sp")
+        )
+      )
+      .select("url", "atext", "aspans", "keptRows")
+  }
+
+  /** Full pipeline: Dataset[Page] → Dataset[ExtractedDoc]. */
+  def extract(pages: Dataset[Page]): Dataset[ExtractedDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+
+    val rows = pages.flatMap(toRows)
+    val sentinelFlag = (col("flags").bitwiseAND(lit(Model.FLAG_SENTINEL))) =!= 0
+    val sentinels = rows.toDF
+      .filter(sentinelFlag)
+      .select("url", "warc_ts", "lang", "kind", "nBlocks", "fullText")
+
+    val docsAssembled = assembled(lines(classifiedBlocks(rows)))
+
+    val isTextKind = col("kind") === Charset.KIND_TEXT
+    val isDocKind = col("kind").isin(Charset.KIND_HTML, Charset.KIND_PDF)
+
+    sentinels
+      .join(docsAssembled, Seq("url"), "left_outer")
+      .select(
+        col("url"),
+        col("warc_ts"),
+        col("lang"),
+        when(isTextKind, col("fullText"))
+          .when(isDocKind, coalesce(col("atext"), lit("")))
+          .otherwise(lit(""))
+          .as("text"),
+        when(isTextKind && length(col("fullText")) > 0,
+          array(struct(lit(1).as("lineId"), lit(0).as("start"),
+            length(col("fullText")).as("end"), lit(0).as("sourceSeq"))))
+          .when(isDocKind,
+            coalesce(col("aspans"),
+              array().cast("array<struct<lineId:int,start:int,end:int,sourceSeq:int>>")))
+          .otherwise(array().cast("array<struct<lineId:int,start:int,end:int,sourceSeq:int>>"))
+          .as("spans"),
+        col("nBlocks"),
+        when(isDocKind, col("nBlocks") - coalesce(col("keptRows"), lit(0L)).cast("int"))
+          .otherwise(lit(0))
+          .as("nDropped"),
+        col("kind").as("contentKind")
+      )
+      .as[ExtractedDoc]
+  }
+}
