@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{Classify, HtmlBlocks}
+import graft.functions.{Charset, Entities}
+import org.scalatest.funsuite.AnyFunSuite
+
+class HtmlBlocksSpec extends AnyFunSuite {
+
+  private def texts(html: String): Vector[String] =
+    HtmlBlocks.blocks(html).map(_.text)
+
+  test("basic paragraphs become blocks in document order") {
+    val b = HtmlBlocks.blocks("<html><body><p>one two</p><p>three</p></body></html>")
+    assert(b.map(_.text) == Vector("one two", "three"))
+    assert(b.map(_.seq) == Vector(0, 1))
+    assert(b.map(_.tag) == Vector("p", "p"))
+  }
+
+  test("whitespace collapses to single spaces, trimmed") {
+    assert(texts("<p>  a\n\t b  \r\n c  </p>") == Vector("a b c"))
+  }
+
+  test("entities decode (named, decimal, hex, unknown stays literal)") {
+    assert(texts("<p>a &amp; b &#65; &#x42; &nosuch; c</p>") ==
+      Vector("a & b A B &nosuch; c"))
+    assert(Entities.decodeAll("&nbsp;x") == " x") // faithful NBSP; normalizeWs collapses it
+    assert(Entities.decodeAll("&eacute;") == "é")
+  }
+
+  test("script/style/title/textarea content is dropped entirely") {
+    val html =
+      """<title>nope</title><script>var a = "<p>ghost</p>";</script>
+        |<style>p{color:red}</style><p>real</p><textarea>nope2</textarea>""".stripMargin
+    assert(texts(html) == Vector("real"))
+  }
+
+  test("comments, doctype, CDATA, processing instructions are skipped") {
+    val html = "<!DOCTYPE html><!-- c <p>x</p> --><?php y ?><![CDATA[ z<b>w</b> ]]><p>keep</p>"
+    assert(texts(html) == Vector("keep"))
+  }
+
+  test("link chars counted inside <a>, including nested text") {
+    val b = HtmlBlocks.blocks("<p>abc <a href='/x'>link me</a> def</p>")
+    assert(b.size == 1)
+    assert(b.head.text == "abc link me def")
+    // "link me" = 7 chars + the collapsed boundary space attributed to the
+    // following (link) run = 8; trailing boundary space belongs to " def"
+    assert(b.head.linkChars == 8)
+  }
+
+  test("boilerplate ancestry flags blocks (tags and class/id stop-lists)") {
+    val html =
+      """<nav><ul><li>home</li></ul></nav><div class="sidebar"><p>pop</p></div>
+        |<div id="main-content"><p>article body here</p></div>
+        |<footer><p>terms</p></footer>""".stripMargin
+    val b = HtmlBlocks.blocks(html)
+    val flagged = b.filter(x => (x.flags & Model.FLAG_BOILER) != 0).map(_.text)
+    val clean = b.filter(x => (x.flags & Model.FLAG_BOILER) == 0).map(_.text)
+    assert(flagged == Vector("home", "pop", "terms"))
+    assert(clean == Vector("article body here"))
+  }
+
+  test("implied end tags: unclosed p and li do not break segmentation") {
+    val html = "<div><p>one<p>two</div><ul><li>a<li>b</ul>"
+    assert(texts(html) == Vector("one", "two", "a", "b"))
+  }
+
+  test("stray end tags are ignored") {
+    assert(texts("<p>a</p></div></section><p>b</p>") == Vector("a", "b"))
+  }
+
+  test("parentSeq points at the nearest container element") {
+    val b = HtmlBlocks.blocks("<body><div><p>in div</p></div><p>in body</p></body>")
+    assert(b.map(_.text) == Vector("in div", "in body"))
+    // body is node 1, div is node 2
+    assert(b(0).parentSeq == 2)
+    assert(b(1).parentSeq == 1)
+  }
+
+  test("br flushes a block") {
+    assert(texts("<p>one<br>two</p>") == Vector("one", "two"))
+  }
+
+  test("attributes with > inside quotes do not end the tag") {
+    assert(texts("""<p title="a>b">x</p>""") == Vector("x"))
+  }
+
+  test("never crashes on pathological input") {
+    val cases = Seq("<", "<>", "</", "<!", "<p", "<p a=", "<p a='x", "&", "&#", "&#x;",
+      "<a<b>", "x</", "<!--", "<![CDATA[", "<script>", "<p>&#xD800;</p>")
+    cases.foreach(c => HtmlBlocks.blocks(c))
+  }
+
+  test("classification: dense text kept, link farm dropped, headings kept") {
+    val html =
+      s"""<div id="c"><h2>A Fine Headline</h2>
+         |<p>${"word " * 30}</p>
+         |<p><a href="/1">l1</a> <a href="/2">l2</a> <a href="/3">l3</a></p>
+         |<p>${"word " * 30}</p></div>""".stripMargin
+    val kept = Classify.classifyHtml(HtmlBlocks.blocks(html))
+    assert(kept.map(_.tag) == Vector("h2", "p", "p"))
+  }
+
+  test("smoothing: short block between two content blocks is kept") {
+    val html =
+      s"""<div><p>${"word " * 30}</p><p>short middle.</p><p>${"word " * 30}</p></div>
+         |<div><p>lonely short.</p></div>""".stripMargin
+    val kept = Classify.classifyHtml(HtmlBlocks.blocks(html))
+    assert(kept.map(_.text).contains("short middle."))
+    assert(!kept.map(_.text).contains("lonely short."))
+  }
+
+  test("charset: BOM, meta latin-1, utf-8 default") {
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "<p>x</p>".getBytes("UTF-8")
+    assert(Charset.decode(bom) == "<p>x</p>")
+    val latin = "<html><head><meta charset=\"iso-8859-1\"></head><body>café</body></html>"
+      .getBytes("windows-1252")
+    assert(Charset.decode(latin).contains("café"))
+    assert(Charset.sniffKind("%PDF-1.4".getBytes) == "pdf")
+    assert(Charset.sniffKind("<html>".getBytes) == "html")
+    assert(Charset.sniffKind("hello".getBytes) == "text")
+    assert(Charset.sniffKind(Array.empty[Byte]) == "empty")
+  }
+}

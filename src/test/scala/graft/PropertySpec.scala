@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.{Charset, Entities}
+import graft.operators.{Classify, HtmlBlocks, PdfRuns, ScalarExtract}
+import graft.sources.Corpus
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** SURVEY.md §5.2: property-based robustness + determinism. Uses plain
+  * ScalaCheck generators sampled under fixed seeds (the
+  * scalatestplus bridge is not in the offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val anyString: Gen[String] = Gen.frequency(
+    3 -> Gen.asciiPrintableStr,
+    2 -> Gen.listOf(Gen.oneOf('<', '>', '&', '/', '"', '\'', ';', '#', 'a', 'p',
+      ' ', '\n', '\t', ' ', '\ud83d', '\ude00', 'é', '中')).map(_.mkString),
+    1 -> Gen.stringOf(Gen.choose(Char.MinValue, Char.MaxValue))
+  )
+
+  private val anyBytes: Gen[Array[Byte]] =
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+
+  test("tokenizer never crashes and is deterministic on arbitrary strings") {
+    samples(anyString, 300).foreach { s =>
+      val a = HtmlBlocks.blocks(s)
+      val b = HtmlBlocks.blocks(s)
+      assert(a == b)
+      a.foreach { blk =>
+        assert(blk.textLen == blk.text.length)
+        assert(blk.linkChars <= blk.textLen)
+        assert(blk.text == blk.text.trim)
+        assert(!blk.text.contains("  "))
+      }
+    }
+  }
+
+  test("tokenizer never crashes on tag-dense soup") {
+    val soup = Gen.listOf(Gen.oneOf(
+      "<p>", "</p>", "<div class='x y'>", "</div>", "<a href=/x>", "</a>",
+      "<!--", "-->", "<script>", "</script>", "&amp;", "&#x41;", "&broken",
+      "text ", "<li>", "<br/>", "<td>", "<![CDATA[", "]]>", "<", ">", "\"", "'"
+    )).map(_.mkString)
+    samples(soup, 300).foreach(s => HtmlBlocks.blocks(s))
+  }
+
+  test("entity decode never crashes; known entities round-trip") {
+    samples(anyString, 300).foreach(Entities.decodeAll)
+    Entities.named.foreach { case (k, v) =>
+      assert(Entities.decodeAll(s"&$k;") == v)
+    }
+  }
+
+  test("normalizeWs is idempotent and produces no doubled spaces") {
+    samples(anyString, 300).foreach { s =>
+      val n = Charset.normalizeWs(s)
+      assert(Charset.normalizeWs(n) == n)
+      assert(!n.contains("  ") && n == n.trim)
+    }
+  }
+
+  test("charset decode / sniff never crash on arbitrary bytes") {
+    samples(anyBytes, 300).foreach { b =>
+      Charset.decode(b)
+      Charset.sniffKind(b)
+    }
+  }
+
+  test("pdf parser never crashes on arbitrary bytes (with %PDF- prefix too)") {
+    samples(anyBytes, 200).foreach { b =>
+      PdfRuns.parse(b)
+      PdfRuns.parse("%PDF-1.4\n".getBytes ++ b)
+    }
+  }
+
+  test("scalar extraction is total and deterministic over the corpus space") {
+    val gen = Gen.zip(Gen.choose(0L, 100000L), Gen.choose(1L, 1000L))
+    samples(gen, 200).foreach { case (i, seed) =>
+      val p = Corpus.page(seed, i)
+      val a = ScalarExtract.extract(p)
+      val b = ScalarExtract.extract(p)
+      assert(a == b)
+      assert(a.nDropped >= 0 && a.nBlocks >= 0)
+      a.spans.zipWithIndex.foreach { case (sp, k) =>
+        assert(sp.lineId == k + 1)
+        assert(sp.end >= sp.start)
+      }
+      if (a.spans.nonEmpty) {
+        assert(a.spans.head.start == 0)
+        assert(a.spans.last.end == a.text.codePointCount(0, a.text.length))
+      }
+    }
+  }
+
+  test("classification invariants: kept subset of candidates, order-stable") {
+    samples(Gen.choose(0L, 50000L), 200).foreach { i =>
+      val p = Corpus.page(Corpus.DEFAULT_SEED, i)
+      if (Charset.sniffKind(p.html) == "html") {
+        val blocks = HtmlBlocks.blocks(Charset.decode(p.html))
+        val kept = Classify.classifyHtml(blocks)
+        assert(kept.map(_.seq) == kept.map(_.seq).sorted)
+        assert(kept.forall(b => (b.flags & Model.FLAG_BOILER) == 0))
+      }
+    }
+  }
+}
