@@ -7,8 +7,13 @@ import org.apache.spark.sql.functions._
 
 /** User-facing driver entry (also the spark-submit entry on a real cluster):
   *
-  *   extract <nPages> <outDir> [seed]   synthesize corpus, extract, write parquet
-  *   extract-dir <pagesDir> <outDir>    extract from an existing pages table
+  *   extract <nPages> <outDir> [seed]    synthesize corpus, extract, write parquet
+  *   extract-dir <pagesDir> <outDir>     extract from an existing pages table
+  *   write-pages <nPages> <tableDir> [seed] [buckets]
+  *                                       synthesize + write the bucketed pages table
+  *   run <tableDir> <outDir> <manifestDir> [maxBuckets]
+  *                                       resumable production run (per-bucket
+  *                                       lineage; re-run to resume after a kill)
   *
   * Local run: sbt "runMain graft.Main extract 1000 /tmp/out"
   */
@@ -31,6 +36,24 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      args(0) match {
+        case "write-pages" =>
+          val n = args(1).toLong
+          val seed = if (args.length > 3) args(3).toLong else Corpus.DEFAULT_SEED
+          val buckets = if (args.length > 4) args(4).toInt else graft.sources.PageTable.DEFAULT_BUCKETS
+          graft.sources.PageTable.write(Corpus.pages(spark, n, seed), args(2), buckets)
+          println(s"wrote $n pages -> ${args(2)} ($buckets buckets)")
+          return
+        case "run" =>
+          val maxB = if (args.length > 4) args(4).toInt else Int.MaxValue
+          val runId = s"run-${System.currentTimeMillis()}"
+          val rep = graft.operators.ResumableExtract.run(
+            spark, args(1), args(2), args(3), runId, maxBuckets = maxB)
+          println(s"run $runId: processed buckets ${rep.bucketsDone.mkString(",")} " +
+            s"(${rep.nDocs} docs); ${rep.skipped} buckets already done")
+          return
+        case _ => ()
+      }
       val (pages, outDir) = args(0) match {
         case "extract" =>
           val n = args(1).toLong

@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.{Model, Page}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-*shaped* pages table over plain Parquet (SURVEY.md §1.2): no
+  * Iceberg runtime jar exists offline, so the layout mirrors what an Iceberg
+  * catalog would maintain — hash-bucket + day partitioning for pruning, plus
+  * a manifest table carrying per-partition lineage and metrics. The API is
+  * kept narrow (read/write/buckets) so a real `spark.read.table("pages")` on
+  * an Iceberg catalog drops in without touching callers.
+  *
+  * Layout: `dir/data/bucket=<b>/day=<yyyy-MM-dd>/` parquet files, where
+  * `b = pmod(xxhash64(url), numBuckets)` — at 10^12-document scale the bucket
+  * is the unit of work, retry, and resume (B:14).
+  */
+object PageTable {
+
+  val DEFAULT_BUCKETS = 32
+
+  def bucketCol(numBuckets: Int) =
+    pmod(xxhash64(col("url")), lit(numBuckets.toLong)).cast("int")
+
+  def write(pages: Dataset[Page], dir: String,
+            numBuckets: Int = DEFAULT_BUCKETS): Unit = {
+    pages
+      .withColumn("bucket", bucketCol(numBuckets))
+      .withColumn("day", date_format(col("warc_ts"), "yyyy-MM-dd"))
+      .repartition(col("bucket"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("bucket", "day")
+      .parquet(s"$dir/data")
+  }
+
+  /** Typed read; partition columns are re-derivable, so callers get exactly
+    * the contract schema back. Filters on url/lang push to Parquet; filters
+    * on bucket/day prune whole directories (verified in PageTableSpec).
+    */
+  def read(spark: SparkSession, dir: String): Dataset[Page] = {
+    import spark.implicits._
+    spark.read
+      .schema(Model.PAGES.add("bucket", "int").add("day", "string"))
+      .parquet(s"$dir/data")
+      .select("url", "warc_ts", "html", "text", "lang")
+      .as[Page]
+  }
+
+  /** Raw frame including partition columns (for pruning / resume joins). */
+  def readRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/data")
+}
+
+/** Per-partition lineage + metrics manifest (SURVEY.md §2.1 S5): one row per
+  * completed bucket per run. Append-only Parquet; the resume path anti-joins
+  * pages against it (J5), so a killed run re-processes only missing buckets.
+  */
+object Manifest {
+
+  def append(spark: SparkSession, manifestDir: String, rows: Seq[ManifestRow]): Unit = {
+    import spark.implicits._
+    rows.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(manifestDir)
+  }
+
+  def doneBuckets(spark: SparkSession, manifestDir: String): DataFrame = {
+    import spark.implicits._
+    if (!exists(spark, manifestDir)) Seq.empty[Int].toDF("bucket")
+    else
+      spark.read.parquet(manifestDir).select("bucket").distinct()
+  }
+
+  def read(spark: SparkSession, manifestDir: String): DataFrame =
+    spark.read.parquet(manifestDir)
+
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+}
+
+case class ManifestRow(
+    bucket: Int,
+    runId: String,
+    nDocs: Long,
+    nChars: Long,
+    nBlocks: Long,
+    nDropped: Long,
+    completedAtMs: Long
+)
