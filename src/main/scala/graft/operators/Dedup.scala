@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.functions.Toks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (hash-groupBy), n-gram Jaccard over an inverted shingle index, MinHash+LSH
+  * band candidates, and SimHash fingerprints. Everything is built from
+  * md5 + integer arithmetic only, so each query has a bit-exact DuckDB oracle
+  * (the SQL strings below ARE the second implementation).
+  *
+  * Scale notes (100 TB shape):
+  *   - the shingle inverted index is the canonical near-dup plan: one shuffle
+  *     on `shingle`, candidate pairs only where postings meet — never a
+  *     quadratic cross join;
+  *   - MinHash/LSH bounds candidate generation further (band buckets), the
+  *     standard trick when even the inverted index is too hot;
+  *   - all group keys are high-cardinality (shingle, band sig) — skew-safe;
+  *     hot shingles (stopword runs) can be salted or frequency-capped, and
+  *     AQE skew-join handles the residue.
+  */
+object Dedup {
+
+  /** documents ∪ shifted copies of every 10th/7th doc — deterministic dup
+    * injection so dedup queries have non-trivial positives to find.
+    */
+  private def docsWithDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 1000000L)
+    )
+  }
+
+  private val SQL_DOCS_WITH_DUPS =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  /** Distinct (doc_id, shingle) pairs — the inverted-index input. */
+  private def shingleIndex(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Toks.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(Toks.shingles3(col("t"))).as("shingle"))
+      .distinct()
+
+  private val SQL_SHINGLES =
+    s"""toks AS (SELECT doc_id, ${Toks.SQL_TOKENS} t FROM all_docs),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest(${Toks.SQL_SHINGLES}) AS shingle FROM toks))""".stripMargin
+
+  // ---- exact dedup -------------------------------------------------------
+
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    docsWithDups(spark, sfDir)
+      .groupBy(md5(col("text")).as("dup_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .orderBy("keep_id")
+
+  val exactSql: String =
+    s"""$SQL_DOCS_WITH_DUPS
+       |SELECT md5(text) AS dup_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+       |FROM all_docs GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  // ---- n-gram Jaccard ----------------------------------------------------
+
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleIndex(docsWithDups(spark, sfDir))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"), col("inter"),
+        ((lit(100) * col("inter")) / (col("na.n") + col("nb.n") - col("inter")))
+          .cast("long").as("jacc_pct")
+      )
+      .filter(col("jacc_pct") >= 5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardSql: String =
+    s"""$SQL_DOCS_WITH_DUPS,
+       |$SQL_SHINGLES,
+       |n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+       |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |       (100 * inter) // (na.n + nb.n - inter) AS jacc_pct
+       |FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+       |WHERE (100 * inter) // (na.n + nb.n - inter) >= 5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  private val K = 12 // minhashes
+  private val R = 3  // rows per band -> 4 bands
+
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleIndex(docsWithDups(spark, sfDir))
+    val minh = sh
+      .withColumn("j", explode(sequence(lit(0), lit(K - 1))))
+      .withColumn("h", md5(concat_ws(":", col("j"), col("shingle"))))
+      .groupBy("doc_id", "j")
+      .agg(min(col("h")).as("h"))
+    val minExprs = (0 until K).map(k => min(when(col("j") === k, col("h"))).as(s"s$k"))
+    val sig = minh
+      .groupBy("doc_id")
+      .agg(minExprs.head, minExprs.tail: _*)
+    val bands = sig.select(
+      col("doc_id"),
+      explode(array((0 until K / R).map { b =>
+        struct(
+          lit(b).as("band"),
+          md5(concat((b * R until (b + 1) * R).map(k => col(s"s$k")): _*)).as("sig")
+        )
+      }: _*)).as("bs")
+    ).select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashLshSql: String = {
+    val minCases = (0 until K).map(k => s"min(CASE WHEN j = $k THEN h END) s$k").mkString(", ")
+    val bandRows = (0 until K / R).map { b =>
+      val cat = (b * R until (b + 1) * R).map(k => s"s$k").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS sig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$SQL_DOCS_WITH_DUPS,
+       |$SQL_SHINGLES,
+       |mh AS (SELECT doc_id, j, min(md5(concat_ws(':', j, shingle))) h
+       |       FROM sh, generate_series(0, ${K - 1}) g(j) GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, $minCases FROM mh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows
+       |)
+       |SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  private val SIM_BITS = 16
+  private val HI_NIBBLE = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleIndex(docsWithDups(spark, sfDir))
+    sh.withColumn("k", explode(sequence(lit(0), lit(SIM_BITS - 1))))
+      .withColumn(
+        "sgn",
+        when(substring(md5(concat_ws("#", col("shingle"), col("k"))), 1, 1)
+          .isin(HI_NIBBLE: _*), lit(1)).otherwise(lit(-1))
+      )
+      .groupBy("doc_id", "k")
+      .agg(sum(col("sgn")).as("s"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("s") >= 0, pow(lit(2.0), col("k")).cast("long")).otherwise(0L))
+          .as("simhash16")
+      )
+      .orderBy("doc_id")
+  }
+
+  val simhashSql: String =
+    s"""$SQL_DOCS_WITH_DUPS,
+       |$SQL_SHINGLES,
+       |bits AS (
+       |  SELECT doc_id, k, sum(CASE WHEN substr(md5(concat_ws('#', shingle, k)), 1, 1)
+       |                               IN ('8','9','a','b','c','d','e','f')
+       |                        THEN 1 ELSE -1 END) s
+       |  FROM sh, generate_series(0, ${SIM_BITS - 1}) g(k) GROUP BY doc_id, k)
+       |SELECT doc_id,
+       |       sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS simhash16
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- contract surface --------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> (exact _),
+    "dd_ngram_jaccard" -> (ngramJaccard _),
+    "dd_minhash_lsh" -> (minhashLsh _),
+    "dd_simhash" -> (simhash _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dd_exact" -> exactSql,
+    "dd_ngram_jaccard" -> ngramJaccardSql,
+    "dd_minhash_lsh" -> minhashLshSql,
+    "dd_simhash" -> simhashSql
+  )
+}

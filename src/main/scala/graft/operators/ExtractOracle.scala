@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.sources.OracleCorpus
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-oracle surface for the extraction pipeline itself (SURVEY.md §5.4):
+  * the Spark side runs the PRODUCTION operators ([[Extract.classifiedBlocks]],
+  * [[Extract.lines]], [[Extract.assembled]]) over the materialized blocks
+  * table; the DuckDB side re-implements the same semantics in independent
+  * ANSI SQL over the identical parquet. A mismatch in any classification
+  * threshold, window frame, ordering tie-break, or join would surface here.
+  *
+  * The tokenizer itself (blocks ← raw bytes) is procedural and non-SQL; it is
+  * verified by golden byte-identity + ScalaCheck property tests instead.
+  */
+object ExtractOracle {
+
+  private val B = OracleCorpus.BLOCKS_PQ
+  private val D = OracleCorpus.DOCS_PQ
+
+  /** Shared DuckDB CTE chain replicating Classify semantics over blocks. */
+  private val SQL_CLASSIFY_CTES =
+    s"""cand AS (
+       |  SELECT url, seq, tag, kind, text, textLen, linkChars, parentSeq, x, y,
+       |         (100 * linkChars) // greatest(textLen, 1) AS ld
+       |  FROM $B WHERE (flags & 2) = 0 AND (flags & 1) = 0),
+       |d1 AS (
+       |  SELECT *,
+       |         (kind = 'html' AND ((textLen >= 25 AND ld < 33)
+       |            OR (tag IN ('h1','h2','h3','h4','h5','h6')
+       |                AND textLen >= 8 AND linkChars = 0))) AS dense
+       |  FROM cand),
+       |d2 AS (
+       |  SELECT *,
+       |         CASE WHEN dense THEN CAST(textLen AS BIGINT) - 2 * linkChars END AS contrib
+       |  FROM d1),
+       |best AS (
+       |  SELECT url, parentSeq AS bp
+       |  FROM (SELECT url, parentSeq, sum(contrib) ps
+       |        FROM d2 WHERE dense GROUP BY url, parentSeq)
+       |  QUALIFY row_number() OVER (PARTITION BY url ORDER BY ps DESC, parentSeq ASC) = 1),
+       |d3 AS (
+       |  SELECT d2.*,
+       |         (NOT dense AND bp IS NOT NULL AND parentSeq = bp
+       |          AND ld < 33 AND textLen >= 10 AND kind = 'html') AS boost
+       |  FROM d2 LEFT JOIN best ON d2.url = best.url),
+       |d4 AS (SELECT *, (dense OR boost) AS base FROM d3),
+       |d5 AS (
+       |  SELECT *,
+       |         (kind = 'pdf' OR base OR (
+       |            coalesce(lag(base)  OVER (PARTITION BY url ORDER BY seq), false)
+       |            AND coalesce(lead(base) OVER (PARTITION BY url ORDER BY seq), false)
+       |            AND ld < 33 AND textLen < 120)) AS kept
+       |  FROM d4)""".stripMargin
+
+  private val SQL_LINES_CTES =
+    s"""$SQL_CLASSIFY_CTES,
+       |ordered AS (
+       |  SELECT url, kind, seq, text, x, y,
+       |         CASE WHEN kind = 'pdf' THEN -y ELSE seq END k1,
+       |         CASE WHEN kind = 'pdf' THEN x  ELSE 0   END k2,
+       |         CASE WHEN kind = 'pdf' THEN seq ELSE 0  END k3
+       |  FROM d5 WHERE kept),
+       |marked AS (
+       |  SELECT *,
+       |         lag(y) OVER w AS prevY,
+       |         CASE WHEN kind <> 'pdf' THEN 1
+       |              WHEN lag(y) OVER w IS NULL THEN 1
+       |              WHEN lag(y) OVER w - y > 3 THEN 1
+       |              ELSE 0 END AS newLine
+       |  FROM ordered
+       |  WINDOW w AS (PARTITION BY url ORDER BY k1, k2, k3)),
+       |numbered AS (
+       |  SELECT *,
+       |         CAST(sum(newLine) OVER (PARTITION BY url ORDER BY k1, k2, k3
+       |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lineId
+       |  FROM marked),
+       |lines AS (
+       |  SELECT url, lineId,
+       |         string_agg(text, ' ' ORDER BY x, seq) AS lineText,
+       |         CAST(min(seq) AS BIGINT) AS sourceSeq,
+       |         count(*) AS nRows
+       |  FROM numbered GROUP BY url, lineId)""".stripMargin
+
+  // ---- queries -----------------------------------------------------------
+
+  def exClassify(spark: SparkSession, sfDir: String): DataFrame =
+    Extract.classifiedBlocks(OracleCorpus.blocks(spark))
+      .select(
+        col("url"), col("seq").cast("long").as("seq"),
+        col("dense"), col("base"), col("kept"),
+        col("ld").cast("long").as("ld")
+      )
+      .orderBy("url", "seq")
+
+  val exClassifySql: String =
+    s"""WITH $SQL_CLASSIFY_CTES
+       |SELECT url, CAST(seq AS BIGINT) seq, dense, base, kept, CAST(ld AS BIGINT) ld
+       |FROM d5 ORDER BY url, seq""".stripMargin
+
+  def exLines(spark: SparkSession, sfDir: String): DataFrame =
+    Extract.lines(Extract.classifiedBlocks(OracleCorpus.blocks(spark)))
+      .select(
+        col("url"), col("lineId").cast("long").as("lineId"),
+        col("lineText"), col("sourceSeq").cast("long").as("sourceSeq"),
+        col("nRows")
+      )
+      .orderBy("url", "lineId")
+
+  val exLinesSql: String =
+    s"""WITH $SQL_LINES_CTES
+       |SELECT url, lineId, lineText, sourceSeq, nRows
+       |FROM lines ORDER BY url, lineId""".stripMargin
+
+  def exDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Extract.assembled(Extract.lines(Extract.classifiedBlocks(OracleCorpus.blocks(spark))))
+      .select(col("url"), col("atext").as("text"), col("keptRows"))
+      .orderBy("url")
+
+  val exDocsSql: String =
+    s"""WITH $SQL_LINES_CTES
+       |SELECT url,
+       |       string_agg(lineText, chr(10) ORDER BY lineId) AS text,
+       |       CAST(sum(nRows) AS BIGINT) AS keptRows
+       |FROM lines GROUP BY url ORDER BY url""".stripMargin
+
+  /** Coverage metrics rollup over the final extracted docs (A6 shape). */
+  def exStats(spark: SparkSession, sfDir: String): DataFrame =
+    OracleCorpus.docs(spark)
+      .rollup("contentKind", "lang")
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(length(col("text"))), lit(0L)).as("chars"),
+        coalesce(sum(col("nDropped")), lit(0L)).cast("long").as("dropped")
+      )
+      .orderBy(col("contentKind").asc_nulls_first, col("lang").asc_nulls_first)
+
+  val exStatsSql: String =
+    s"""SELECT contentKind, lang, count(*) n,
+       |       coalesce(sum(length(text)), 0) chars,
+       |       CAST(coalesce(sum(nDropped), 0) AS BIGINT) dropped
+       |FROM $D GROUP BY ROLLUP(contentKind, lang)
+       |ORDER BY contentKind ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
+
+  // ---- language-ID over extracted text (marker-token heuristic) ----------
+
+  private val MARKERS: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "quick", "brown", "fox", "water"),
+    "de" -> Seq("der", "schnelle", "fuchs", "wasser", "stadt"),
+    "es" -> Seq("el", "zorro", "agua", "ciudad", "jardín"),
+    "fr" -> Seq("le", "renard", "eau", "ville", "lumière"),
+    "zh" -> Seq("故事", "城市", "音乐", "道路", "问题")
+  )
+
+  def exLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = filter(
+      split(regexp_replace(lower(col("text")), "[\n.。]", " "), " "),
+      x => x =!= lit("")
+    )
+    var df = OracleCorpus.docs(spark)
+      .filter(length(col("text")) > 0)
+      .select(col("url"), col("lang"), toks.as("t"))
+    for ((l, ws) <- MARKERS)
+      df = df.withColumn(s"s_$l", size(filter(col("t"), x => x.isin(ws: _*))).cast("long"))
+    val scores = MARKERS.map { case (l, _) => col(s"s_$l") }
+    val allZero = scores.map(_ === 0L).reduce(_ && _)
+    var pred: org.apache.spark.sql.Column = lit("und")
+    // reverse precedence chain: earlier langs win ties
+    for ((l, _) <- MARKERS.reverse)
+      pred = when(
+        MARKERS.filter(_._1 != l).map(o => col(s"s_$l") >= col(s"s_${o._1}")).reduce(_ && _),
+        lit(l)
+      ).otherwise(pred)
+    df.select(
+      col("url"), col("lang"),
+      when(allZero, lit("und")).otherwise(pred).as("pred_lang")
+    )
+      .withColumn("is_match", col("pred_lang") === col("lang"))
+      .orderBy("url")
+  }
+
+  val exLangidSql: String = {
+    val scoreCols = MARKERS.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(t, x -> x IN ($lst))) AS BIGINT) s_$l"
+    }.mkString(",\n         ")
+    val caseChain = MARKERS.map { case (l, _) =>
+      val conds = MARKERS.filter(_._1 != l).map(o => s"s_$l >= s_${o._1}").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n              ")
+    val allZero = MARKERS.map { case (l, _) => s"s_$l = 0" }.mkString(" AND ")
+    s"""WITH toks AS (
+       |  SELECT url, lang,
+       |         list_filter(string_split(regexp_replace(lower(text), '[\\n.。]', ' ', 'g'), ' '),
+       |                     x -> x <> '') t
+       |  FROM $D WHERE length(text) > 0),
+       |scored AS (
+       |  SELECT url, lang,
+       |         $scoreCols
+       |  FROM toks)
+       |SELECT url, lang,
+       |       CASE WHEN $allZero THEN 'und'
+       |              $caseChain
+       |            ELSE 'und' END AS pred_lang,
+       |       (CASE WHEN $allZero THEN 'und'
+       |              $caseChain
+       |            ELSE 'und' END) = lang AS is_match
+       |FROM scored ORDER BY url""".stripMargin
+  }
+
+  // ---- contract surface --------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ex_classify" -> (exClassify _),
+    "ex_lines" -> (exLines _),
+    "ex_docs" -> (exDocs _),
+    "ex_stats" -> (exStats _),
+    "ex_langid" -> (exLangid _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ex_classify" -> exClassifySql,
+    "ex_lines" -> exLinesSql,
+    "ex_docs" -> exDocsSql,
+    "ex_stats" -> exStatsSql,
+    "ex_langid" -> exLangidSql
+  )
+}

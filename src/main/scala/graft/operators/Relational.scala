@@ -1,0 +1,372 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage over the driver testdata tables (SURVEY.md
+  * §2.4 J6, §2.5 A5–A7, §2.6 W6, §2.7 O2–O4, §2.8 scalars).
+  *
+  * Oracle-exactness rules used throughout (see FIXTURES.md §3):
+  *   - money math goes through DECIMAL casts before aggregation (exact,
+  *     order-independent — double sums would drift between engines);
+  *   - integer division uses Spark `div` / DuckDB `//` (never `/`+cast);
+  *   - every ORDER BY key set is total, with NULLS FIRST made explicit on
+  *     the DuckDB side (its default is NULLS LAST; Spark's is NULLS FIRST);
+  *   - doubles appear only where bit-identical by construction (round() of
+  *     the same double, interpolated median of integral values).
+  */
+object Relational {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // ---- aggregation (TPC-H Q1 shape, decimal-exact) -----------------------
+
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .withColumn("qty", col("l_quantity").cast("decimal(12,2)"))
+      .withColumn("price", col("l_extendedprice").cast("decimal(12,2)"))
+      .withColumn("disc", col("l_discount").cast("decimal(12,2)"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("qty")).cast("decimal(28,2)").as("sum_qty"),
+        sum(col("price")).cast("decimal(28,2)").as("sum_base"),
+        sum(col("price") * (lit(1).cast("decimal(12,2)") - col("disc")))
+          .cast("decimal(30,4)").as("sum_disc_price"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) sum_base,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      |            AS DECIMAL(30,4)) sum_disc_price,
+      |       count(*) n
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- 3-way join + top-k (TPC-H Q3 shape) -------------------------------
+
+  def q3Join(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer").as("c")
+      .join(t(spark, sfDir, "orders").as("o"), col("c.c_custkey") === col("o.o_custkey"))
+      .join(t(spark, sfDir, "lineitem").as("l"), col("o.o_orderkey") === col("l.l_orderkey"))
+      .filter(col("o.o_orderstatus") === "O")
+      .groupBy(col("l.l_orderkey").as("l_orderkey"))
+      .agg(
+        sum(col("l.l_extendedprice").cast("decimal(12,2)")
+          * (lit(1).cast("decimal(12,2)") - col("l.l_discount").cast("decimal(12,2)")))
+          .cast("decimal(30,4)").as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  val q3JoinSql: String =
+    """SELECT l_orderkey,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      |            AS DECIMAL(30,4)) revenue,
+      |       count(*) n_items
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |              JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY 1 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
+  // ---- semi / anti / outer joins -----------------------------------------
+
+  def qSemi(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "supplier")
+      .join(
+        t(spark, sfDir, "lineitem").filter(col("l_quantity") >= 49),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+
+  val qSemiSql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def qAnti(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .join(t(spark, sfDir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val qAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  def qOuter(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "nation")
+      .join(t(spark, sfDir, "customer"), col("c_nationkey") === col("n_nationkey"), "left_outer")
+      .groupBy("n_nationkey", "n_name")
+      .agg(count(col("c_custkey")).as("n_cust"))
+      .orderBy("n_nationkey")
+
+  val qOuterSql: String =
+    """SELECT n_nationkey, n_name, count(c_custkey) n_cust
+      |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY n_nationkey""".stripMargin
+
+  // ---- rollup / cube -----------------------------------------------------
+
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  val qRollupSql: String =
+    """SELECT lang, source, count(*) n, sum(n_chars) chars
+      |FROM documents GROUP BY ROLLUP(lang, source)
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
+  def qCube(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .withColumn("e_day", date_trunc("DAY", col("ts")).cast("timestamp_ntz"))
+      .cube("event_type", "e_day")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_first, col("e_day").asc_nulls_first)
+
+  val qCubeSql: String =
+    """SELECT event_type, date_trunc('day', ts) e_day, count(*) n
+      |FROM events GROUP BY CUBE(event_type, date_trunc('day', ts))
+      |ORDER BY event_type ASC NULLS FIRST, e_day ASC NULLS FIRST""".stripMargin
+
+  // ---- window functions --------------------------------------------------
+
+  def qWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(spark, sfDir, "events")
+      .withColumn("v100", round(col("value") * 100).cast("long"))
+      .select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).as("rn"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        sum(col("v100")).over(w.rowsBetween(-3, 0)).as("mv_sum")
+      )
+      .orderBy("user_id", "rn")
+  }
+
+  val qWindowSql: String =
+    """SELECT user_id, event_id,
+      |       row_number() OVER w rn,
+      |       lag(event_type, 1) OVER w prev_type,
+      |       sum(CAST(round(value * 100) AS BIGINT))
+      |         OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) mv_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, rn""".stripMargin
+
+  // ---- json / dates / scalars --------------------------------------------
+
+  def qJson(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")
+      )
+      .orderBy("event_id")
+
+  val qJsonSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  def qDates(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).cast("timestamp_ntz").as("o_month"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"))
+      .orderBy("o_month")
+
+  val qDatesSql: String =
+    """SELECT date_trunc('month', o_orderdate) o_month, count(*) n,
+      |       min(o_orderkey) min_key
+      |FROM orders GROUP BY 1 ORDER BY o_month""".stripMargin
+
+  def qScalarStr(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        substring(col("p_name"), 1, 5).as("pre"),
+        translate(col("p_brand"), "B#", "b-").as("tbrand"),
+        instr(col("p_name"), "a").cast("long").as("apos"),
+        lpad(col("p_type"), 20, ".").as("ptype"),
+        concat_ws("/", col("p_brand"), col("p_size")).as("bs"),
+        length(col("p_name")).cast("long").as("nlen")
+      )
+      .orderBy("p_partkey")
+
+  val qScalarStrSql: String =
+    """SELECT p_partkey,
+      |       lower(p_name) lname,
+      |       substr(p_name, 1, 5) pre,
+      |       translate(p_brand, 'B#', 'b-') tbrand,
+      |       CAST(instr(p_name, 'a') AS BIGINT) apos,
+      |       lpad(p_type, 20, '.') ptype,
+      |       concat_ws('/', p_brand, p_size) bs,
+      |       CAST(length(p_name) AS BIGINT) nlen
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---- sorts / limits / set ops / distinct -------------------------------
+
+  def qTopk(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price")
+      )
+      .orderBy(col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(20)
+
+  val qTopkSql: String =
+    """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(12,2)) price
+      |FROM lineitem ORDER BY price DESC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 20""".stripMargin
+
+  def qExcept(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer").select(col("c_custkey"))
+      .except(t(spark, sfDir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  val qExceptSql: String =
+    """SELECT c_custkey FROM customer
+      |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+      |ORDER BY c_custkey""".stripMargin
+
+  def qIntersect(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer").select(col("c_custkey"))
+      .intersect(t(spark, sfDir, "orders").select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  val qIntersectSql: String =
+    """SELECT c_custkey FROM customer
+      |INTERSECT SELECT o_custkey FROM orders
+      |ORDER BY c_custkey""".stripMargin
+
+  def qDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd_parts"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val qDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) nd_parts, count(*) n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- range / as-of joins -----------------------------------------------
+
+  def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders").as("o")
+      .join(
+        t(spark, sfDir, "lineitem").as("l"),
+        col("l.l_orderkey") === col("o.o_orderkey") &&
+          col("l.l_shipdate") >= col("o.o_orderdate") &&
+          col("l.l_shipdate") < col("o.o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o.o_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_in_window"))
+      .orderBy("o_orderkey")
+
+  val qRangeJoinSql: String =
+    """SELECT o_orderkey, count(*) n_in_window
+      |FROM orders JOIN lineitem
+      |  ON l_orderkey = o_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+      |GROUP BY 1 ORDER BY o_orderkey""".stripMargin
+
+  def qAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    t(spark, sfDir, "events")
+      .filter(col("ts") <= expr("timestamp'2024-01-15 00:00:00'"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("asof_ts"), col("event_type"))
+      .orderBy("user_id")
+  }
+
+  val qAsofSql: String =
+    """SELECT user_id, ts asof_ts, event_type
+      |FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---- exact median over integral doubles --------------------------------
+
+  def qMedian(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val qMedianSql: String =
+    """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) med_qty, count(*) n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- approximate aggregates (engine-specific — rows-only check) --------
+
+  def qApprox(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price")
+      )
+      .orderBy("l_returnflag")
+
+  // ---- contract surface --------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join" -> (q3Join _),
+    "q_semi" -> (qSemi _),
+    "q_anti" -> (qAnti _),
+    "q_outer" -> (qOuter _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_window" -> (qWindow _),
+    "q_json" -> (qJson _),
+    "q_dates" -> (qDates _),
+    "q_scalar_str" -> (qScalarStr _),
+    "q_topk" -> (qTopk _),
+    "q_except" -> (qExcept _),
+    "q_intersect" -> (qIntersect _),
+    "q_distinct" -> (qDistinct _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_asof" -> (qAsof _),
+    "q_median" -> (qMedian _),
+    "q_approx" -> (qApprox _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_join" -> q3JoinSql,
+    "q_semi" -> qSemiSql,
+    "q_anti" -> qAntiSql,
+    "q_outer" -> qOuterSql,
+    "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
+    "q_window" -> qWindowSql,
+    "q_json" -> qJsonSql,
+    "q_dates" -> qDatesSql,
+    "q_scalar_str" -> qScalarStrSql,
+    "q_topk" -> qTopkSql,
+    "q_except" -> qExceptSql,
+    "q_intersect" -> qIntersectSql,
+    "q_distinct" -> qDistinctSql,
+    "q_range_join" -> qRangeJoinSql,
+    "q_asof" -> qAsofSql,
+    "q_median" -> qMedianSql
+    // q_approx: HLL++/KLL sketches are engine-specific — rows-only check
+  )
+}

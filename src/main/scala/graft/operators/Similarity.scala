@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.functions.Toks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over the embeddings
+  * table (vec_id BIGINT, embedding FLOAT[], label INT).
+  *
+  * Embeddings are integer-quantized (floor(x*100), exact in both engines) so
+  * every score is exact integer arithmetic — dot products, squared-cosine
+  * thresholds — giving bit-exact DuckDB oracles with zero float drift.
+  *
+  * Scale design:
+  *   - `sim_knn` is the brute-force baseline: a small query set is
+  *     broadcast against the full corpus (the corpus side never shuffles;
+  *     per-partition top-k then global top-k via TakeOrderedAndProject);
+  *   - `sim_lsh_nn` / `dd_embed_cos` are the scale path: candidates meet
+  *     only inside an 8-bit sign-LSH bucket (random-hyperplane LSH with
+  *     axis-aligned planes — deterministic, no stored model), turning the
+  *     quadratic pair join into a bucket-local join whose key is the bucket
+  *     id. More planes/bands = finer buckets at 100 TB.
+  */
+object Similarity {
+
+  private val BITS = 8
+  private val N_QUERIES = 8
+  private val TOP_K = 5
+
+  private def quantized(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(
+        col("vec_id"),
+        Toks.quantize(col("embedding")).as("q"),
+        signBucket(col("embedding")).as("bucket")
+      )
+      .withColumn("nq", Toks.dotQ(col("q"), col("q")))
+
+  private def signBucket(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      sequence(lit(1), lit(BITS)),
+      lit(0L),
+      (acc, k) =>
+        acc + when(element_at(emb, k) >= 0, pow(lit(2.0), k - 1).cast("long"))
+          .otherwise(lit(0L))
+    )
+
+  private val SQL_QUANTIZED =
+    s"""emb AS (SELECT vec_id, embedding e FROM embeddings),
+       |qv AS (SELECT vec_id,
+       |              ${Toks.SQL_QUANT} q,
+       |              CAST(list_sum([CASE WHEN e[k] >= 0 THEN CAST(1 AS BIGINT) << (k-1)
+       |                                  ELSE 0 END
+       |                             for k in generate_series(1, $BITS)]) AS BIGINT) bucket
+       |       FROM emb),
+       |qn AS (SELECT vec_id, q, bucket,
+       |              CAST(list_dot_product(q, q) AS BIGINT) nq FROM qv)""".stripMargin
+
+  // ---- brute-force top-k (baseline) --------------------------------------
+
+  def knn(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = quantized(spark, sfDir)
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val scored = q.join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), Toks.dotQ(col("qq"), col("q")).as("dot"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .select("qid", "rank", "vec_id", "dot")
+      .orderBy("qid", "rank")
+  }
+
+  val knnSql: String =
+    s"""WITH $SQL_QUANTIZED,
+       |q AS (SELECT vec_id qid, q qq FROM qn WHERE vec_id < $N_QUERIES),
+       |scored AS (
+       |  SELECT qid, e.vec_id, CAST(list_dot_product(qq, e.q) AS BIGINT) dot
+       |  FROM q JOIN qn e ON e.vec_id <> qid)
+       |SELECT qid, rank, vec_id, dot FROM (
+       |  SELECT qid, vec_id, dot,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) rank
+       |  FROM scored)
+       |WHERE rank <= $TOP_K ORDER BY qid, rank""".stripMargin
+
+  // ---- LSH-bucketed nearest neighbor (scale path) ------------------------
+
+  def lshNn(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = quantized(spark, sfDir)
+    val pairs = e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("nn_id"),
+        Toks.dotQ(col("a.q"), col("b.q")).as("dot")
+      )
+    val w = Window.partitionBy("vec_id").orderBy(col("dot").desc, col("nn_id").asc)
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "nn_id", "dot")
+      .orderBy("vec_id")
+  }
+
+  val lshNnSql: String =
+    s"""WITH $SQL_QUANTIZED,
+       |pairs AS (
+       |  SELECT a.vec_id vec_id, b.vec_id nn_id,
+       |         CAST(list_dot_product(a.q, b.q) AS BIGINT) dot
+       |  FROM qn a JOIN qn b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, nn_id, dot FROM (
+       |  SELECT vec_id, nn_id, dot,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, nn_id ASC) rn
+       |  FROM pairs)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  // ---- embedding-cosine near-duplicate pairs -----------------------------
+
+  /** Pairs in the same sign bucket with cos² >= 0.09 (scaled: cos²·10⁴ >=
+    * 900) and positive dot — all integer arithmetic.
+    */
+  def embedCos(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = quantized(spark, sfDir)
+    e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        Toks.dotQ(col("a.q"), col("b.q")).as("dot"),
+        col("a.nq").as("na"),
+        col("b.nq").as("nb")
+      )
+      .filter(col("dot") > 0)
+      // integral `div`, not `/`: double division of ~1e15 numerators can
+      // round across an integer boundary and disagree with DuckDB's exact //
+      .withColumn("num", col("dot") * col("dot") * lit(10000L))
+      .withColumn("den", col("na") * col("nb"))
+      .selectExpr("vec_a", "vec_b", "num div den AS cos2_e4")
+      .filter(col("cos2_e4") >= 900)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val embedCosSql: String =
+    s"""WITH $SQL_QUANTIZED
+       |SELECT vec_a, vec_b, cos2_e4 FROM (
+       |  SELECT a.vec_id vec_a, b.vec_id vec_b,
+       |         (CAST(list_dot_product(a.q, b.q) AS BIGINT)
+       |          * CAST(list_dot_product(a.q, b.q) AS BIGINT) * 10000)
+       |          // (a.nq * b.nq) AS cos2_e4,
+       |         CAST(list_dot_product(a.q, b.q) AS BIGINT) dot
+       |  FROM qn a JOIN qn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |WHERE dot > 0 AND cos2_e4 >= 900 ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---- contract surface --------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn" -> (knn _),
+    "sim_lsh_nn" -> (lshNn _),
+    "dd_embed_cos" -> (embedCos _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sim_knn" -> knnSql,
+    "sim_lsh_nn" -> lshNnSql,
+    "dd_embed_cos" -> embedCosSql
+  )
+}

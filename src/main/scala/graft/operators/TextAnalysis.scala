@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.functions.Toks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: quality scoring,
+  * token counting (whitespace + BPE-ish regex), md5 fingerprints, and
+  * winnowing (rolling-hash) document fingerprints.
+  *
+  * All oracled outputs are integers / md5 hex — bit-exact vs DuckDB. The
+  * winnowing query is the one non-SQL-expressible member (procedural rolling
+  * window) and ships without an oracle (rows-only check) but with unit tests.
+  */
+object TextAnalysis {
+
+  private val STOPS = Seq("the", "a", "key", "row", "value")
+  private val STOPS_SQL = STOPS.map(s => s"'$s'").mkString(", ")
+
+  // ---- quality scoring ---------------------------------------------------
+
+  def quality(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), Toks.tokens(col("text")).as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("nonspace", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("stop_cnt",
+        size(filter(col("t"), x => x.isin(STOPS: _*))).cast("long"))
+      .withColumn("punct_cnt",
+        size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0))).cast("long"))
+      .selectExpr(
+        "doc_id", "n_tok", "n_chars", "stop_cnt", "punct_cnt",
+        "(100 * nonspace) div greatest(n_tok, 1) AS avg_tok_len_x100"
+      )
+      .withColumn(
+        "q_score",
+        least(lit(100L), col("n_tok")) +
+          when(col("avg_tok_len_x100").between(300, 800), lit(20L)).otherwise(lit(0L)) +
+          least(col("stop_cnt") * 2, lit(20L))
+      )
+      .orderBy("doc_id")
+
+  val qualitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ${Toks.SQL_TOKENS} t FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |         CAST(len(t) AS BIGINT) n_tok,
+       |         CAST(length(text) AS BIGINT) n_chars,
+       |         CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) nonspace,
+       |         CAST(len(list_filter(t, x -> x IN ($STOPS_SQL))) AS BIGINT) stop_cnt,
+       |         CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) punct_cnt
+       |  FROM t)
+       |SELECT doc_id, n_tok, n_chars, stop_cnt, punct_cnt,
+       |       (100 * nonspace) // greatest(n_tok, 1) AS avg_tok_len_x100,
+       |       least(100, n_tok)
+       |         + (CASE WHEN (100 * nonspace) // greatest(n_tok, 1) BETWEEN 300 AND 800
+       |                 THEN 20 ELSE 0 END)
+       |         + least(stop_cnt * 2, 20) AS q_score
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---- token counting ----------------------------------------------------
+
+  private val BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id"),
+        size(Toks.tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BPE_RE), lit(0))).cast("long")
+          .as("re_tokens"),
+        length(col("text")).cast("long").as("n_chars")
+      )
+      .orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(${Toks.SQL_TOKENS}) AS BIGINT) ws_tokens,
+       |       CAST(len(regexp_extract_all(text, '$BPE_RE')) AS BIGINT) re_tokens,
+       |       CAST(length(text) AS BIGINT) n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- md5 fingerprint ---------------------------------------------------
+
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id"),
+        substring(md5(col("text")), 1, 8).as("fp8"),
+        substring(md5(concat(col("lang"), lit("|"), col("text"))), 1, 16).as("fp16")
+      )
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |       substr(md5(text), 1, 8) fp8,
+      |       substr(md5(lang || '|' || text), 1, 16) fp16
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- winnowing (rolling hash; procedural — no SQL oracle) --------------
+
+  private val K_GRAM = 5
+  private val WINDOW = 4
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 pattern): poly
+    * rolling hash over char k-grams, min per window (rightmost on ties),
+    * distinct, sorted. Pure function of the text — deterministic at any
+    * parallelism.
+    */
+  def winnow(text: String): Vector[Long] = {
+    val n = text.length
+    if (n < K_GRAM) return Vector.empty
+    val hashes = new Array[Long](n - K_GRAM + 1)
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    while (i < K_GRAM) { h = h * 257L + text.charAt(i); i += 1 }
+    i = 1; while (i < K_GRAM) { pow *= 257L; i += 1 }
+    hashes(0) = h
+    i = K_GRAM
+    while (i < n) {
+      h = (h - text.charAt(i - K_GRAM) * pow) * 257L + text.charAt(i)
+      hashes(i - K_GRAM + 1) = h
+      i += 1
+    }
+    val out = scala.collection.mutable.SortedSet.empty[Long]
+    var w = 0
+    while (w + WINDOW <= hashes.length) {
+      var m = hashes(w)
+      var j = w + 1
+      while (j < w + WINDOW) { if (hashes(j) <= m) m = hashes(j); j += 1 }
+      out += m
+      w += 1
+    }
+    out.toVector
+  }
+
+  def winnowQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => winnow(text).map(fp => (id, fp)) }
+      .toDF("doc_id", "fp")
+      .orderBy("doc_id", "fp")
+  }
+
+  // ---- contract surface --------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_quality" -> (quality _),
+    "ta_tokens" -> (tokenCounts _),
+    "ta_fingerprint" -> (fingerprint _),
+    "ta_winnow" -> (winnowQuery _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ta_quality" -> qualitySql,
+    "ta_tokens" -> tokenCountsSql,
+    "ta_fingerprint" -> fingerprintSql
+    // ta_winnow: procedural rolling window — rows-only check by design
+  )
+}

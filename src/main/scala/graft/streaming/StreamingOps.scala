@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface (SURVEY.md §2.9 ST1–ST6), exercised in
+  * batch-equivalent form so the driver's DuckDB oracle can check results:
+  * each query streams the events table with `Trigger.AvailableNow()` into a
+  * memory sink, then returns the materialized result. Late rows beyond the
+  * watermark horizon are excluded on BOTH sides by a fixed cutoff, making
+  * streaming output == batch SQL.
+  *
+  * At scale this is the incremental-ingest story (B:14): the same pipeline
+  * code runs `readStream` on the pages table with a checkpointLocation, and
+  * AvailableNow gives resumable batch-sized increments.
+  */
+object StreamingOps {
+
+  /** Sessions/windows ending after this never emit in append mode (they sit
+    * within the watermark tail), so both engines cut here. Events run
+    * 2024-01-01..2024-01-30; the cutoff drops only the final day.
+    */
+  private val CUTOFF = "2024-01-29 00:00:00"
+
+  private def ckpt(name: String): String = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-ckpt-$name-${System.nanoTime()}")
+    dir.getAbsolutePath
+  }
+
+  /** Stage the events parquet into a directory (the file stream source
+    * requires a directory basePath) and stream it with an instant-typed
+    * event-time column (watermarks reject TIMESTAMP_NTZ; the cast is
+    * wall-clock-preserving under the UTC session).
+    */
+  private def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft-stream-events-${Integer.toHexString(sfDir.hashCode)}")
+    val dst = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst)) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val schema = spark.read.parquet(dir.toString).schema
+    spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt(name))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  // ---- ST2/ST3: watermarked tumbling-window counts -----------------------
+
+  def stHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = streamEvents(spark, sfDir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .count()
+    runToTable(agg, s"st_hourly_${System.nanoTime()}", "append")
+      // back to NTZ so the parquet dump matches the oracle's naive timestamps
+      .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+        col("event_type"), col("count").as("n"))
+      .filter(col("wstart") < expr(s"timestamp_ntz'$CUTOFF'"))
+      .orderBy("wstart", "event_type")
+  }
+
+  val stHourlySql: String =
+    s"""SELECT date_trunc('hour', ts) wstart, event_type, count(*) n
+       |FROM events GROUP BY 1, 2
+       |HAVING date_trunc('hour', ts) < TIMESTAMP '$CUTOFF'
+       |ORDER BY wstart, event_type""".stripMargin
+
+  // ---- ST4: session windows ----------------------------------------------
+
+  def stSession(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = streamEvents(spark, sfDir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+    runToTable(agg, s"st_session_${System.nanoTime()}", "append")
+      .select(
+        col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("s_start"),
+        col("session_window.end").cast("timestamp_ntz").as("s_end"),
+        col("count").as("n")
+      )
+      .filter(col("s_end") < expr(s"timestamp_ntz'$CUTOFF'"))
+      .orderBy("user_id", "s_start")
+  }
+
+  /** Batch sessionization: the classic gap-marker + running-sum rewrite —
+    * new session when the gap from the previous event is >= 30 min; session
+    * end is last ts + 30 min (Spark session_window semantics).
+    */
+  val stSessionSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE OR lag(ts) OVER w IS NULL
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |numbered AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ts) s_start, max(ts) + INTERVAL 30 MINUTE s_end, count(*) n
+      |FROM numbered GROUP BY user_id, sid
+      |HAVING max(ts) + INTERVAL 30 MINUTE < TIMESTAMP '2024-01-29 00:00:00'
+      |ORDER BY user_id, s_start""".stripMargin
+
+  // ---- ST5: stateful streaming dedup -------------------------------------
+
+  def stDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dd = streamEvents(spark, sfDir)
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+    runToTable(dd, s"st_dedup_${System.nanoTime()}", "append")
+      .orderBy("user_id", "event_type")
+  }
+
+  val stDedupSql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---- contract surface --------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_hourly" -> (stHourly _),
+    "st_session" -> (stSession _),
+    "st_dedup" -> (stDedup _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "st_hourly" -> stHourlySql,
+    "st_session" -> stSessionSql,
+    "st_dedup" -> stDedupSql
+  )
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the training-data-pipeline operators (dedup, similarity, text
+  * analysis, multimodal). The DuckDB oracle cross-checks values; these tests
+  * pin the *semantic* properties (injected dups found, determinism under
+  * repartition, stub contracts).
+  */
+class TrainingOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+  private val SF = "/root/testdata/sf0.001"
+
+  test("exact dedup finds every injected duplicate") {
+    val r = Dedup.exact(spark, SF).filter(col("n_copies") >= 2).collect()
+    // every 10th doc_id is duplicated with +1000000
+    val nInjected = spark.read.parquet(s"$SF/documents.parquet")
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(r.length == nInjected)
+    assert(r.forall(_.getLong(1) == 2L))
+  }
+
+  test("minhash LSH pairs include all identical-copy pairs with all bands") {
+    val pairs = Dedup.minhashLsh(spark, SF)
+      .filter(col("doc_b") === col("doc_a") + 1000000L)
+      .collect()
+    val withShingles = spark.read.parquet(s"$SF/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .count()
+    assert(pairs.length == withShingles)
+    assert(pairs.forall(_.getLong(2) == 4L)) // identical docs match all 4 bands
+  }
+
+  test("ngram jaccard gives 100 for identical copies") {
+    val r = Dedup.ngramJaccard(spark, SF)
+      .filter(col("doc_b") === col("doc_a") + 1000000L)
+    assert(r.count() > 0)
+    assert(r.filter(col("jacc_pct") =!= 100).count() == 0)
+  }
+
+  test("simhash is identical for identical copies") {
+    val sh = Dedup.simhash(spark, SF)
+    val joined = sh.as("a")
+      .join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1000000L)
+      .select(col("a.simhash16").as("ha"), col("b.simhash16").as("hb"))
+      .collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => r.getLong(0) == r.getLong(1)))
+    // and hashes fit in 16 bits
+    assert(sh.filter(col("simhash16") < 0 || col("simhash16") > 0xffffL).count() == 0)
+  }
+
+  test("knn returns k deterministic neighbors per query, excluding self") {
+    val r = Similarity.knn(spark, SF).collect()
+    val byQ = r.groupBy(_.getLong(0))
+    assert(byQ.size == 8 && byQ.values.forall(_.length == 5))
+    assert(r.forall(row => row.getLong(2) != row.getLong(0)))
+    // stable under repeated execution
+    val r2 = Similarity.knn(spark, SF).collect()
+    assert(r.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+  }
+
+  test("winnowing fingerprints: equal text -> equal set; deterministic") {
+    val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
+    val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
+    assert(a == b && a.nonEmpty)
+    assert(a == a.sorted && a.distinct == a)
+    assert(TextAnalysis.winnow("tiny") == Vector.empty)
+  }
+
+  test("multimodal: header decode round-trips; deterministic under repartition") {
+    import spark.implicits._
+    val m = Multimodal.media(spark, 100)
+    val meta = Multimodal.decodeMeta(m).collect().sortBy(_.media_id)
+    assert(meta.length == 100)
+    assert(meta.forall(x => x.width >= 16 && x.height >= 16 && x.n_bytes >= 64))
+    assert(meta.filter(_.kind == "image").forall(_.nframes == 1))
+    assert(meta.filter(_.kind == "audio").forall(_.nframes == 0))
+    val meta2 = Multimodal.decodeMeta(m.repartition(7)).collect().sortBy(_.media_id)
+    assert(meta.toSeq == meta2.toSeq)
+
+    val f = Multimodal.features(m).as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(f.forall(_._2.length == 8))
+    val fr = Multimodal.sampleFrames(m).collect()
+    assert(fr.forall(_.frame_fp.length == 4))
+    assert(fr.map(r => (r.media_id, r.frame_idx)).distinct.length == fr.length)
+  }
+
+  test("streaming hourly counts equal the batch aggregation") {
+    val streamed = graft.streaming.StreamingOps.stHourly(spark, SF)
+      .collect().map(_.toString).toSeq
+    val batch = spark.read.parquet(s"$SF/events.parquet")
+      .groupBy(date_trunc("HOUR", col("ts")).cast("timestamp_ntz").as("wstart"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("wstart") < expr("timestamp_ntz'2024-01-29 00:00:00'"))
+      .orderBy("wstart", "event_type")
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+}
