@@ -6,13 +6,17 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract; BASELINE.md protocol).
   *
-  * Runs (a) the extraction pipeline over a synthetic corpus — the headline
-  * docs/sec metric of BASELINE.json — and (b) a set of headline relational /
-  * dedup / similarity queries at `SPARK_GRAFT_SF_DIR`. Prints ONE JSON line.
+  * Headline metric: extracted-docs/sec of the full pipeline over a staged
+  * synthetic pages table (generation is NOT timed), median of 3 measured
+  * passes after one full warm-up pass — the first pass of a fresh JVM runs
+  * largely interpreted (C2 warm-up inflates CPU 20x+; see BASELINE.md) and
+  * is never representative of a long-running 100 TB job.
   *
-  * Scaling protocol (two-cluster-size stand-in): run twice with
-  * `SPARK_GRAFT_CPUS=8` and `=32` on the same input; efficiency =
-  * throughput(32) / (4 × throughput(8)). See BASELINE.md.
+  * Also times the headline relational / dedup / similarity queries at
+  * `SPARK_GRAFT_SF_DIR` (second of two runs each). Prints ONE JSON line.
+  *
+  * Scaling protocol (two-cluster-size stand-in): `graft.Main scale` at two
+  * parallelism levels; full protocol + results in BASELINE.md / BENCH.md.
   */
 object Bench {
 
@@ -26,28 +30,46 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "20000").toLong
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "640000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString) // 4x cores; AQE coalesces small stages
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+      // keep every phase wider than the core count: small-file scans split
+      // finer than the 128 MB default, and AQE may not coalesce the block
+      // shuffle below ~4 partitions/core (the tokenizer output is compute-
+      // heavy per byte, so partition-size heuristics undercount its cost)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // force the sort-based shuffle writer (what a real >200-reducer
+      // cluster job uses): the bypass-merge writer's per-reducer files +
+      // transferTo/mmap concat storms serialize on mmap locks at 32 threads
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
+      .config("spark.file.transferTo", "false")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // warm the JIT + parquet readers once with a tiny run
-    Extract.extract(Corpus.pages(spark, 200L)).foreach(_ => ())
+    // stage the bench corpus once (generation/IO excluded from the metric)
+    val corpusDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS",
+      s"/dev/shm/graft-bench-pages-$nPages")
+    if (!new java.io.File(s"$corpusDir/_SUCCESS").exists())
+      Corpus.pages(spark, nPages).write.mode("overwrite").parquet(corpusDir)
+    val pages = spark.read.schema(Model.PAGES).parquet(corpusDir).as[Page]
 
-    // headline extraction throughput
-    var nDocs = 0L
-    val tExtract = time {
-      nDocs = Extract.extract(Corpus.pages(spark, nPages)).count()
-    }
+    // two full warm-up passes (C2 needs >1 full pass to compile the hot
+    // tokenizer + codegen paths), then median of 3
+    var nDocs = Extract.extract(pages).count()
+    nDocs = Extract.extract(pages).count()
+    val reps = (1 to 3).map(_ => time { nDocs = Extract.extract(pages).count() })
+    val tExtract = reps.sorted.apply(1)
     val docsPerSec = nDocs / tExtract
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -55,8 +77,10 @@ object Bench {
     HEADLINE.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         results(name) =
-          try time { fn(spark, sfDir).count() }
-          catch { case _: Throwable => -1.0 }
+          try {
+            time { fn(spark, sfDir).count() } // warm-up run (discarded)
+            time { fn(spark, sfDir).count() }
+          } catch { case _: Throwable => -1.0 }
       }
     }
 

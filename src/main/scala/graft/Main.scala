@@ -25,13 +25,33 @@ object Main {
       sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession
-      .builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .appName("graft-extract")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // local-cluster[N,cores,mem] spawns REAL separate executor JVMs (the
+    // closest in-sandbox stand-in for "N executors" in the scaling
+    // criterion); they need our classes + the JDK17 module opens on their
+    // own classpaths.
+    val builder0 = SparkSession.builder().master(master).appName("graft-extract")
+    val builder =
+      if (master.startsWith("local-cluster")) builder0
+        .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
+        .config("spark.executor.memory", sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g"))
+      else builder0
+    val spark = builder
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString) // 4x cores; AQE coalesces small stages
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+      // keep every phase wider than the core count: small-file scans split
+      // finer than the 128 MB default, and AQE may not coalesce the block
+      // shuffle below ~4 partitions/core (the tokenizer output is compute-
+      // heavy per byte, so partition-size heuristics undercount its cost)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // force the sort-based shuffle writer (what a real >200-reducer
+      // cluster job uses): the bypass-merge writer's per-reducer files +
+      // transferTo/mmap concat storms serialize on mmap locks at 32 threads
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
+      .config("spark.file.transferTo", "false")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,6 +63,54 @@ object Main {
           val buckets = if (args.length > 4) args(4).toInt else graft.sources.PageTable.DEFAULT_BUCKETS
           graft.sources.PageTable.write(Corpus.pages(spark, n, seed), args(2), buckets)
           println(s"wrote $n pages -> ${args(2)} ($buckets buckets)")
+          return
+        case "profile" =>
+          // stage-by-stage timing against an existing pages table
+          import spark.implicits._
+          val pages = spark.read.schema(Model.PAGES).parquet(args(1)).as[Page]
+          def t(name: String)(f: => Long): Unit = {
+            val t0 = System.nanoTime()
+            val n = f
+            println(f"  $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+          }
+          t("scan+count")(pages.count())
+          t("scan+decode+tokenize")(pages.flatMap(Extract.toRows).count())
+          t("(again, warm)")(pages.flatMap(Extract.toRows).count())
+          t("+shuffle(url)")(pages.flatMap(Extract.toRows).toDF
+            .repartition(col("url")).count())
+          t("+classify+windows")(Extract.classifiedBlocks(
+            pages.flatMap(Extract.toRows)).count())
+          t("+lines+assemble")(Extract.assembled(Extract.lines(
+            Extract.classifiedBlocks(pages.flatMap(Extract.toRows)))).count())
+          t("full extract (count)")(Extract.extract(pages).count())
+          (1 to 4).foreach(i => t(s"full extract rep$i")(Extract.extract(pages).count()))
+          return
+        case "scale" =>
+          // scaling-protocol measurement: repeated full-extract counts over
+          // an existing pages table; reports each rep + the median docs/sec
+          import spark.implicits._
+          val pages = spark.read.schema(Model.PAGES).parquet(args(1)).as[Page]
+          val reps = if (args.length > 2) args(2).toInt else 5
+          val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+            .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+          import scala.jdk.CollectionConverters._
+          def gcMs: Long = java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+          def jitMs: Long = java.lang.management.ManagementFactory
+            .getCompilationMXBean.getTotalCompilationTime
+          val nDocs = Extract.extract(pages).count() // warm-up (discarded)
+          val times = (1 to reps).map { i =>
+            val (c0, g0, j0) = (osBean.getProcessCpuTime, gcMs, jitMs)
+            val t0 = System.nanoTime()
+            Extract.extract(pages).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            val cpuS = (osBean.getProcessCpuTime - c0) / 1e9
+            println(f"  rep$i: $dt%.2f s (${nDocs / dt}%.0f docs/s, cpu=$cpuS%.1f core-s, " +
+              f"gc=${(gcMs - g0) / 1000.0}%.1f s, jit=${(jitMs - j0) / 1000.0}%.1f s)")
+            dt
+          }
+          val med = times.sorted.apply(reps / 2)
+          println(f"SCALE cpus=$cpus docs=$nDocs median=$med%.2f s throughput=${nDocs / med}%.0f docs/s")
           return
         case "run" =>
           val maxB = if (args.length > 4) args(4).toInt else Int.MaxValue

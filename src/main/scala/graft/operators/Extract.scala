@@ -75,16 +75,20 @@ object Extract {
   /** Blocks DataFrame with all classification columns (the SQL-expressible
     * middle of the pipeline — also materialized for the DuckDB oracle).
     */
-  def classifiedBlocks(rows: Dataset[BlockRow]): DataFrame = {
+  def classifiedBlocks(rows: Dataset[BlockRow]): DataFrame =
+    classifiedFrom(rows.toDF.repartition(col("url")))
+
+  /** Classification over an already url-partitioned blocks frame. The caller
+    * owns the single Exchange (see [[extract]]) so the tokenizer output is
+    * shuffled exactly once and shared by every consumer.
+    */
+  private[graft] def classifiedFrom(parted: DataFrame): DataFrame = {
     val sentinelFlag = (col("flags").bitwiseAND(lit(Model.FLAG_SENTINEL))) =!= 0
     val boiler = (col("flags").bitwiseAND(lit(Model.FLAG_BOILER))) =!= 0
     val isHtml = col("kind") === Charset.KIND_HTML
     val isPdf = col("kind") === Charset.KIND_PDF
 
-    // one deliberate exchange; every window/agg below reuses it
-    val cand = rows.toDF
-      .filter(!sentinelFlag && !boiler)
-      .repartition(col("url"))
+    val cand = parted.filter(!sentinelFlag && !boiler)
 
     val heading = col("tag").isin("h1", "h2", "h3", "h4", "h5", "h6")
 
@@ -220,13 +224,19 @@ object Extract {
     val spark = pages.sparkSession
     import spark.implicits._
 
-    val rows = pages.flatMap(toRows)
+    // ONE Exchange on url directly over the tokenizer output: the shuffle
+    // materializes the flatMap exactly once, and BOTH branches below
+    // (sentinel metadata + block classification), every window, both
+    // ordered aggregations, and the final metadata join all reuse it
+    // (ReuseExchange — the tokenizer would otherwise run twice per page).
+    val parted = pages.flatMap(toRows).toDF.repartition(col("url"))
+
     val sentinelFlag = (col("flags").bitwiseAND(lit(Model.FLAG_SENTINEL))) =!= 0
-    val sentinels = rows.toDF
+    val sentinels = parted
       .filter(sentinelFlag)
       .select("url", "warc_ts", "lang", "kind", "nBlocks", "fullText")
 
-    val docsAssembled = assembled(lines(classifiedBlocks(rows)))
+    val docsAssembled = assembled(lines(classifiedFrom(parted)))
 
     val isTextKind = col("kind") === Charset.KIND_TEXT
     val isDocKind = col("kind").isin(Charset.KIND_HTML, Charset.KIND_PDF)
