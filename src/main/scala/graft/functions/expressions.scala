@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst scalar expressions (SURVEY.md §2.10 U1) — the only
+  * custom code-carrying scalars in the engine. Each has `nullSafeEval` AND
+  * `doGenCode`, so a projection using them stays inside WholeStageCodegen
+  * (a Scala `udf` would force an object-serialization boundary instead).
+  *
+  * Registered as SQL functions (`sniff_kind`, `decode_sniff`,
+  * `decode_entities`) via [[GraftExtensions]]:
+  * `spark.sql.extensions=graft.functions.GraftExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  */
+object exprs {
+  import org.apache.spark.sql.graftshim.GraftShim.{column, expression}
+  def sniffKind(c: Column): Column = column(SniffKind(expression(c)))
+  def decodeSniff(c: Column): Column = column(DecodeSniff(expression(c)))
+  def decodeEntities(c: Column): Column = column(DecodeEntities(expression(c)))
+}
+
+/** binary payload → 'html' | 'pdf' | 'text' | 'empty' (F1 payload sniff). */
+case class SniffKind(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Charset.sniffKind(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Charset.sniffKind($c))")
+  override protected def withNewChildInternal(newChild: Expression): SniffKind =
+    copy(child = newChild)
+  override def prettyName: String = "sniff_kind"
+}
+
+/** binary payload → decoded text under the fixed charset policy (F2). */
+case class DecodeSniff(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Charset.decode(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Charset.decode($c))")
+  override protected def withNewChildInternal(newChild: Expression): DecodeSniff =
+    copy(child = newChild)
+  override def prettyName: String = "decode_sniff"
+}
+
+/** WHATWG named/numeric entity decode over a string (U1). */
+case class DecodeEntities(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Entities.decodeAll(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Entities.decodeAll($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): DecodeEntities =
+    copy(child = newChild)
+  override def prettyName: String = "decode_entities"
+}
+
+/** SparkSessionExtensions hook registering the graft SQL functions. */
+object GraftExtensions {
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("sniff_kind"),
+      new ExpressionInfo(classOf[SniffKind].getName, "sniff_kind"),
+      (children: Seq[Expression]) => SniffKind(children.head)),
+    (FunctionIdentifier("decode_sniff"),
+      new ExpressionInfo(classOf[DecodeSniff].getName, "decode_sniff"),
+      (children: Seq[Expression]) => DecodeSniff(children.head)),
+    (FunctionIdentifier("decode_entities"),
+      new ExpressionInfo(classOf[DecodeEntities].getName, "decode_entities"),
+      (children: Seq[Expression]) => DecodeEntities(children.head))
+  )
+
+  /** Register on an already-running session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, b) =>
+      org.apache.spark.sql.graftshim.GraftShim.registerFunction(spark, id, info, b)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}

@@ -85,10 +85,16 @@ object Extract {
   private[graft] def classifiedFrom(parted: DataFrame): DataFrame = {
     val sentinelFlag = (col("flags").bitwiseAND(lit(Model.FLAG_SENTINEL))) =!= 0
     val boiler = (col("flags").bitwiseAND(lit(Model.FLAG_BOILER))) =!= 0
+    classifyCandidates(parted.filter(!sentinelFlag && !boiler))
+  }
+
+  /** Classification over candidate rows only (caller has already dropped
+    * sentinel/boiler rows — [[extract]] does so with a pushdown-opaque
+    * filter to keep its exchange reusable).
+    */
+  private[graft] def classifyCandidates(cand: DataFrame): DataFrame = {
     val isHtml = col("kind") === Charset.KIND_HTML
     val isPdf = col("kind") === Charset.KIND_PDF
-
-    val cand = parted.filter(!sentinelFlag && !boiler)
 
     val heading = col("tag").isin("h1", "h2", "h3", "h4", "h5", "h6")
 
@@ -224,11 +230,23 @@ object Extract {
     val spark = pages.sparkSession
     import spark.implicits._
 
-    // ONE Exchange on url directly over the tokenizer output: the shuffle
-    // materializes the flatMap exactly once, and BOTH branches below
-    // (sentinel metadata + block classification), every window, both
-    // ordered aggregations, and the final metadata join all reuse it
-    // (ReuseExchange — the tokenizer would otherwise run twice per page).
+    // Two consumers branch off the tokenizer output below: sentinel
+    // metadata, and block classification/assembly. Catalyst pushes each
+    // branch's filter and column set below the repartition, so the two
+    // exchange subtrees differ and the tokenizer runs once PER BRANCH.
+    // This is a measured, deliberate trade (see BASELINE.md):
+    //   - the pushed-down filters mean each branch shuffles only what it
+    //     needs (sentinels: 1 tiny row/page; classify: candidate blocks);
+    //   - a ReuseExchange formulation (non-deterministic barrier column)
+    //     defeats predicate pushdown but not column pruning, so reuse
+    //     still breaks;
+    //   - a fully fused single-exchange/no-join formulation (sentinels as
+    //     lineId=-1 rows + conditional aggregation) was implemented and
+    //     benchmarked ~2x MORE CPU: every row then rides through all four
+    //     window sorts, which costs more than the second tokenizer pass.
+    // The windows/aggs below all derive from one url-hash partitioning, so
+    // within each branch there is exactly one shuffle and the final join is
+    // co-partitioned.
     val parted = pages.flatMap(toRows).toDF.repartition(col("url"))
 
     val sentinelFlag = (col("flags").bitwiseAND(lit(Model.FLAG_SENTINEL))) =!= 0

@@ -209,6 +209,34 @@ object ExtractOracle {
        |FROM scored ORDER BY url""".stripMargin
   }
 
+  // ---- host-stats broadcast-join enrichment (J3 + A4) --------------------
+
+  /** Per-host doc stats joined back onto every doc with an explicit
+    * broadcast hint — the skew-diagnosis join of SURVEY.md §2.4 J3: the
+    * host-stats side is tiny (#hosts rows) at any corpus scale, so the big
+    * side never shuffles.
+    */
+  def exHostJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = OracleCorpus.docs(spark)
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+    val stats = docs.groupBy("host")
+      .agg(count(lit(1)).as("host_docs"),
+        sum(length(col("text"))).as("host_chars"))
+    docs
+      .join(broadcast(stats), Seq("host"))
+      .select(col("url"), col("host"), col("host_docs"), col("host_chars"))
+      .orderBy("url")
+  }
+
+  val exHostJoinSql: String =
+    s"""WITH d AS (
+       |  SELECT url, regexp_extract(url, '^https?://([^/]+)/', 1) host, length(text) nc
+       |  FROM $D),
+       |stats AS (SELECT host, count(*) host_docs,
+       |                 CAST(sum(nc) AS BIGINT) host_chars FROM d GROUP BY 1)
+       |SELECT url, d.host, host_docs, host_chars
+       |FROM d JOIN stats ON d.host = stats.host ORDER BY url""".stripMargin
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -216,7 +244,8 @@ object ExtractOracle {
     "ex_lines" -> (exLines _),
     "ex_docs" -> (exDocs _),
     "ex_stats" -> (exStats _),
-    "ex_langid" -> (exLangid _)
+    "ex_langid" -> (exLangid _),
+    "ex_hostjoin" -> (exHostJoin _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -224,6 +253,7 @@ object ExtractOracle {
     "ex_lines" -> exLinesSql,
     "ex_docs" -> exDocsSql,
     "ex_stats" -> exStatsSql,
-    "ex_langid" -> exLangidSql
+    "ex_langid" -> exLangidSql,
+    "ex_hostjoin" -> exHostJoinSql
   )
 }

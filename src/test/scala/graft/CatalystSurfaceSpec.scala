@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.{Charset, Entities, GraftExtensions, exprs}
+import graft.operators.Extract
+import graft.sources.Corpus
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom Catalyst surface (SURVEY.md §2.10) + physical-plan shape checks. */
+class CatalystSurfaceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+
+  test("native expressions agree with the scalar functions on the corpus") {
+    import spark.implicits._
+    val pages = Corpus.pages(spark, 120).cache()
+    val viaExpr = pages.toDF()
+      .select(col("url"), exprs.sniffKind(col("html")).as("k"),
+        exprs.decodeSniff(col("html")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val viaScala = pages.collect()
+      .map(p => (p.url, Charset.sniffKind(p.html), Charset.decode(p.html)))
+      .sortBy(_._1)
+    assert(viaExpr.toSeq == viaScala.toSeq)
+    pages.unpersist()
+  }
+
+  test("decode_entities expression matches Entities.decodeAll incl. codegen path") {
+    import spark.implicits._
+    val samples = Seq("Fish &amp; chips", "&#x41;&#66;", "&nbsp;&mdash;&bogus;", "café &eacute;")
+    val viaExpr = samples.toDF("s")
+      .select(exprs.decodeEntities(col("s"))).as[String].collect().toSeq
+    assert(viaExpr == samples.map(Entities.decodeAll))
+    // projection over the expression stays inside WholeStageCodegen (use a
+    // Range source — a LocalRelation is constant-folded before codegen)
+    val df = spark.range(4)
+      .select(exprs.decodeEntities(concat(lit("&amp;"), col("id").cast("string"))).as("d"))
+    // `*(n)` prefix marks operators fused into a WholeStageCodegen region
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(df.collect().map(_.getString(0)).toSeq == (0 until 4).map(i => s"&$i"))
+  }
+
+  test("GraftExtensions registers SQL functions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT decode_entities('Fish &amp; chips') e, sniff_kind(CAST('x' AS BINARY)) k"
+    ).collect().head
+    assert(r.getString(0) == "Fish & chips")
+    assert(r.getString(1) == "text")
+  }
+
+  test("extract plan shape: one url exchange per branch, filters pushed below") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Extract.extract(Corpus.pages(spark, 50)).toDF()
+      val plan = docs.queryExecution.executedPlan.toString
+      // two branches (sentinel metadata / classification), each with exactly
+      // one url-hash exchange whose input is already branch-filtered — the
+      // measured-cheapest shape; see the comment in Extract.extract and
+      // BASELINE.md for the evaluated single-exchange alternatives
+      val exchanges = "Exchange hashpartitioning\\(url".r.findAllIn(plan).length
+      assert(exchanges == 2, s"expected the two branch exchanges, plan:\n$plan")
+      // within each branch every window/agg reuses that branch's url
+      // partitioning — no further shuffles anywhere in the plan
+      val allExchanges = "Exchange ".r.findAllIn(plan).length -
+        "BroadcastExchange".r.findAllIn(plan).length
+      assert(allExchanges == 2, s"no shuffle beyond the two branch exchanges:\n$plan")
+      // branch filters sit BELOW the exchanges (shuffle only what's needed)
+      assert(!plan.contains("ReusedExchange"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("streaming AvailableNow extraction equals batch extraction; rerun is a no-op") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st-ex").toString
+    val pagesDir = s"$tmp/pages"
+    graft.sources.PageTable.write(Corpus.pages(spark, 300), pagesDir, numBuckets = 8)
+
+    val streamed = graft.streaming.StreamingExtract
+      .runOnce(spark, pagesDir, s"$tmp/out", s"$tmp/ckpt")
+      .select("url", "text", "contentKind")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Extract.extract(Corpus.pages(spark, 300))
+      .select("url", "text", "contentKind")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+
+    // resume with no new files: nothing is reprocessed, output unchanged
+    val again = graft.streaming.StreamingExtract
+      .runOnce(spark, pagesDir, s"$tmp/out", s"$tmp/ckpt")
+      .select("url", "text", "contentKind")
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == batch)
+  }
+}
