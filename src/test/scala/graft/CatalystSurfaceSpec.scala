@@ -94,4 +94,26 @@ class CatalystSurfaceSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(again == batch)
   }
+
+  test("extract_blocks Generator emits the same rows as the flatMap tokenizer") {
+    import spark.implicits._
+    val pages = Corpus.pages(spark, 150).cache()
+    val cols = Seq("url", "kind", "seq", "tag", "depth", "text", "textLen",
+      "linkChars", "wordCount", "parentSeq", "flags", "x", "y", "w", "h",
+      "nBlocks", "fullText")
+    val viaGen = pages.toDF()
+      .select(col("url"), graft.functions.ExtractBlocks.expr(col("html")))
+      .select(cols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    val viaFlatMap = pages.flatMap(Extract.toRows).toDF()
+      .select(cols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaGen == viaFlatMap)
+    // and the physical plan uses GenerateExec
+    val plan = pages.toDF()
+      .select(col("url"), graft.functions.ExtractBlocks.expr(col("html")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate extract_blocks"))
+    pages.unpersist()
+  }
 }
