@@ -30,7 +30,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "640000").toLong
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "320000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString) // 4x cores; AQE coalesces small stages

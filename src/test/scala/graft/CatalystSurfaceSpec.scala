@@ -116,4 +116,21 @@ class CatalystSurfaceSpec extends AnyFunSuite {
     assert(plan.contains("Generate extract_blocks"))
     pages.unpersist()
   }
+
+  test("ordered_concat Aggregator matches collect_list+array_sort assembly") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 3L, "gamma"), ("a", 1L, "alpha"), ("a", 2L, "beta"),
+      ("b", 2L, "two"), ("b", 1L, "one")
+    ).toDF("g", "k", "t").repartition(5)
+    val viaAgg = df.groupBy("g")
+      .agg(graft.functions.OrderedConcat(col("k"), col("t"), " ").as("s"))
+      .orderBy("g").as[(String, String)].collect().toSeq
+    val viaBuiltin = df.groupBy("g")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("k"), col("t")))),
+        e => e.getField("t")), " ").as("s"))
+      .orderBy("g").as[(String, String)].collect().toSeq
+    assert(viaAgg == Seq(("a", "alpha beta gamma"), ("b", "one two")))
+    assert(viaAgg == viaBuiltin)
+  }
 }
