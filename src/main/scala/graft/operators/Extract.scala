@@ -14,14 +14,14 @@ import org.apache.spark.sql.expressions.Window
   * [[graft.operators.Classify]]; golden tests assert byte-identical equality
   * per url between this pipeline and the scalar oracle under any partitioning.
   *
-  * Shuffle plan (deliberate, scale-first):
-  *   1. one Exchange hash-partitioning block rows by `url` — every window
-  *      below requires only ClusteredDistribution(url, ...) which
-  *      HashPartitioning(url) satisfies, so the two window stages, both
-  *      aggregations, and the final sentinel join all REUSE this single
-  *      exchange (verified via .explain in the spec suite);
-  *   2. a tiny Exchange of the per-document sentinel rows for the metadata
-  *      join (1 row per url, no payload text).
+  * Shuffle plan (deliberate, scale-first; pinned by the plan-shape test):
+  * two consumer branches (sentinel metadata / classification+assembly),
+  * each with exactly ONE url-hash Exchange whose input Catalyst has
+  * branch-filtered — sentinels shuffle 1 tiny row/page, classification
+  * shuffles candidate blocks; every window/agg inside a branch reuses that
+  * branch's partitioning, and the final metadata join is co-partitioned.
+  * See the comment in [[extract]] + BASELINE.md for the measured
+  * alternatives (exchange reuse, fused no-join) and why they lost.
   * An optional pages-level salted repartition (`saltedPages`) balances
   * tokenizer work when the input file layout is host-skewed (B:14).
   */
@@ -78,9 +78,8 @@ object Extract {
   def classifiedBlocks(rows: Dataset[BlockRow]): DataFrame =
     classifiedFrom(rows.toDF.repartition(col("url")))
 
-  /** Classification over an already url-partitioned blocks frame. The caller
-    * owns the single Exchange (see [[extract]]) so the tokenizer output is
-    * shuffled exactly once and shared by every consumer.
+  /** Classification over a blocks frame with sentinel/boiler rows still
+    * present (oracle path).
     */
   private[graft] def classifiedFrom(parted: DataFrame): DataFrame = {
     val sentinelFlag = (col("flags").bitwiseAND(lit(Model.FLAG_SENTINEL))) =!= 0
@@ -88,10 +87,7 @@ object Extract {
     classifyCandidates(parted.filter(!sentinelFlag && !boiler))
   }
 
-  /** Classification over candidate rows only (caller has already dropped
-    * sentinel/boiler rows — [[extract]] does so with a pushdown-opaque
-    * filter to keep its exchange reusable).
-    */
+  /** Classification over candidate rows only. */
   private[graft] def classifyCandidates(cand: DataFrame): DataFrame = {
     val isHtml = col("kind") === Charset.KIND_HTML
     val isPdf = col("kind") === Charset.KIND_PDF
@@ -225,6 +221,20 @@ object Extract {
       .select("url", "atext", "aspans", "keptRows")
   }
 
+  /** Tokenizer output as a DataFrame — either the typed flatMap or the
+    * native Generator ([[graft.functions.ExtractBlocks]]); both are
+    * row-identical (equivalence-tested). The Generator path skips Page
+    * materialization and the output encoder; selectable for benchmarking
+    * via -Dgraft.extract.generator=true.
+    */
+  private def blockFrame(pages: Dataset[Page]): DataFrame = {
+    import pages.sparkSession.implicits._
+    if (sys.props.get("graft.extract.generator").contains("true"))
+      pages.toDF.select(col("url"), col("warc_ts"), col("lang"),
+        graft.functions.ExtractBlocks.expr(col("html")))
+    else pages.flatMap(toRows).toDF
+  }
+
   /** Full pipeline: Dataset[Page] → Dataset[ExtractedDoc]. */
   def extract(pages: Dataset[Page]): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession
@@ -247,7 +257,7 @@ object Extract {
     // The windows/aggs below all derive from one url-hash partitioning, so
     // within each branch there is exactly one shuffle and the final join is
     // co-partitioned.
-    val parted = pages.flatMap(toRows).toDF.repartition(col("url"))
+    val parted = blockFrame(pages).repartition(col("url"))
 
     val sentinelFlag = (col("flags").bitwiseAND(lit(Model.FLAG_SENTINEL))) =!= 0
     val sentinels = parted

@@ -133,4 +133,23 @@ class CatalystSurfaceSpec extends AnyFunSuite {
     assert(viaAgg == Seq(("a", "alpha beta gamma"), ("b", "one two")))
     assert(viaAgg == viaBuiltin)
   }
+
+  test("generator-path extract is byte-identical to the flatMap-path extract") {
+    def run(): Seq[String] =
+      Extract.extract(Corpus.pages(spark, 200))
+        .collect().map(_.toString).sorted.toSeq
+    val viaFlatMap = run()
+    sys.props("graft.extract.generator") = "true"
+    try {
+      val viaGen = run()
+      assert(viaGen == viaFlatMap)
+    } finally sys.props.remove("graft.extract.generator")
+  }
+
+  test("driver contract: entry yields rows; every oracle key has a query") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
+  }
 }
