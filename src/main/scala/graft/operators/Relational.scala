@@ -301,6 +301,38 @@ object Relational {
       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
       |ORDER BY user_id""".stripMargin
 
+  // ---- correlated scalar subquery (Catalyst decorrelation) ---------------
+
+  def qSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "orders").createOrReplaceTempView("v_orders")
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("v_lineitem")
+    spark.sql(
+      """SELECT o_orderkey,
+        |       (SELECT count(*) FROM v_lineitem WHERE l_orderkey = o_orderkey) AS n_items
+        |FROM v_orders ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val qSubquerySql: String =
+    """SELECT o_orderkey,
+      |       (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---- union (O3 relational surface) -------------------------------------
+
+  def qUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = t(spark, sfDir, "documents")
+    d.filter(col("lang") === "en").select(col("doc_id"), lit("en_doc").as("tag"))
+      .unionByName(
+        d.filter(col("n_chars") > 400).select(col("doc_id"), lit("long_doc").as("tag")))
+      .orderBy("doc_id", "tag")
+  }
+
+  val qUnionSql: String =
+    """SELECT doc_id, 'en_doc' AS tag FROM documents WHERE lang = 'en'
+      |UNION ALL
+      |SELECT doc_id, 'long_doc' AS tag FROM documents WHERE n_chars > 400
+      |ORDER BY doc_id, tag""".stripMargin
+
   // ---- exact median over integral doubles --------------------------------
 
   def qMedian(spark: SparkSession, sfDir: String): DataFrame =
@@ -345,6 +377,8 @@ object Relational {
     "q_range_join" -> (qRangeJoin _),
     "q_asof" -> (qAsof _),
     "q_median" -> (qMedian _),
+    "q_subquery" -> (qSubquery _),
+    "q_union" -> (qUnion _),
     "q_approx" -> (qApprox _)
   )
 
@@ -366,7 +400,9 @@ object Relational {
     "q_distinct" -> qDistinctSql,
     "q_range_join" -> qRangeJoinSql,
     "q_asof" -> qAsofSql,
-    "q_median" -> qMedianSql
+    "q_median" -> qMedianSql,
+    "q_subquery" -> qSubquerySql,
+    "q_union" -> qUnionSql
     // q_approx: HLL++/KLL sketches are engine-specific — rows-only check
   )
 }
