@@ -156,17 +156,93 @@ object Similarity {
        |  FROM qn a JOIN qn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |WHERE dot > 0 AND cos2_e4 >= 900 ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---- IVF (inverted-file) ANN -------------------------------------------
+
+  private val N_CENT = 8   // deterministic centroids: vec_id < 8
+  private val N_PROBE = 2  // probe the 2 nearest centroid lists
+  private val IVF_K = 3    // neighbors returned per query
+
+  /** IVF ANN: vectors are assigned to their nearest centroid (deterministic
+    * "codebook" = the first 8 vectors — no trained model, so both engines
+    * agree exactly); a query probes only its top-2 centroid lists. At scale
+    * the assignment is a one-off pass and the candidate join touches
+    * |probes|/|centroids| of the corpus instead of all of it.
+    */
+  def ivf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = quantized(spark, sfDir)
+    val cent = e.filter(col("vec_id") < N_CENT)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    // nearest-centroid assignment (rank by dot desc, cid asc)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
+    val assign = e.crossJoin(broadcast(cent))
+      .withColumn("cdot", Toks.dotQ(col("q"), col("cq")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cid"), col("q"))
+    // queries probe their top-N_PROBE centroids
+    val wProbe = Window.partitionBy("qid").orderBy(col("cdot").desc, col("cid").asc)
+    val probes = e.filter(col("vec_id") >= N_CENT && col("vec_id") < N_CENT + 8)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cdot", Toks.dotQ(col("qq"), col("cq")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= N_PROBE)
+      .select("qid", "qq", "cid")
+    // candidates = vectors in the probed lists
+    val wTop = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id").asc)
+    probes.join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", Toks.dotQ(col("qq"), col("q")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= IVF_K)
+      .select("qid", "rank", "vec_id", "dot")
+      .orderBy("qid", "rank")
+  }
+
+  val ivfSql: String =
+    s"""WITH $SQL_QUANTIZED,
+       |cent AS (SELECT vec_id cid, q cq FROM qn WHERE vec_id < $N_CENT),
+       |assign AS (
+       |  SELECT vec_id, cid, q FROM (
+       |    SELECT e.vec_id, cent.cid, e.q,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY CAST(list_dot_product(e.q, cent.cq) AS BIGINT) DESC,
+       |                                       cent.cid ASC) arn
+       |    FROM qn e CROSS JOIN cent)
+       |  WHERE arn = 1),
+       |probes AS (
+       |  SELECT qid, qq, cid FROM (
+       |    SELECT e.vec_id qid, e.q qq, cent.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY CAST(list_dot_product(e.q, cent.cq) AS BIGINT) DESC,
+       |                                       cent.cid ASC) prn
+       |    FROM qn e CROSS JOIN cent
+       |    WHERE e.vec_id >= $N_CENT AND e.vec_id < ${N_CENT + 8})
+       |  WHERE prn <= $N_PROBE)
+       |SELECT qid, rank, vec_id, dot FROM (
+       |  SELECT p.qid, a.vec_id,
+       |         CAST(list_dot_product(p.qq, a.q) AS BIGINT) dot,
+       |         row_number() OVER (PARTITION BY p.qid
+       |                            ORDER BY CAST(list_dot_product(p.qq, a.q) AS BIGINT) DESC,
+       |                                     a.vec_id ASC) rank
+       |  FROM probes p JOIN assign a ON p.cid = a.cid
+       |  WHERE a.vec_id <> p.qid)
+       |WHERE rank <= $IVF_K ORDER BY qid, rank""".stripMargin
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn" -> (knn _),
     "sim_lsh_nn" -> (lshNn _),
+    "sim_ivf" -> (ivf _),
     "dd_embed_cos" -> (embedCos _)
   )
 
   def oracles: Map[String, String] = Map(
     "sim_knn" -> knnSql,
     "sim_lsh_nn" -> lshNnSql,
+    "sim_ivf" -> ivfSql,
     "dd_embed_cos" -> embedCosSql
   )
 }
