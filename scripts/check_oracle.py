@@ -22,16 +22,29 @@ for name, sql in sorted(oracle.items()):
     if not os.path.isdir(spark_dir):
         print(f"MISSING  {name}: no Spark output dir"); fail += 1; continue
     try:
-        exp = con.execute(sql).fetchdf()
+        exp_rel = con.execute(sql)
+        exp_arrow = exp_rel.arrow()
+        exp = exp_arrow.to_pandas()
     except Exception as e:
         print(f"ORAFAIL  {name}: {str(e)[:160]}"); fail += 1; continue
-    got = con.execute(
-        f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchdf()
+    got_arrow = con.execute(
+        f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").arrow()
+    got = got_arrow.to_pandas()
     # driver semantics: sort columns by name, then compare values
     exp = exp[sorted(exp.columns)]
     got = got[sorted(got.columns)]
     if list(exp.columns) != list(got.columns):
         print(f"COLS     {name}: oracle={list(exp.columns)} spark={list(got.columns)}")
+        fail += 1; continue
+    # the driver hashes TYPED results: an arrow type mismatch (e.g. DuckDB
+    # sum(BIGINT) -> decimal128(38,0) vs Spark int64) fails its gate even
+    # when values are equal — compare arrow schemas, not pandas coercions
+    tbad = [(c, str(exp_arrow.schema.field(c).type), str(got_arrow.schema.field(c).type))
+            for c in exp.columns
+            if exp_arrow.schema.field(c).type != got_arrow.schema.field(c).type]
+    if tbad:
+        c, te, tg = tbad[0]
+        print(f"TYPE     {name}: col={c} oracle={te} spark={tg}")
         fail += 1; continue
     if exp.shape != got.shape:
         print(f"SHAPE    {name}: oracle={exp.shape} spark={got.shape}")

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   *   - MinHash/LSH bounds candidate generation further (band buckets), the
   *     standard trick when even the inverted index is too hot;
   *   - all group keys are high-cardinality (shingle, band sig) — skew-safe;
-  *     hot shingles (stopword runs) can be salted or frequency-capped, and
-  *     AQE skew-join handles the residue.
+  *     hot shingles (stopword runs) ARE frequency-capped ([[DF_CAP]]): df via
+  *     partial-combine groupBy, hot list broadcast, left_anti before the
+  *     self-join — no single-key quadratic blowup; AQE skew-join handles the
+  *     residue below the cap.
   */
 object Dedup {
 
@@ -51,6 +53,30 @@ object Dedup {
        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
        |  SELECT doc_id, unnest(${Toks.SQL_SHINGLES}) AS shingle FROM toks))""".stripMargin
 
+  /** Document-frequency cap on hot shingles — the 100 TB guardrail for the
+    * inverted-index self-join: a boilerplate shingle with df=k ("click here
+    * to read more" runs) emits k² candidate pairs, a single-key quadratic
+    * blowup. Shingles with df > DF_CAP carry no near-dup signal (they match
+    * everything) and are dropped BEFORE the join.
+    *
+    * Plan shape: df via groupBy (map-side partial combine — the hot key is
+    * counted locally, never gathered), then the (tiny) hot-shingle list is
+    * broadcast for a left_anti join — the big postings table never shuffles
+    * on the hot key at all. The hot list is bounded by |postings| / DF_CAP.
+    */
+  val DF_CAP = 128
+
+  private def cappedIndex(sh: DataFrame): DataFrame = {
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DF_CAP)
+      .select("shingle")
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  private val SQL_CAPPED =
+    s"""hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > $DF_CAP),
+       |shc AS (SELECT sh.* FROM sh ANTI JOIN hot USING (shingle))""".stripMargin
+
   // ---- exact dedup -------------------------------------------------------
 
   def exact(spark: SparkSession, sfDir: String): DataFrame =
@@ -66,8 +92,15 @@ object Dedup {
 
   // ---- n-gram Jaccard ----------------------------------------------------
 
+  /** Jaccard over the df-capped shingle sets: both |A∩B| and |A|,|B| are
+    * computed from the SAME capped index, so the score is the exact Jaccard
+    * of the capped sets (a well-defined, reproducible semantics — the cap is
+    * part of the algorithm, not an approximation knob applied inconsistently).
+    * `jacc_pct` uses Spark integral `div` == DuckDB `//` (never `/`+cast:
+    * double division can round across an integer boundary).
+    */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleIndex(docsWithDups(spark, sfDir))
+    val sh = cappedIndex(shingleIndex(docsWithDups(spark, sfDir)))
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -77,10 +110,9 @@ object Dedup {
     inter
       .join(n.as("na"), col("doc_a") === col("na.doc_id"))
       .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .select(
-        col("doc_a"), col("doc_b"), col("inter"),
-        ((lit(100) * col("inter")) / (col("na.n") + col("nb.n") - col("inter")))
-          .cast("long").as("jacc_pct")
+      .selectExpr(
+        "doc_a", "doc_b", "inter",
+        "(100 * inter) div (na.n + nb.n - inter) AS jacc_pct"
       )
       .filter(col("jacc_pct") >= 5)
       .orderBy("doc_a", "doc_b")
@@ -89,9 +121,10 @@ object Dedup {
   val ngramJaccardSql: String =
     s"""$SQL_DOCS_WITH_DUPS,
        |$SQL_SHINGLES,
-       |n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |$SQL_CAPPED,
+       |n AS (SELECT doc_id, count(*) n FROM shc GROUP BY 1),
        |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
-       |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |      GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter,
        |       (100 * inter) // (na.n + nb.n - inter) AS jacc_pct
@@ -105,7 +138,10 @@ object Dedup {
   private val R = 3  // rows per band -> 4 bands
 
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleIndex(docsWithDups(spark, sfDir))
+    // signatures over the df-capped shingle sets (same cap as ngramJaccard):
+    // near-universal shingles add no discriminating signal to a min-hash and
+    // their postings are the skew hazard at corpus scale
+    val sh = cappedIndex(shingleIndex(docsWithDups(spark, sfDir)))
     val minh = sh
       .withColumn("j", explode(sequence(lit(0), lit(K - 1))))
       .withColumn("h", md5(concat_ws(":", col("j"), col("shingle"))))
@@ -141,8 +177,9 @@ object Dedup {
     }.mkString("\n  UNION ALL ")
     s"""$SQL_DOCS_WITH_DUPS,
        |$SQL_SHINGLES,
+       |$SQL_CAPPED,
        |mh AS (SELECT doc_id, j, min(md5(concat_ws(':', j, shingle))) h
-       |       FROM sh, generate_series(0, ${K - 1}) g(j) GROUP BY doc_id, j),
+       |       FROM shc, generate_series(0, ${K - 1}) g(j) GROUP BY doc_id, j),
        |sig AS (SELECT doc_id, $minCases FROM mh GROUP BY doc_id),
        |bands AS (
        |  $bandRows
@@ -170,7 +207,8 @@ object Dedup {
       .agg(sum(col("sgn")).as("s"))
       .groupBy("doc_id")
       .agg(
-        sum(when(col("s") >= 0, pow(lit(2.0), col("k")).cast("long")).otherwise(0L))
+        // shiftleft: pure 64-bit integer bit math (repo exactness rule)
+        sum(when(col("s") >= 0, expr("shiftleft(CAST(1 AS BIGINT), k)")).otherwise(0L))
           .as("simhash16")
       )
       .orderBy("doc_id")
@@ -185,7 +223,8 @@ object Dedup {
        |                        THEN 1 ELSE -1 END) s
        |  FROM sh, generate_series(0, ${SIM_BITS - 1}) g(k) GROUP BY doc_id, k)
        |SELECT doc_id,
-       |       sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS simhash16
+       |       CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)
+       |            AS BIGINT) AS simhash16
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---- contract surface --------------------------------------------------

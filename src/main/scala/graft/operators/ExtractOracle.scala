@@ -138,7 +138,7 @@ object ExtractOracle {
 
   val exStatsSql: String =
     s"""SELECT contentKind, lang, count(*) n,
-       |       coalesce(sum(length(text)), 0) chars,
+       |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) chars,
        |       CAST(coalesce(sum(nDropped), 0) AS BIGINT) dropped
        |FROM $D GROUP BY ROLLUP(contentKind, lang)
        |ORDER BY contentKind ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
@@ -217,8 +217,11 @@ object ExtractOracle {
     * side never shuffles.
     */
   def exHostJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // parse_url is the named built-in (SURVEY.md §2.8); the DuckDB side uses
+    // an equivalent regex (DuckDB has no URL parser). All corpus urls carry an
+    // explicit scheme, where the two agree.
     val docs = OracleCorpus.docs(spark)
-      .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
     val stats = docs.groupBy("host")
       .agg(count(lit(1)).as("host_docs"),
         sum(length(col("text"))).as("host_chars"))

@@ -8,8 +8,14 @@ import org.apache.spark.sql.expressions.Window
   * §2.4 J6, §2.5 A5–A7, §2.6 W6, §2.7 O2–O4, §2.8 scalars).
   *
   * Oracle-exactness rules used throughout (see FIXTURES.md §3):
-  *   - money math goes through DECIMAL casts before aggregation (exact,
-  *     order-independent — double sums would drift between engines);
+  *   - money math goes double -> DECIMAL(12,2) -> BIGINT cents BEFORE
+  *     aggregation (exact and order-independent; double sums would drift
+  *     between engines) and every aggregate RESULT column is BIGINT on both
+  *     sides: the driver hashes typed results, and DuckDB widens decimal /
+  *     sum outputs (sum(BIGINT) -> HUGEINT, DECIMAL -> decimal128) away from
+  *     Spark's int64 — value-equal, hash-different (CORRECTNESS_r01 lesson);
+  *   - DuckDB window/rollup sums and row_number get explicit BIGINT casts
+  *     (DuckDB row_number is int64; Spark's is int32 -> cast Spark to long);
   *   - integer division uses Spark `div` / DuckDB `//` (never `/`+cast);
   *   - every ORDER BY key set is total, with NULLS FIRST made explicit on
   *     the DuckDB side (its default is NULLS LAST; Spark's is NULLS FIRST);
@@ -21,30 +27,36 @@ object Relational {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  // ---- aggregation (TPC-H Q1 shape, decimal-exact) -----------------------
+  // ---- aggregation (TPC-H Q1 shape, integer-cents exact) -----------------
+  //
+  // Money math: double -> DECIMAL(12,2) (both engines round half-away-from-
+  // zero on positive values) -> *100 -> BIGINT cents, then all aggregation is
+  // exact 64-bit integer arithmetic. DECIMAL *output* columns are avoided
+  // entirely: the driver hashes typed results and DuckDB widens decimal
+  // sums/outputs differently than Spark (CORRECTNESS_r01 lesson).
 
   def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
-      .withColumn("qty", col("l_quantity").cast("decimal(12,2)"))
-      .withColumn("price", col("l_extendedprice").cast("decimal(12,2)"))
-      .withColumn("disc", col("l_discount").cast("decimal(12,2)"))
+      .withColumn("qty_c", (col("l_quantity").cast("decimal(12,2)") * 100).cast("long"))
+      .withColumn("price_c", (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+      .withColumn("disc_c", (col("l_discount").cast("decimal(12,2)") * 100).cast("long"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("qty")).cast("decimal(28,2)").as("sum_qty"),
-        sum(col("price")).cast("decimal(28,2)").as("sum_base"),
-        sum(col("price") * (lit(1).cast("decimal(12,2)") - col("disc")))
-          .cast("decimal(30,4)").as("sum_disc_price"),
+        sum(col("qty_c")).as("sum_qty_c"),
+        sum(col("price_c")).as("sum_base_c"),
+        // cents * (100 - disc_cents): exact integer, unit = 1e-4 currency
+        sum(col("price_c") * (lit(100L) - col("disc_c"))).as("sum_disc_price_e4"),
         count(lit(1)).as("n")
       )
       .orderBy("l_returnflag", "l_linestatus")
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) sum_qty,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) sum_base,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-      |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
-      |            AS DECIMAL(30,4)) sum_disc_price,
+      |       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) sum_qty_c,
+      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) sum_base_c,
+      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |                * (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)))
+      |            AS BIGINT) sum_disc_price_e4,
       |       count(*) n
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -57,24 +69,25 @@ object Relational {
       .filter(col("o.o_orderstatus") === "O")
       .groupBy(col("l.l_orderkey").as("l_orderkey"))
       .agg(
-        sum(col("l.l_extendedprice").cast("decimal(12,2)")
-          * (lit(1).cast("decimal(12,2)") - col("l.l_discount").cast("decimal(12,2)")))
-          .cast("decimal(30,4)").as("revenue"),
+        // exact BIGINT, unit = 1e-4 currency (cents * (100 - disc_cents))
+        sum((col("l.l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+          * (lit(100L) - (col("l.l_discount").cast("decimal(12,2)") * 100).cast("long")))
+          .as("revenue_e4"),
         count(lit(1)).as("n_items")
       )
-      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .orderBy(col("revenue_e4").desc, col("l_orderkey").asc)
       .limit(10)
 
   val q3JoinSql: String =
     """SELECT l_orderkey,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-      |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
-      |            AS DECIMAL(30,4)) revenue,
+      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |                * (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)))
+      |            AS BIGINT) revenue_e4,
       |       count(*) n_items
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |              JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE o_orderstatus = 'O'
-      |GROUP BY 1 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+      |GROUP BY 1 ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 10""".stripMargin
 
   // ---- semi / anti / outer joins -----------------------------------------
 
@@ -126,7 +139,7 @@ object Relational {
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
 
   val qRollupSql: String =
-    """SELECT lang, source, count(*) n, sum(n_chars) chars
+    """SELECT lang, source, count(*) n, CAST(sum(n_chars) AS BIGINT) chars
       |FROM documents GROUP BY ROLLUP(lang, source)
       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
 
@@ -137,8 +150,11 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type").asc_nulls_first, col("e_day").asc_nulls_first)
 
+  // DuckDB date_trunc('day'/'month', x) returns DATE (arrow date32) while
+  // Spark's returns TIMESTAMP — cast the oracle side back to TIMESTAMP so
+  // the arrow types agree (Spark side emits timestamp_ntz under UTC session)
   val qCubeSql: String =
-    """SELECT event_type, date_trunc('day', ts) e_day, count(*) n
+    """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) e_day, count(*) n
       |FROM events GROUP BY CUBE(event_type, date_trunc('day', ts))
       |ORDER BY event_type ASC NULLS FIRST, e_day ASC NULLS FIRST""".stripMargin
 
@@ -150,7 +166,8 @@ object Relational {
       .withColumn("v100", round(col("value") * 100).cast("long"))
       .select(
         col("user_id"), col("event_id"),
-        row_number().over(w).as("rn"),
+        // BIGINT on both sides: DuckDB row_number() is int64, Spark's is int32
+        row_number().over(w).cast("long").as("rn"),
         lag(col("event_type"), 1).over(w).as("prev_type"),
         sum(col("v100")).over(w.rowsBetween(-3, 0)).as("mv_sum")
       )
@@ -161,8 +178,8 @@ object Relational {
     """SELECT user_id, event_id,
       |       row_number() OVER w rn,
       |       lag(event_type, 1) OVER w prev_type,
-      |       sum(CAST(round(value * 100) AS BIGINT))
-      |         OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) mv_sum
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT))
+      |              OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) mv_sum
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, rn""".stripMargin
@@ -181,6 +198,38 @@ object Relational {
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) k
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** MapType scalar coverage (SURVEY.md §2.8 map family): build a map with
+    * `map_from_entries`, read it back with `element_at` / `map_keys`. DuckDB
+    * map extraction returns a one-element LIST, hence the trailing `[1]`.
+    */
+  def qMap(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(
+        col("p_partkey"),
+        map_from_entries(array(
+          struct(lit("brand").as("k"), col("p_brand").as("v")),
+          struct(lit("type").as("k"), col("p_type").as("v"))
+        )).as("m")
+      )
+      .select(
+        col("p_partkey"),
+        element_at(col("m"), "brand").as("brand"),
+        element_at(col("m"), "type").as("ptype"),
+        element_at(col("m"), "missing").as("novalue"),
+        size(map_keys(col("m"))).cast("long").as("nkeys")
+      )
+      .orderBy("p_partkey")
+
+  val qMapSql: String =
+    """WITH wm AS (
+      |  SELECT p_partkey, map(['brand','type'], [p_brand, p_type]) m FROM part)
+      |SELECT p_partkey,
+      |       m['brand'][1] brand,
+      |       m['type'][1] ptype,
+      |       m['missing'][1] novalue,
+      |       CAST(cardinality(m) AS BIGINT) nkeys
+      |FROM wm ORDER BY p_partkey""".stripMargin
+
   def qDates(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
       .groupBy(date_trunc("MONTH", col("o_orderdate")).cast("timestamp_ntz").as("o_month"))
@@ -188,7 +237,7 @@ object Relational {
       .orderBy("o_month")
 
   val qDatesSql: String =
-    """SELECT date_trunc('month', o_orderdate) o_month, count(*) n,
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) o_month, count(*) n,
       |       min(o_orderkey) min_key
       |FROM orders GROUP BY 1 ORDER BY o_month""".stripMargin
 
@@ -223,14 +272,15 @@ object Relational {
     t(spark, sfDir, "lineitem")
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice").cast("decimal(12,2)").as("price")
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("price_c")
       )
-      .orderBy(col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .orderBy(col("price_c").desc, col("l_orderkey").asc, col("l_linenumber").asc)
       .limit(20)
 
   val qTopkSql: String =
-    """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(12,2)) price
-      |FROM lineitem ORDER BY price DESC, l_orderkey ASC, l_linenumber ASC
+    """SELECT l_orderkey, l_linenumber,
+      |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) price_c
+      |FROM lineitem ORDER BY price_c DESC, l_orderkey ASC, l_linenumber ASC
       |LIMIT 20""".stripMargin
 
   def qExcept(spark: SparkSession, sfDir: String): DataFrame =
@@ -368,6 +418,7 @@ object Relational {
     "q_cube" -> (qCube _),
     "q_window" -> (qWindow _),
     "q_json" -> (qJson _),
+    "q_map" -> (qMap _),
     "q_dates" -> (qDates _),
     "q_scalar_str" -> (qScalarStr _),
     "q_topk" -> (qTopk _),
@@ -392,6 +443,7 @@ object Relational {
     "q_cube" -> qCubeSql,
     "q_window" -> qWindowSql,
     "q_json" -> qJsonSql,
+    "q_map" -> qMapSql,
     "q_dates" -> qDatesSql,
     "q_scalar_str" -> qScalarStrSql,
     "q_topk" -> qTopkSql,

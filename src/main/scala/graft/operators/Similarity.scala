@@ -67,7 +67,7 @@ object Similarity {
       .select(col("qid"), col("vec_id"), Toks.dotQ(col("qq"), col("q")).as("dot"))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id").asc)
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TOP_K)
       .select("qid", "rank", "vec_id", "dot")
       .orderBy("qid", "rank")
@@ -194,7 +194,7 @@ object Similarity {
     probes.join(assign, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("dot", Toks.dotQ(col("qq"), col("q")))
-      .withColumn("rank", row_number().over(wTop))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= IVF_K)
       .select("qid", "rank", "vec_id", "dot")
       .orderBy("qid", "rank")
