@@ -23,30 +23,55 @@ object StreamingOps {
     */
   private val CUTOFF = "2024-01-29 00:00:00"
 
+  /** Checkpoints live on tmpfs (same volume as the batch shuffle dirs —
+    * BASELINE.md): the state store + WAL fsync on every microbatch, and disk
+    * /tmp was measured as the dominant cost of the session-window bench
+    * (11.2 s -> ~3 s). A real cluster puts checkpoints on fast shared
+    * storage; tmpfs is the local-mode stand-in.
+    */
   private def ckpt(name: String): String = {
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-ckpt-$name-${System.nanoTime()}")
-    dir.getAbsolutePath
+    val base = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+    base.mkdirs()
+    new java.io.File(base, s"graft-ckpt-$name-${System.nanoTime()}").getAbsolutePath
+  }
+
+  /** Session tuned for stateful streaming: AQE is auto-disabled there, so
+    * nothing coalesces the 4x-cores batch shuffle width — 128 state-store
+    * tasks over tiny state cost more in task/store overhead than the work.
+    * A cloned session (shared SparkContext, own conf) pins
+    * shuffle.partitions = cores for the streaming queries only.
+    */
+  private def streamingSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      spark.sparkContext.defaultParallelism.toString)
+    ss
   }
 
   /** Stage the events parquet into a directory (the file stream source
     * requires a directory basePath) and stream it with an instant-typed
     * event-time column (watermarks reject TIMESTAMP_NTZ; the cast is
-    * wall-clock-preserving under the UTC session).
+    * wall-clock-preserving under the UTC session). The staged path is keyed
+    * by source (mtime, size) so a regenerated events.parquet at the same
+    * path is re-staged, never served stale.
     */
   private def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val size = java.nio.file.Files.size(src)
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
-      s"graft-stream-events-${Integer.toHexString(sfDir.hashCode)}")
+      s"graft-stream-events-${Integer.toHexString(sfDir.hashCode)}-$mtime-$size")
     val dst = dir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(dst)) {
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.copy(src, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    val schema = spark.read.parquet(dir.toString).schema
-    spark.readStream.schema(schema).parquet(dir.toString)
+    val ss = streamingSession(spark)
+    val schema = ss.read.parquet(dir.toString).schema
+    ss.readStream.schema(schema).parquet(dir.toString)
       .withColumn("ts", col("ts").cast("timestamp"))
   }
 
@@ -82,6 +107,36 @@ object StreamingOps {
        |FROM events GROUP BY 1, 2
        |HAVING date_trunc('hour', ts) < TIMESTAMP '$CUTOFF'
        |ORDER BY wstart, event_type""".stripMargin
+
+  // ---- ST3 (second half): sliding windows --------------------------------
+
+  /** Sliding 1-hour windows every 15 minutes: each event lands in exactly 4
+    * windows. The oracle reconstructs them as the 15-minute bucket shifted
+    * back 0..3 slides (both engines align buckets to multiples of 15 min, so
+    * the buckets agree). Only complete windows (end below the cutoff) are
+    * compared — append mode emits a window once the watermark passes its end.
+    */
+  def stSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = streamEvents(spark, sfDir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .count()
+    runToTable(agg, s"st_sliding_${System.nanoTime()}", "append")
+      .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+        col("window.end").cast("timestamp_ntz").as("wend"),
+        col("event_type"), col("count").as("n"))
+      .filter(col("wend") < expr(s"timestamp_ntz'$CUTOFF'"))
+      .orderBy("wstart", "event_type")
+  }
+
+  val stSlidingSql: String =
+    s"""SELECT wstart, wstart + INTERVAL 1 HOUR wend, event_type, count(*) n
+       |FROM (SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+       |               - g.i * INTERVAL 15 MINUTE AS wstart,
+       |             event_type
+       |      FROM events, generate_series(0, 3) g(i))
+       |WHERE wstart + INTERVAL 1 HOUR < TIMESTAMP '$CUTOFF'
+       |GROUP BY 1, 3 ORDER BY wstart, event_type""".stripMargin
 
   // ---- ST4: session windows ----------------------------------------------
 
@@ -123,10 +178,18 @@ object StreamingOps {
 
   // ---- ST5: stateful streaming dedup -------------------------------------
 
+  /** `dropDuplicatesWithinWatermark`, not plain `dropDuplicates`: the latter
+    * keys state forever (unbounded on a real stream); the watermark-scoped
+    * variant expires per-key state once the event time horizon passes, which
+    * is the only shape that survives an unbounded crawl stream. On this
+    * bounded input (one file = one microbatch) the output equals DISTINCT.
+    */
   def stDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val dd = streamEvents(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
-      .dropDuplicates("user_id", "event_type")
     runToTable(dd, s"st_dedup_${System.nanoTime()}", "append")
       .orderBy("user_id", "event_type")
   }
@@ -139,12 +202,14 @@ object StreamingOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_hourly" -> (stHourly _),
+    "st_sliding" -> (stSliding _),
     "st_session" -> (stSession _),
     "st_dedup" -> (stDedup _)
   )
 
   def oracles: Map[String, String] = Map(
     "st_hourly" -> stHourlySql,
+    "st_sliding" -> stSlidingSql,
     "st_session" -> stSessionSql,
     "st_dedup" -> stDedupSql
   )
