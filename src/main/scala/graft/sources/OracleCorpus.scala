@@ -24,13 +24,40 @@ object OracleCorpus {
 
   @volatile private var done = false
 
+  /** Fingerprint of everything the materialization depends on: N_PAGES plus
+    * the newest class-file mtime under the graft package — any recompile of
+    * the generator/extractor invalidates the marker, so the oracle queries
+    * can never validate against a stale materialization (the 1.5k-page
+    * regeneration costs seconds).
+    */
+  def codeStamp(): String = {
+    val codeDir = try {
+      val loc = classOf[graft.BlockRow].getProtectionDomain.getCodeSource.getLocation
+      val f = new java.io.File(java.nio.file.Paths.get(loc.toURI).toString, "graft")
+      if (f.isDirectory) {
+        var m = 0L
+        java.nio.file.Files.walk(f.toPath).forEach { p =>
+          val t = p.toFile.lastModified(); if (t > m) m = t
+        }
+        m.toString
+      } else new java.io.File(java.nio.file.Paths.get(loc.toURI).toString).lastModified.toString
+    } catch { case _: Throwable => "nocode" }
+    codeDir
+  }
+
+  private def stamp(): String = s"$N_PAGES:${codeStamp()}"
+
   /** Idempotent: synthesize pages, tokenize to a blocks table, run the full
-    * extraction to a docs table. Marker-file-gated across JVMs.
+    * extraction to a docs table. Marker-file-gated across JVMs; regenerated
+    * whenever the fingerprint (page count / code mtime) changes.
     */
   def ensure(spark: SparkSession): Unit = synchronized {
     if (done) return
     val marker = new java.io.File(s"$DIR/_READY")
-    if (!marker.exists()) {
+    val s = stamp()
+    val fresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == s
+    if (!fresh) {
       import spark.implicits._
       val pages = Corpus.pages(spark, N_PAGES).cache()
       pages.flatMap(Extract.toRows).toDF()
@@ -39,7 +66,7 @@ object OracleCorpus {
         .write.mode("overwrite").parquet(DOCS)
       pages.unpersist()
       marker.getParentFile.mkdirs()
-      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+      java.nio.file.Files.write(marker.toPath, s.getBytes)
     }
     done = true
   }
