@@ -30,7 +30,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "320000").toLong
+    // >=1.28M pages: the ~4 s/pass fixed overhead (scheduling + first-stage
+    // JIT tails) must be amortized against >=3.5 s of steady-state work or
+    // the reported docs/s understates the engine several-fold (round-1
+    // driver bench read 64.7k docs/s on a 320k corpus vs 377k steady-state)
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1280000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString) // 4x cores; AQE coalesces small stages
@@ -79,7 +83,8 @@ object Bench {
         results(name) =
           try {
             time { fn(spark, sfDir).count() } // warm-up run (discarded)
-            time { fn(spark, sfDir).count() }
+            // median of 3: single timed runs swing 2-4x under host/JIT noise
+            (1 to 3).map(_ => time { fn(spark, sfDir).count() }).sorted.apply(1)
           } catch { case _: Throwable => -1.0 }
       }
     }

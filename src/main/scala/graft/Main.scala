@@ -112,6 +112,29 @@ object Main {
           val med = times.sorted.apply(reps / 2)
           println(f"SCALE cpus=$cpus docs=$nDocs median=$med%.2f s throughput=${nDocs / med}%.0f docs/s")
           return
+        case "mat-bench" =>
+          // head-to-head of the tokenizer-sharing strategies (BENCH.md):
+          // branch (2x tokenize) vs cache vs localCheckpoint (1x tokenize +
+          // full-width materialization)
+          import spark.implicits._
+          val pages = spark.read.schema(Model.PAGES).parquet(args(1)).as[Page]
+          val reps = if (args.length > 2) args(2).toInt else 3
+          Extract.extract(pages).count() // JIT warm-up shared by all modes
+          Extract.extract(pages).count()
+          Seq("none", "cache", "checkpoint").foreach { mode =>
+            val times = (1 to reps).map { _ =>
+              spark.catalog.clearCache()
+              val t0 = System.nanoTime()
+              val n = Extract.extract(pages, mode).count()
+              val dt = (System.nanoTime() - t0) / 1e9
+              (dt, n)
+            }
+            spark.catalog.clearCache()
+            val med = times.map(_._1).sorted.apply(reps / 2)
+            val n = times.head._2
+            println(f"MAT mode=$mode%-10s median=$med%6.2f s  throughput=${n / med}%.0f docs/s  ($n docs x $reps reps)")
+          }
+          return
         case "run" =>
           val maxB = if (args.length > 4) args(4).toInt else Int.MaxValue
           val runId = s"run-${System.currentTimeMillis()}"
@@ -129,7 +152,12 @@ object Main {
           (Corpus.pages(spark, n, seed), args(2))
         case "extract-dir" =>
           import spark.implicits._
-          (spark.read.schema(Model.PAGES).parquet(args(1)).as[Page], args(2))
+          // F3: external tables may carry null/empty payloads or out-of-scope
+          // langs (SPARK_GRAFT_LANGS=en,de,...); the predicate pushes to the scan
+          val langs = sys.env.get("SPARK_GRAFT_LANGS")
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+          (spark.read.schema(Model.PAGES).parquet(args(1))
+            .filter(Extract.processable(langs)).as[Page], args(2))
         case other =>
           System.err.println(s"unknown command: $other"); sys.exit(2); null
       }

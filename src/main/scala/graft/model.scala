@@ -49,8 +49,9 @@ case class BlockRow(
 )
 
 /** A contiguous region of the final assembled text attributable to one
-  * source block (HTML) or one merged line (PDF). Offsets are Java String
-  * (UTF-16) indices into `ExtractedDoc.text`.
+  * source block (HTML) or one merged line (PDF). Offsets are Unicode
+  * codepoint counts into `ExtractedDoc.text` (what both the scalar oracle
+  * and Spark's `length()` count) — NOT UTF-16 code units.
   */
 case class Span(lineId: Int, start: Int, end: Int, sourceSeq: Int)
 

@@ -42,7 +42,7 @@ object Dedup {
       |)""".stripMargin
 
   /** Distinct (doc_id, shingle) pairs — the inverted-index input. */
-  private def shingleIndex(docs: DataFrame): DataFrame =
+  private[graft] def shingleIndex(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), Toks.tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(Toks.shingles3(col("t"))).as("shingle"))
@@ -59,23 +59,28 @@ object Dedup {
     * blowup. Shingles with df > DF_CAP carry no near-dup signal (they match
     * everything) and are dropped BEFORE the join.
     *
-    * Plan shape: df via groupBy (map-side partial combine — the hot key is
-    * counted locally, never gathered), then the (tiny) hot-shingle list is
-    * broadcast for a left_anti join — the big postings table never shuffles
-    * on the hot key at all. The hot list is bounded by |postings| / DF_CAP.
+    * Plan shape: df as a count window over the shingle partitioning — the
+    * SAME hash partitioning the candidate self-join needs, so Catalyst's
+    * EnsureRequirements inserts no further exchange and ReuseExchange
+    * dedups the two join sides: ONE shuffle of the postings total, and the
+    * hottest key costs one linear counting task (never k² join rows).
+    * (A groupBy-df + broadcast-left_anti variant avoids even that linear
+    * straggler but re-scans the postings per consumer — measured 3x slower
+    * end-to-end at sf0.1; see BENCH.md.)
     */
   val DF_CAP = 128
 
-  private def cappedIndex(sh: DataFrame): DataFrame = {
-    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > DF_CAP)
-      .select("shingle")
-    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  private[graft] def cappedIndex(sh: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    sh.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= DF_CAP)
+      .drop("df")
   }
 
   private val SQL_CAPPED =
-    s"""hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > $DF_CAP),
-       |shc AS (SELECT sh.* FROM sh ANTI JOIN hot USING (shingle))""".stripMargin
+    s"""shc AS (SELECT doc_id, shingle FROM (
+       |  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) df FROM sh)
+       |  WHERE df <= $DF_CAP)""".stripMargin
 
   // ---- exact dedup -------------------------------------------------------
 

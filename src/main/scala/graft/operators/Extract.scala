@@ -65,6 +65,18 @@ object Extract {
     }
   }
 
+  /** F3: the processable-page predicate — non-null payload, and optionally a
+    * language allow-list. Expression-only (no UDF) so the null/isin parts
+    * push down to the parquet scan (`PushedFilters`) and row groups of
+    * filtered-out pages are never read; `length(html) > 0` evaluates
+    * post-scan but pre-decode. Applied by the user-facing drivers
+    * (Main extract-dir) ahead of [[extract]].
+    */
+  def processable(langs: Seq[String] = Nil): org.apache.spark.sql.Column = {
+    val base = col("html").isNotNull && length(col("html")) > 0
+    if (langs.isEmpty) base else base && col("lang").isin(langs: _*)
+  }
+
   /** Optional pages-level balancing shuffle: url-hash plus a salt term folded
     * into the key (B:14 "salting for skewed hosts"). Changes no output —
     * property-tested.
@@ -236,7 +248,23 @@ object Extract {
   }
 
   /** Full pipeline: Dataset[Page] → Dataset[ExtractedDoc]. */
-  def extract(pages: Dataset[Page]): Dataset[ExtractedDoc] = {
+  def extract(pages: Dataset[Page]): Dataset[ExtractedDoc] =
+    extract(pages, sys.props.getOrElse("graft.extract.materialize", "none"))
+
+  /** `materialize` selects how the two consumer branches share the tokenizer
+    * output (measured head-to-head by `graft.Main mat-bench`; BENCH.md):
+    *   - "none" (default): branch plan — tokenizer runs once per branch, each
+    *     branch shuffles only its pushed-down column/row subset;
+    *   - "cache": persist the repartitioned blocks (InMemoryRelation keeps
+    *     the url-hash partitioning, so both branches consume one exchange and
+    *     one tokenize pass); caller owns unpersist/clearCache;
+    *   - "checkpoint": localCheckpoint() — same single-pass sharing with the
+    *     lineage cut, at the cost of materializing ALL block columns.
+    * On a real cluster reading object storage the scan+decode+tokenize pass
+    * dominates, which shifts the trade toward the single-pass variants — the
+    * default stays measurement-driven per environment.
+    */
+  def extract(pages: Dataset[Page], materialize: String): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
 
@@ -257,7 +285,13 @@ object Extract {
     // The windows/aggs below all derive from one url-hash partitioning, so
     // within each branch there is exactly one shuffle and the final join is
     // co-partitioned.
-    val parted = blockFrame(pages).repartition(col("url"))
+    val parted0 = blockFrame(pages).repartition(col("url"))
+    val parted = materialize match {
+      case "cache" =>
+        parted0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case "checkpoint" => parted0.localCheckpoint()
+      case _            => parted0
+    }
 
     val sentinelFlag = (col("flags").bitwiseAND(lit(Model.FLAG_SENTINEL))) =!= 0
     val sentinels = parted

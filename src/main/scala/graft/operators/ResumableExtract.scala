@@ -35,19 +35,24 @@ object ResumableExtract {
     import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    val done = Manifest.doneBuckets(spark, manifestDir).as[Int].collect().toSet
+    // J5: pages-buckets LEFT ANTI manifest — all metadata-sized inputs (the
+    // bucket column is a partition dir value; the manifest is buckets x runs
+    // rows). The surviving todo ids are then collected (bounded by #buckets)
+    // because a compile-time isin list gives STATIC partition pruning on the
+    // scan — the petabyte side never reads a completed bucket's files.
+    val nDone = Manifest.doneBuckets(spark, manifestDir).count().toInt
     val all = PageTable.readRaw(spark, pagesDir)
     val todoBuckets = all
       .select(col("bucket").cast("int"))
       .distinct()
+      .join(Manifest.doneBuckets(spark, manifestDir), Seq("bucket"), "left_anti")
       .as[Int]
       .collect()
-      .filterNot(done)
       .sorted
       .take(maxBuckets)
 
     if (todoBuckets.isEmpty)
-      return RunReport(runId, Seq.empty, 0L, done.size)
+      return RunReport(runId, Seq.empty, 0L, nDone)
 
     val pages = all
       .filter(col("bucket").isin(todoBuckets.map(Integer.valueOf): _*))
@@ -97,6 +102,6 @@ object ResumableExtract {
       case Some(l: java.lang.Long) => l.longValue()
       case _                       => -1L
     }
-    RunReport(runId, todoBuckets.toSeq, nDocs, done.size)
+    RunReport(runId, todoBuckets.toSeq, nDocs, nDone)
   }
 }

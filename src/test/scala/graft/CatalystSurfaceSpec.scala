@@ -72,6 +72,21 @@ class CatalystSurfaceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("processable filter (F3) pushes null/lang predicates to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-f3").toString
+    Corpus.pages(spark, 80).write.mode("overwrite").parquet(dir)
+    val scanned = spark.read.schema(Model.PAGES).parquet(dir)
+      .filter(Extract.processable(Seq("en", "de")))
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), s"no pushdown section:\n$plan")
+    val pushed = plan.split("PushedFilters: ")(1).takeWhile(_ != ']')
+    assert(pushed.contains("IsNotNull(html)"), s"html null filter not pushed: $pushed")
+    assert(pushed.contains("In(lang"), s"lang isin not pushed: $pushed")
+    // and the filter keeps exactly the allow-listed langs
+    val langs = scanned.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de")) && langs.nonEmpty)
+  }
+
   test("streaming AvailableNow extraction equals batch extraction; rerun is a no-op") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-st-ex").toString

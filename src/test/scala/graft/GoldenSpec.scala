@@ -71,6 +71,42 @@ class GoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("materialized tokenizer variants (cache, checkpoint) are byte-identical") {
+    for (m <- Seq("cache", "checkpoint")) {
+      val docs = Extract.extract(Corpus.pages(spark, 150L, seed), m).collect().toSeq
+      assert(docs.size == 150)
+      docs.foreach { d =>
+        assert(d.text == scalarByUrl(d.url).text, s"mode=$m url=${d.url}")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
+  /** S6/J2: the COMMITTED golden files (not the in-memory oracle) compared
+    * via an actual Spark full-outer join — catches accidental co-evolution
+    * of the scalar oracle and the distributed pipeline, which the in-memory
+    * comparison structurally cannot see.
+    */
+  test("committed golden files match via full-outer join") {
+    import org.apache.spark.sql.functions._
+    val golden = spark.read.format("binaryFile")
+      .load(GoldenFiles.DIR)
+      .select(
+        regexp_extract(col("path"), "([0-9a-f]{32})\\.txt$", 1).as("urlhash"),
+        col("content"))
+    val mine = Extract.extract(Corpus.pages(spark, GoldenFiles.N, seed)).toDF
+      .select(md5(col("url")).as("urlhash"), encode(col("text"), "UTF-8").as("mybytes"))
+    val joined = mine.join(golden, Seq("urlhash"), "full_outer")
+    assert(joined.count() == GoldenFiles.N)
+    // empty texts have no committed file (binaryFile drops zero-byte files):
+    // empty-mine + missing-golden matches; every other asymmetry is a failure
+    val bad = joined.filter(
+      (col("content").isNull && length(col("mybytes")) > 0) ||
+        (col("content").isNotNull &&
+          (col("mybytes").isNull || col("content") =!= col("mybytes")))).count()
+    assert(bad == 0, s"$bad golden files differ (regenerate deliberately via Test/runMain graft.GoldenFiles)")
+  }
+
   test("single exchange of block rows by url (plan shape)") {
     val docs = Extract.extract(Corpus.pages(spark, 10L, seed))
     val plan = docs.queryExecution.executedPlan.toString

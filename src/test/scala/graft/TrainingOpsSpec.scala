@@ -42,6 +42,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r.filter(col("jacc_pct") =!= 100).count() == 0)
   }
 
+  test("df-cap drops hot shingles so a boilerplate corpus stays linear") {
+    import spark.implicits._
+    // N docs sharing one boilerplate shingle, each with a unique shingle:
+    // uncapped, the hot posting alone yields N*(N-1)/2 candidate pairs
+    val n = Dedup.DF_CAP * 2
+    val docs = (0 until n)
+      .map(i => (i.toLong, s"click here to read more unique$i token$i extra$i"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleIndex(docs)
+    val capped = Dedup.cappedIndex(sh)
+    def pairs(idx: org.apache.spark.sql.DataFrame): Long = idx.as("a")
+      .join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    val uncapped = pairs(sh)
+    val cappedPairs = pairs(capped)
+    assert(uncapped >= n.toLong * (n - 1) / 2) // quadratic without the cap
+    assert(cappedPairs == 0)                   // hot shingles gone, uniques don't pair
+    // docs below the cap keep all their shingles
+    val cold = Dedup.cappedIndex(
+      Dedup.shingleIndex(docs.filter(col("doc_id") < Dedup.DF_CAP)))
+    assert(cold.count() == sh.filter(col("doc_id") < Dedup.DF_CAP).count())
+  }
+
   test("simhash is identical for identical copies") {
     val sh = Dedup.simhash(spark, SF)
     val joined = sh.as("a")
