@@ -16,14 +16,21 @@ import org.apache.spark.sql.functions._
   *     broadcast against the full corpus (the corpus side never shuffles;
   *     per-partition top-k then global top-k via TakeOrderedAndProject);
   *   - `sim_lsh_nn` / `dd_embed_cos` are the scale path: candidates meet
-  *     only inside an 8-bit sign-LSH bucket (random-hyperplane LSH with
-  *     axis-aligned planes — deterministic, no stored model), turning the
-  *     quadratic pair join into a bucket-local join whose key is the bucket
-  *     id. More planes/bands = finer buckets at 100 TB.
+  *     only inside a sign-LSH bucket (random-hyperplane LSH with
+  *     axis-aligned planes — deterministic, no stored model), in BANDS
+  *     independent bands of BAND_BITS planes each. Within-band bucket count
+  *     is 2^BAND_BITS (4096 here vs 256 in round 1 — the within-bucket
+  *     quadratic residue shrinks 16x), and multiple bands restore recall
+  *     the finer buckets would lose. Both knobs are compile-time params:
+  *     at 10^9+ vectors raise BAND_BITS (and/or hand off to `sim_ivf`,
+  *     whose probe-list shape is the better asymptotic fit). Band-duplicate
+  *     candidate pairs are folded by a max-aggregation on the pair key —
+  *     no join-back to the vector table.
   */
 object Similarity {
 
-  private val BITS = 8
+  private val BANDS = 2
+  private val BAND_BITS = 12 // planes per band; needs BANDS*BAND_BITS <= dims (64)
   private val N_QUERIES = 8
   private val TOP_K = 5
 
@@ -32,29 +39,45 @@ object Similarity {
       .select(
         col("vec_id"),
         Toks.quantize(col("embedding")).as("q"),
-        signBucket(col("embedding")).as("bucket")
+        col("embedding").as("e")
       )
       .withColumn("nq", Toks.dotQ(col("q"), col("q")))
 
-  private def signBucket(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  /** Sign bucket of band `b` (0-based): planes are dims b*BAND_BITS+1 ..
+    * (b+1)*BAND_BITS. pow(2, k-1) is exact in double for k <= 53.
+    */
+  private def bandSig(emb: org.apache.spark.sql.Column, b: Int): org.apache.spark.sql.Column =
     aggregate(
-      sequence(lit(1), lit(BITS)),
+      sequence(lit(1), lit(BAND_BITS)),
       lit(0L),
       (acc, k) =>
-        acc + when(element_at(emb, k) >= 0, pow(lit(2.0), k - 1).cast("long"))
-          .otherwise(lit(0L))
+        acc + when(element_at(emb, k + b * BAND_BITS) >= 0,
+          pow(lit(2.0), k - 1).cast("long")).otherwise(lit(0L))
     )
+
+  /** One row per (vector, band): (vec_id, q, nq, band, sig). */
+  private def banded(spark: SparkSession, sfDir: String): DataFrame =
+    quantized(spark, sfDir).select(
+      col("vec_id"), col("q"), col("nq"),
+      explode(array((0 until BANDS).map { b =>
+        struct(lit(b).as("band"), bandSig(col("e"), b).as("sig"))
+      }: _*)).as("bs")
+    ).select(col("vec_id"), col("q"), col("nq"),
+      col("bs.band").as("band"), col("bs.sig").as("sig"))
 
   private val SQL_QUANTIZED =
     s"""emb AS (SELECT vec_id, embedding e FROM embeddings),
-       |qv AS (SELECT vec_id,
-       |              ${Toks.SQL_QUANT} q,
-       |              CAST(list_sum([CASE WHEN e[k] >= 0 THEN CAST(1 AS BIGINT) << (k-1)
-       |                                  ELSE 0 END
-       |                             for k in generate_series(1, $BITS)]) AS BIGINT) bucket
-       |       FROM emb),
-       |qn AS (SELECT vec_id, q, bucket,
+       |qv AS (SELECT vec_id, e, ${Toks.SQL_QUANT} q FROM emb),
+       |qn AS (SELECT vec_id, e, q,
        |              CAST(list_dot_product(q, q) AS BIGINT) nq FROM qv)""".stripMargin
+
+  private val SQL_BANDED =
+    s"""bands AS (
+       |  SELECT vec_id, q, nq, b AS band,
+       |         CAST(list_sum([CASE WHEN e[b*$BAND_BITS + k] >= 0
+       |                             THEN CAST(1 AS BIGINT) << (k-1) ELSE 0 END
+       |                        for k in generate_series(1, $BAND_BITS)]) AS BIGINT) sig
+       |  FROM qn, generate_series(0, ${BANDS - 1}) g(b))""".stripMargin
 
   // ---- brute-force top-k (baseline) --------------------------------------
 
@@ -89,15 +112,20 @@ object Similarity {
 
   def lshNn(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = quantized(spark, sfDir)
-    val pairs = e.as("a")
-      .join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+    val bd = banded(spark, sfDir)
+    // candidates meet inside a (band, sig) bucket; a pair seen in several
+    // bands is folded by the groupBy (dot is identical in every copy)
+    val pairs = bd.as("a")
+      .join(bd.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_id"),
         col("b.vec_id").as("nn_id"),
         Toks.dotQ(col("a.q"), col("b.q")).as("dot")
       )
+      .groupBy("vec_id", "nn_id")
+      .agg(max(col("dot")).as("dot"))
     val w = Window.partitionBy("vec_id").orderBy(col("dot").desc, col("nn_id").asc)
     pairs
       .withColumn("rn", row_number().over(w))
@@ -108,10 +136,13 @@ object Similarity {
 
   val lshNnSql: String =
     s"""WITH $SQL_QUANTIZED,
+       |$SQL_BANDED,
        |pairs AS (
        |  SELECT a.vec_id vec_id, b.vec_id nn_id,
-       |         CAST(list_dot_product(a.q, b.q) AS BIGINT) dot
-       |  FROM qn a JOIN qn b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |         max(CAST(list_dot_product(a.q, b.q) AS BIGINT)) dot
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2)
        |SELECT vec_id, nn_id, dot FROM (
        |  SELECT vec_id, nn_id, dot,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, nn_id ASC) rn
@@ -124,10 +155,11 @@ object Similarity {
     * 900) and positive dot — all integer arithmetic.
     */
   def embedCos(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = quantized(spark, sfDir)
-    e.as("a")
-      .join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    val bd = banded(spark, sfDir)
+    bd.as("a")
+      .join(bd.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"),
         col("b.vec_id").as("vec_b"),
@@ -135,6 +167,9 @@ object Similarity {
         col("a.nq").as("na"),
         col("b.nq").as("nb")
       )
+      // fold band duplicates (identical dot/na/nb in every copy)
+      .groupBy("vec_a", "vec_b")
+      .agg(max(col("dot")).as("dot"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .filter(col("dot") > 0)
       // integral `div`, not `/`: double division of ~1e15 numerators can
       // round across an integer boundary and disagree with DuckDB's exact //
@@ -146,15 +181,19 @@ object Similarity {
   }
 
   val embedCosSql: String =
-    s"""WITH $SQL_QUANTIZED
-       |SELECT vec_a, vec_b, cos2_e4 FROM (
+    s"""WITH $SQL_QUANTIZED,
+       |$SQL_BANDED,
+       |p AS (
        |  SELECT a.vec_id vec_a, b.vec_id vec_b,
-       |         (CAST(list_dot_product(a.q, b.q) AS BIGINT)
-       |          * CAST(list_dot_product(a.q, b.q) AS BIGINT) * 10000)
-       |          // (a.nq * b.nq) AS cos2_e4,
-       |         CAST(list_dot_product(a.q, b.q) AS BIGINT) dot
-       |  FROM qn a JOIN qn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       |WHERE dot > 0 AND cos2_e4 >= 900 ORDER BY vec_a, vec_b""".stripMargin
+       |         max(CAST(list_dot_product(a.q, b.q) AS BIGINT)) dot,
+       |         max(a.nq) na, max(b.nq) nb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT vec_a, vec_b, (dot * dot * 10000) // (na * nb) AS cos2_e4
+       |FROM p
+       |WHERE dot > 0 AND (dot * dot * 10000) // (na * nb) >= 900
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   // ---- IVF (inverted-file) ANN -------------------------------------------
 
