@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
   * token counting (whitespace + BPE-ish regex), md5 fingerprints, and
   * winnowing (rolling-hash) document fingerprints.
   *
-  * All oracled outputs are integers / md5 hex — bit-exact vs DuckDB. The
-  * winnowing query is the one non-SQL-expressible member (procedural rolling
-  * window) and ships without an oracle (rows-only check) but with unit tests.
+  * All oracled outputs are integers / md5 hex — bit-exact vs DuckDB,
+  * including winnowing: the rolling hash never wraps 64 bits, so even the
+  * "procedural" fingerprints have an exact SQL formulation (see winnowSql).
   */
 object TextAnalysis {
 
@@ -147,6 +147,44 @@ object TextAnalysis {
       .orderBy("doc_id", "fp")
   }
 
+  /** The "procedural" rolling hash IS SQL-expressible, because the
+    * polynomial never wraps: max hash = 0xffff * (257^4+..+1) ≈ 2.9e14 ≪
+    * 2^63, so the k-gram hash is a plain 5-term weighted sum of char codes
+    * and the per-window min is a ROWS BETWEEN frame. Equality holds because
+    * the corpus is BMP-only (Scala charAt = UTF-16 unit, DuckDB unicode() =
+    * codepoint — equal below U+10000; verified for all testdata SFs).
+    * Tie-handling is irrelevant: only the min VALUE enters the distinct set.
+    */
+  val winnowSql: String = {
+    val p4 = 257L * 257 * 257 * 257
+    val p3 = 257L * 257 * 257
+    val p2 = 257L * 257
+    s"""WITH pos AS (
+       |  SELECT doc_id, text,
+       |         unnest(generate_series(1, length(text) - ${K_GRAM - 1})) AS i
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i, substr(text, CAST(i AS INT), $K_GRAM) g FROM pos),
+       |hashes AS (
+       |  SELECT doc_id, i,
+       |         unicode(substr(g, 1, 1)) * $p4
+       |       + unicode(substr(g, 2, 1)) * $p3
+       |       + unicode(substr(g, 3, 1)) * $p2
+       |       + unicode(substr(g, 4, 1)) * 257
+       |       + unicode(substr(g, 5, 1)) AS h
+       |  FROM grams),
+       |wins AS (
+       |  SELECT doc_id,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN CURRENT ROW AND ${WINDOW - 1} FOLLOWING) m,
+       |         i,
+       |         max(i) OVER (PARTITION BY doc_id) max_i
+       |  FROM hashes)
+       |SELECT DISTINCT doc_id, CAST(m AS BIGINT) fp
+       |FROM wins WHERE i + ${WINDOW - 1} <= max_i
+       |ORDER BY doc_id, fp""".stripMargin
+  }
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -159,7 +197,7 @@ object TextAnalysis {
   def oracles: Map[String, String] = Map(
     "ta_quality" -> qualitySql,
     "ta_tokens" -> tokenCountsSql,
-    "ta_fingerprint" -> fingerprintSql
-    // ta_winnow: procedural rolling window — rows-only check by design
+    "ta_fingerprint" -> fingerprintSql,
+    "ta_winnow" -> winnowSql
   )
 }
