@@ -314,6 +314,28 @@ object Relational {
     """SELECT l_returnflag, count(DISTINCT l_partkey) nd_parts, count(*) n
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Pivot (wide aggregation): order counts per month x orderstatus. Spark's
+    * `pivot` compiles to conditional aggregation, which is exactly how the
+    * DuckDB oracle states it — fixed pivot-column list on both sides (an
+    * open-ended pivot needs a driver-side distinct pass; fixed lists are the
+    * scale-safe form).
+    */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .withColumn("o_month", date_trunc("MONTH", col("o_orderdate")).cast("timestamp_ntz"))
+      .groupBy("o_month")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_month")
+
+  val qPivotSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) o_month,
+      |       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) "F",
+      |       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) "O",
+      |       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) "P"
+      |FROM orders GROUP BY 1 ORDER BY o_month""".stripMargin
+
   // ---- range / as-of joins -----------------------------------------------
 
   def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame =
@@ -425,6 +447,7 @@ object Relational {
     "q_except" -> (qExcept _),
     "q_intersect" -> (qIntersect _),
     "q_distinct" -> (qDistinct _),
+    "q_pivot" -> (qPivot _),
     "q_range_join" -> (qRangeJoin _),
     "q_asof" -> (qAsof _),
     "q_median" -> (qMedian _),
@@ -450,6 +473,7 @@ object Relational {
     "q_except" -> qExceptSql,
     "q_intersect" -> qIntersectSql,
     "q_distinct" -> qDistinctSql,
+    "q_pivot" -> qPivotSql,
     "q_range_join" -> qRangeJoinSql,
     "q_asof" -> qAsofSql,
     "q_median" -> qMedianSql,

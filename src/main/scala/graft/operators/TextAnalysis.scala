@@ -99,6 +99,46 @@ object TextAnalysis {
       |       substr(md5(lang || '|' || text), 1, 16) fp16
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- corpus n-gram statistics ------------------------------------------
+
+  /** Top-5 word bigrams per language (corpus analytics / contamination
+    * screening shape): posexplode-adjacent-zip -> count -> windowed top-k.
+    * One shuffle to count (partial-agg combines the hot bigrams map-side),
+    * one to rank per lang — both keys are skew-safe at corpus scale.
+    */
+  def ngrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Toks.tokens(col("text"))
+    val bigrams = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"),
+        explode(zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram").asc)
+    bigrams
+      .groupBy("lang", "bigram")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("lang", "rk")
+  }
+
+  val ngramsSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, ${Toks.SQL_TOKENS} t FROM documents),
+       |bg AS (
+       |  SELECT lang, t[i] || ' ' || t[i+1] AS bigram
+       |  FROM (SELECT lang, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+       |counted AS (
+       |  SELECT lang, bigram, count(*) n FROM bg GROUP BY 1, 2)
+       |SELECT lang, bigram, n,
+       |       rk
+       |FROM (SELECT lang, bigram, n,
+       |             row_number() OVER (PARTITION BY lang
+       |                                ORDER BY n DESC, bigram ASC) rk
+       |      FROM counted)
+       |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
   // ---- winnowing (rolling hash; procedural — no SQL oracle) --------------
 
   private val K_GRAM = 5
@@ -191,6 +231,7 @@ object TextAnalysis {
     "ta_quality" -> (quality _),
     "ta_tokens" -> (tokenCounts _),
     "ta_fingerprint" -> (fingerprint _),
+    "ta_ngrams" -> (ngrams _),
     "ta_winnow" -> (winnowQuery _)
   )
 
@@ -198,6 +239,7 @@ object TextAnalysis {
     "ta_quality" -> qualitySql,
     "ta_tokens" -> tokenCountsSql,
     "ta_fingerprint" -> fingerprintSql,
+    "ta_ngrams" -> ngramsSql,
     "ta_winnow" -> winnowSql
   )
 }

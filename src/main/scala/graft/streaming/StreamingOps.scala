@@ -176,6 +176,33 @@ object StreamingOps {
       |HAVING max(ts) + INTERVAL 30 MINUTE < TIMESTAMP '2024-01-29 00:00:00'
       |ORDER BY user_id, s_start""".stripMargin
 
+  // ---- stream-static join ------------------------------------------------
+
+  /** Stream-static inner join: the event stream enriched with a static
+    * per-user dimension (computed batch-side). Stateless — each microbatch
+    * joins against the static relation independently, so no watermark and
+    * no state store; at scale the static side is broadcast or bucketed once
+    * and reused every batch. This is the streaming analog of J3.
+    */
+  def stJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = streamEvents(spark, sfDir)
+    val ss = stream.sparkSession
+    val userDim = ss.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("user_events"))
+    val joined = stream
+      .select("event_id", "user_id", "event_type")
+      .join(userDim, Seq("user_id"))
+    runToTable(joined, s"st_join_${System.nanoTime()}", "append")
+      .orderBy("event_id")
+  }
+
+  val stJoinSql: String =
+    """WITH dim AS (SELECT user_id, count(*) user_events FROM events GROUP BY 1)
+      |SELECT user_id, event_id, event_type, user_events
+      |FROM events JOIN dim USING (user_id)
+      |ORDER BY event_id""".stripMargin
+
   // ---- ST5: stateful streaming dedup -------------------------------------
 
   /** `dropDuplicatesWithinWatermark`, not plain `dropDuplicates`: the latter
@@ -204,6 +231,7 @@ object StreamingOps {
     "st_hourly" -> (stHourly _),
     "st_sliding" -> (stSliding _),
     "st_session" -> (stSession _),
+    "st_join" -> (stJoin _),
     "st_dedup" -> (stDedup _)
   )
 
@@ -211,6 +239,7 @@ object StreamingOps {
     "st_hourly" -> stHourlySql,
     "st_sliding" -> stSlidingSql,
     "st_session" -> stSessionSql,
+    "st_join" -> stJoinSql,
     "st_dedup" -> stDedupSql
   )
 }
