@@ -28,6 +28,20 @@ object PlanDump {
     out.println(q.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode).take(8000))
     out.println("```")
+    out.println("\n## `dd_ngram_jaccard` — df-capped inverted shingle index\n")
+    out.println("The count window (df cap) and the candidate self-join share the")
+    out.println("shingle hash partitioning; the self-join sides are ReusedExchange.\n")
+    out.println("```")
+    out.println(graft.operators.Dedup.ngramJaccard(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).take(14000))
+    out.println("```")
+    out.println("\n## `sim_lsh_nn` — multi-band sign-LSH candidate join\n")
+    out.println("```")
+    out.println(graft.operators.Similarity.lshNn(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).take(12000))
+    out.println("```")
     out.close(); spark.stop()
   }
 }
