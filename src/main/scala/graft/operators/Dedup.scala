@@ -137,6 +137,34 @@ object Dedup {
        |WHERE (100 * inter) // (na.n + nb.n - inter) >= 5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- benchmark decontamination -----------------------------------------
+
+  /** Eval-set decontamination (the step every training corpus runs before a
+    * model sees it): flag corpus documents sharing any 3-gram shingle with a
+    * held-out benchmark set. The benchmark shingle set is tiny at any corpus
+    * scale — broadcast it; the corpus side streams through map-side, no
+    * shuffle of the big side at all. Here the "benchmark" is doc_id < 20.
+    */
+  def contam(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val benchSh = shingleIndex(d.filter(col("doc_id") < 20))
+      .select("shingle").distinct()
+    shingleIndex(d.filter(col("doc_id") >= 20))
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val contamSql: String =
+    s"""WITH all_docs AS (SELECT doc_id, text FROM documents),
+       |$SQL_SHINGLES,
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+       |SELECT sh.doc_id, count(*) n_shared
+       |FROM sh JOIN bench USING (shingle)
+       |WHERE sh.doc_id >= 20
+       |GROUP BY 1 ORDER BY sh.doc_id""".stripMargin
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   private val K = 12 // minhashes
@@ -236,6 +264,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (exact _),
+    "dd_contam" -> (contam _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
     "dd_minhash_lsh" -> (minhashLsh _),
     "dd_simhash" -> (simhash _)
@@ -243,6 +272,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "dd_exact" -> exactSql,
+    "dd_contam" -> contamSql,
     "dd_ngram_jaccard" -> ngramJaccardSql,
     "dd_minhash_lsh" -> minhashLshSql,
     "dd_simhash" -> simhashSql

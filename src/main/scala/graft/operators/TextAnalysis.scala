@@ -99,6 +99,37 @@ object TextAnalysis {
       |       substr(md5(lang || '|' || text), 1, 16) fp16
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- deterministic dataset split ---------------------------------------
+
+  /** Train/val/test assignment by hashing the stable document key — the
+    * standard reproducible-split pattern for training corpora: no sampling
+    * state, no seed files, identical assignment on any cluster at any
+    * parallelism, and new documents never reshuffle old ones. 80/10/10 via
+    * the first 4 md5 hex digits (both engines parse hex identically).
+    */
+  def split(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"), col("h").as("bucket"))
+      .orderBy("doc_id")
+
+  val splitSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+      |           AS bucket
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       bucket
+      |FROM h ORDER BY doc_id""".stripMargin
+
   // ---- corpus n-gram statistics ------------------------------------------
 
   /** Top-5 word bigrams per language (corpus analytics / contamination
@@ -231,6 +262,7 @@ object TextAnalysis {
     "ta_quality" -> (quality _),
     "ta_tokens" -> (tokenCounts _),
     "ta_fingerprint" -> (fingerprint _),
+    "ta_split" -> (split _),
     "ta_ngrams" -> (ngrams _),
     "ta_winnow" -> (winnowQuery _)
   )
@@ -239,6 +271,7 @@ object TextAnalysis {
     "ta_quality" -> qualitySql,
     "ta_tokens" -> tokenCountsSql,
     "ta_fingerprint" -> fingerprintSql,
+    "ta_split" -> splitSql,
     "ta_ngrams" -> ngramsSql,
     "ta_winnow" -> winnowSql
   )
