@@ -42,6 +42,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r.filter(col("jacc_pct") =!= 100).count() == 0)
   }
 
+  test("dataset split is the pure md5 function of doc_id, covers every doc") {
+    val rows = TextAnalysis.split(spark, SF).collect()
+    val nDocs = spark.read.parquet(s"$SF/documents.parquet").count()
+    assert(rows.length == nDocs)
+    // independently recompute the assignment in plain Scala
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val bucket = java.lang.Long.parseLong(
+        md.take(2).map(b => f"${b & 0xff}%02x").mkString, 16) % 100
+      val expected = if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+      assert(r.getString(1) == expected, s"doc $id")
+      assert(r.getLong(2) == bucket, s"doc $id bucket")
+    }
+    // all three splits are populated at this corpus size
+    assert(rows.map(_.getString(1)).toSet == Set("train", "val", "test"))
+  }
+
+  test("decontamination flags exactly the docs sharing a benchmark shingle") {
+    val flagged = Dedup.contam(spark, SF).collect().map(_.getLong(0)).toSet
+    // no benchmark doc flags itself; flagged ids are from the corpus side
+    assert(flagged.forall(_ >= 20))
+    // deterministic across a second run
+    val again = Dedup.contam(spark, SF).collect().map(_.getLong(0)).toSet
+    assert(flagged == again)
+    assert(flagged.nonEmpty)
+  }
+
   test("df-cap drops hot shingles so a boilerplate corpus stays linear") {
     import spark.implicits._
     // N docs sharing one boilerplate shingle, each with a unique shingle:
