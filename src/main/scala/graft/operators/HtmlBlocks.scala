@@ -72,6 +72,10 @@ object HtmlBlocks {
   )
   // class/id token stop-list (token equals)
   private val STOP_EQ = Set("ad", "ads")
+
+  // hoisted: String.split(regex) compiles a Pattern per call, and this runs
+  // once per classed tag (~millions/sec in the tokenizer hot loop)
+  private val WS_RE = java.util.regex.Pattern.compile("\\s+")
   // class/id token stop-list (token contains)
   private val STOP_SUB = Array(
     "comment", "sidebar", "foot", "nav", "menu", "banner", "advert",
@@ -338,7 +342,7 @@ object HtmlBlocks {
               var hit = false
               if (idAttr.nonEmpty && isStopToken(idAttr)) hit = true
               if (!hit && classAttr.nonEmpty) {
-                val toks = classAttr.split("\\s+")
+                val toks = WS_RE.split(classAttr)
                 var t = 0
                 while (!hit && t < toks.length) {
                   if (toks(t).nonEmpty && isStopToken(toks(t))) hit = true
