@@ -225,6 +225,46 @@ object StreamingOps {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---- custom state: flatMapGroupsWithState ------------------------------
+
+  /** Per-user monotone sequence numbers via explicit state — the
+    * `flatMapGroupsWithState` member of the streaming toolbox (heavier than
+    * anything extraction itself needs; SURVEY §2.9). State per user is one
+    * long (the last assigned seq), so it is bounded by |users| regardless of
+    * stream length. Within a microbatch the iterator order is not
+    * deterministic, so the group sorts its batch by (ts, event_id) before
+    * numbering — with the bounded one-batch input this equals the batch
+    * row_number window, which is the oracle.
+    */
+  def stSeq(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val stream = streamEvents(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val ss = stream.sparkSession
+    import ss.implicits._
+    val numbered = stream
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[Long]) => {
+          val start = state.getOption.getOrElse(0L)
+          val batch = it.toIndexedSeq.sortBy(r => (r._3.getTime, r._2))
+          state.update(start + batch.size)
+          batch.iterator.zipWithIndex.map { case ((u, eid, _), i) =>
+            (u, eid, start + i + 1)
+          }
+        })
+      .toDF("user_id", "event_id", "seq_no")
+    runToTable(numbered, s"st_seq_${System.nanoTime()}", "append")
+      .orderBy("user_id", "seq_no")
+  }
+
+  val stSeqSql: String =
+    """SELECT user_id, event_id,
+      |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) seq_no
+      |FROM events ORDER BY user_id, seq_no""".stripMargin
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -232,6 +272,7 @@ object StreamingOps {
     "st_sliding" -> (stSliding _),
     "st_session" -> (stSession _),
     "st_join" -> (stJoin _),
+    "st_seq" -> (stSeq _),
     "st_dedup" -> (stDedup _)
   )
 
@@ -240,6 +281,7 @@ object StreamingOps {
     "st_sliding" -> stSlidingSql,
     "st_session" -> stSessionSql,
     "st_join" -> stJoinSql,
+    "st_seq" -> stSeqSql,
     "st_dedup" -> stDedupSql
   )
 }
