@@ -240,6 +240,36 @@ object ExtractOracle {
        |SELECT url, d.host, host_docs, host_chars
        |FROM d JOIN stats ON d.host = stats.host ORDER BY url""".stripMargin
 
+  // ---- salted two-phase aggregation (explicit skew handling) -------------
+
+  /** Per-host stats via SALTED two-phase aggregation — the explicit
+    * skew-handling pattern (B:14) as a first-class oracled operator: phase 1
+    * groups by (host, salt) so a Zipf-hot host's rows spread over SALT
+    * reducers; phase 2 folds the partials. Results are identical to the
+    * direct groupBy (the oracle) — integer sums are associative — while the
+    * hot key's shuffle fan-in drops from |host rows| to SALT rows.
+    * (Spark's partial aggregation often hides this locally; the explicit
+    * form is the insurance when partials are defeated — e.g. distinct-like
+    * aggregates or high-cardinality accumulators.)
+    */
+  def exSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val SALT = 16
+    val d = OracleCorpus.docs(spark)
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(SALT)))
+    d.groupBy("host", "salt")
+      .agg(count(lit(1)).as("pn"), coalesce(sum(length(col("text"))), lit(0L)).as("pc"))
+      .groupBy("host")
+      .agg(sum(col("pn")).as("n_docs"), sum(col("pc")).as("chars"))
+      .orderBy("host")
+  }
+
+  val exSaltedSql: String =
+    s"""SELECT regexp_extract(url, '^https?://([^/]+)/', 1) host,
+       |       count(*) n_docs,
+       |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) chars
+       |FROM $D GROUP BY 1 ORDER BY host""".stripMargin
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -248,7 +278,8 @@ object ExtractOracle {
     "ex_docs" -> (exDocs _),
     "ex_stats" -> (exStats _),
     "ex_langid" -> (exLangid _),
-    "ex_hostjoin" -> (exHostJoin _)
+    "ex_hostjoin" -> (exHostJoin _),
+    "ex_salted" -> (exSalted _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -257,6 +288,7 @@ object ExtractOracle {
     "ex_docs" -> exDocsSql,
     "ex_stats" -> exStatsSql,
     "ex_langid" -> exLangidSql,
-    "ex_hostjoin" -> exHostJoinSql
+    "ex_hostjoin" -> exHostJoinSql,
+    "ex_salted" -> exSaltedSql
   )
 }
