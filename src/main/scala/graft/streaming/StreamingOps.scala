@@ -75,7 +75,7 @@ object StreamingOps {
       .withColumn("ts", col("ts").cast("timestamp"))
   }
 
-  private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+  private[graft] def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -236,13 +236,16 @@ object StreamingOps {
     * numbering — with the bounded one-batch input this equals the batch
     * row_number window, which is the oracle.
     */
-  def stSeq(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The custom-state transform itself, reusable over any (user_id,
+    * event_id, ts) stream — package-visible so tests can drive it with a
+    * multi-file, multi-microbatch source and check state continuity.
+    */
+  private[graft] def seqNumbered(stream: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    val stream = streamEvents(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("ts"))
     val ss = stream.sparkSession
     import ss.implicits._
-    val numbered = stream
+    stream
+      .select(col("user_id"), col("event_id"), col("ts"))
       .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -256,6 +259,10 @@ object StreamingOps {
           }
         })
       .toDF("user_id", "event_id", "seq_no")
+  }
+
+  def stSeq(spark: SparkSession, sfDir: String): DataFrame = {
+    val numbered = seqNumbered(streamEvents(spark, sfDir))
     runToTable(numbered, s"st_seq_${System.nanoTime()}", "append")
       .orderBy("user_id", "seq_no")
   }

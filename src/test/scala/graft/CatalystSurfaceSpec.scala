@@ -87,6 +87,45 @@ class CatalystSurfaceSpec extends AnyFunSuite {
     assert(langs.subsetOf(Set("en", "de")) && langs.nonEmpty)
   }
 
+  test("flatMapGroupsWithState sequence numbers carry state across microbatches") {
+    import graft.streaming.StreamingOps
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
+    // split at the median ts into two files -> two microbatches in ts order
+    val cutoff = ev.selectExpr("percentile(CAST(unix_timestamp(ts) AS DOUBLE), 0.5) c")
+      .collect()(0).getDouble(0).toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft-seq2").toString
+    ev.filter(unix_timestamp(col("ts")) <= cutoff)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/f1")
+    ev.filter(unix_timestamp(col("ts")) > cutoff)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/f2")
+    val staged = java.nio.file.Files.createTempDirectory("graft-seq2-in")
+    def stage(sub: String, mtime: Long): Unit = {
+      val src = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = staged.resolve(s"$sub.parquet")
+      java.nio.file.Files.copy(src.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stage("f1", t0); stage("f2", t0 + 30000)
+    val schema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one file per microbatch
+      .parquet(staged.toString)
+    val got = StreamingOps.runToTable(
+      StreamingOps.seqNumbered(stream), s"st_seq2_${System.nanoTime()}", "append")
+      .orderBy("user_id", "seq_no").collect()
+    // both files ride ts order, so state continuity across the two batches
+    // must reproduce the single-pass global numbering
+    val want = ev.select(col("user_id"), col("event_id"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")).cast("long").as("seq_no"))
+      .orderBy("user_id", "seq_no").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
   test("streaming AvailableNow extraction equals batch extraction; rerun is a no-op") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-st-ex").toString
