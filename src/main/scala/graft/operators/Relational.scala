@@ -283,6 +283,35 @@ object Relational {
       |FROM lineitem ORDER BY price_c DESC, l_orderkey ASC, l_linenumber ASC
       |LIMIT 20""".stripMargin
 
+  /** Top-k per key via the custom Catalyst operator stack
+    * ([[graft.plans.TopKPerKey]]): bounded heaps map-side and reduce-side
+    * instead of the window formulation's shuffle-everything + sort-partition.
+    * The DuckDB oracle IS the window formulation — with a total order the
+    * two are bit-identical.
+    */
+  def qTopkPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem").select(
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("price_c"))
+    graft.plans.TopK.perKey(
+      li,
+      keys = Seq(col("l_returnflag"), col("l_linestatus")),
+      order = Seq(col("price_c").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+      k = 3)
+      .orderBy(col("l_returnflag"), col("l_linestatus"),
+        col("price_c").desc, col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val qTopkPerKeySql: String =
+    """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, price_c
+      |FROM (SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+      |             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) price_c
+      |      FROM lineitem)
+      |QUALIFY row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+      |                           ORDER BY price_c DESC, l_orderkey, l_linenumber) <= 3
+      |ORDER BY l_returnflag, l_linestatus, price_c DESC, l_orderkey, l_linenumber""".stripMargin
+
   def qExcept(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "customer").select(col("c_custkey"))
       .except(t(spark, sfDir, "orders").filter(col("o_totalprice") > 300000)
@@ -444,6 +473,7 @@ object Relational {
     "q_dates" -> (qDates _),
     "q_scalar_str" -> (qScalarStr _),
     "q_topk" -> (qTopk _),
+    "q_topk_per_key" -> (qTopkPerKey _),
     "q_except" -> (qExcept _),
     "q_intersect" -> (qIntersect _),
     "q_distinct" -> (qDistinct _),
@@ -470,6 +500,7 @@ object Relational {
     "q_dates" -> qDatesSql,
     "q_scalar_str" -> qScalarStrSql,
     "q_topk" -> qTopkSql,
+    "q_topk_per_key" -> qTopkPerKeySql,
     "q_except" -> qExceptSql,
     "q_intersect" -> qIntersectSql,
     "q_distinct" -> qDistinctSql,

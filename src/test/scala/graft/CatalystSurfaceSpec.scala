@@ -72,6 +72,37 @@ class CatalystSurfaceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("TopKPerKey custom operator equals the window formulation, no Window/sort-all plan") {
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+      col("l_returnflag"), col("l_linestatus"), col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("price_c"))
+    val ord = Seq(col("price_c").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val sortAll = Seq(col("l_returnflag"), col("l_linestatus")) ++ ord
+    val custom = graft.plans.TopK.perKey(
+      li, Seq(col("l_returnflag"), col("l_linestatus")), ord, 3)
+      .orderBy(sortAll: _*)
+    val w = Window.partitionBy("l_returnflag", "l_linestatus")
+      .orderBy(col("price_c").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val windowed = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .drop("rn").orderBy(sortAll: _*)
+    val a = custom.collect()
+    val b = windowed.collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    // plan shape: our two physical nodes present, no Window operator, and the
+    // only sort is the final presentation orderBy
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"), plan)
+    assert(!plan.contains("Window"), plan)
+    // invariance under input repartitioning (heap fold is order-insensitive
+    // because the ordering is total)
+    val re = graft.plans.TopK.perKey(
+      li.repartition(7), Seq(col("l_returnflag"), col("l_linestatus")), ord, 3)
+      .orderBy(sortAll: _*).collect()
+    re.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("processable filter (F3) pushes null/lang predicates to the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-f3").toString
     Corpus.pages(spark, 80).write.mode("overwrite").parquet(dir)
