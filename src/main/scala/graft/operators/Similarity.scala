@@ -88,10 +88,12 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("q").as("qq"))
     val scored = q.join(e, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), Toks.dotQ(col("qq"), col("q")).as("dot"))
+    // heap top-k per query via the custom operator (the corpus-size scored
+    // set never gets partition-sorted), then rank the k*queries survivors
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id").asc)
-    scored
+    graft.plans.TopK
+      .perKey(scored, Seq(col("qid")), Seq(col("dot").desc, col("vec_id").asc), TOP_K)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TOP_K)
       .select("qid", "rank", "vec_id", "dot")
       .orderBy("qid", "rank")
   }

@@ -145,12 +145,16 @@ object TextAnalysis {
         explode(zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
           slice(t, lit(2), greatest(size(t) - 1, lit(0))),
           (a, b) => concat_ws(" ", a, b))).as("bigram"))
-    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram").asc)
-    bigrams
+    val counted = bigrams
       .groupBy("lang", "bigram")
       .agg(count(lit(1)).as("n"))
+    // heap-select the 5 survivors per lang with the custom TopKPerKey
+    // operator (no partition sort), then rank the <=5*langs survivors with a
+    // window that now touches a trivial row count
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram").asc)
+    graft.plans.TopK
+      .perKey(counted, Seq(col("lang")), Seq(col("n").desc, col("bigram").asc), 5)
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 5)
       .orderBy("lang", "rk")
   }
 
