@@ -42,6 +42,14 @@ object PlanDump {
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).take(12000))
     out.println("```")
+    out.println("\n## `q_topk_per_key` — custom TopKPerKey operator stack\n")
+    out.println("PartialTopK (map-side heap) -> Exchange(keys) -> FinalTopK; no Window,")
+    out.println("no per-partition sort (the only Sort is the presentation orderBy).\n")
+    out.println("```")
+    out.println(graft.operators.Relational.qTopkPerKey(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).take(8000))
+    out.println("```")
     out.close(); spark.stop()
   }
 }
