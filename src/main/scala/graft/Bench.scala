@@ -23,8 +23,10 @@ object Bench {
   /** Headline subset — big shuffly queries, one per operator family. */
   private val HEADLINE = Seq(
     "q1_agg", "q3_join", "q_window", "q_range_join", "q_distinct",
-    "dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash",
-    "sim_knn", "dd_embed_cos", "ta_quality", "ta_tokens", "st_session"
+    "q_topk_per_key",
+    "dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_contam",
+    "sim_knn", "dd_embed_cos", "ta_quality", "ta_tokens", "ta_ngrams",
+    "st_session"
   )
 
   def main(args: Array[String]): Unit = {

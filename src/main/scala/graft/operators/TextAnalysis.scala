@@ -130,6 +130,31 @@ object TextAnalysis {
       |       bucket
       |FROM h ORDER BY doc_id""".stripMargin
 
+  // ---- per-source quota sampling -----------------------------------------
+
+  /** Domain/source quota (the classic crawl-balance step: "at most N docs
+    * per source per language", keeping the longest): a direct reuse of the
+    * custom [[graft.plans.TopKPerKey]] operator — bounded heaps, no
+    * partition sort, shuffle capped at N rows per (lang, source) per map
+    * partition. Oracle = the QUALIFY window formulation.
+    */
+  def quota(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars")
+    graft.plans.TopK.perKey(
+      d,
+      keys = Seq(col("lang"), col("source")),
+      order = Seq(col("n_chars").desc, col("doc_id").asc),
+      k = 5)
+      .orderBy("lang", "source", "doc_id")
+  }
+
+  val quotaSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY lang, source
+      |                           ORDER BY n_chars DESC, doc_id ASC) <= 5
+      |ORDER BY lang, source, doc_id""".stripMargin
+
   // ---- corpus n-gram statistics ------------------------------------------
 
   /** Top-5 word bigrams per language (corpus analytics / contamination
@@ -267,6 +292,7 @@ object TextAnalysis {
     "ta_tokens" -> (tokenCounts _),
     "ta_fingerprint" -> (fingerprint _),
     "ta_split" -> (split _),
+    "ta_quota" -> (quota _),
     "ta_ngrams" -> (ngrams _),
     "ta_winnow" -> (winnowQuery _)
   )
@@ -276,6 +302,7 @@ object TextAnalysis {
     "ta_tokens" -> tokenCountsSql,
     "ta_fingerprint" -> fingerprintSql,
     "ta_split" -> splitSql,
+    "ta_quota" -> quotaSql,
     "ta_ngrams" -> ngramsSql,
     "ta_winnow" -> winnowSql
   )
