@@ -184,6 +184,38 @@ object Relational {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, rn""".stripMargin
 
+  /** RANGE-frame window + dense_rank (the W6 members not covered elsewhere):
+    * per-user trailing-1-hour value sum over event-time seconds, plus a
+    * dense rank of the event type. The frame key is integer epoch seconds
+    * (Spark unix_timestamp == DuckDB epoch_us // 1e6, both floor) so the
+    * RANGE bound is exact on both engines despite sub-second timestamps.
+    */
+  def qRangeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val wr = Window.partitionBy("user_id").orderBy("es")
+    val wd = Window.partitionBy("user_id").orderBy("event_type")
+    t(spark, sfDir, "events")
+      .withColumn("es", unix_timestamp(col("ts")))
+      .withColumn("v100", round(col("value") * 100).cast("long"))
+      .select(
+        col("user_id"), col("event_id"), col("es"),
+        sum(col("v100")).over(wr.rangeBetween(-3600, 0)).as("hour_sum"),
+        dense_rank().over(wd).cast("long").as("type_rank")
+      )
+      .orderBy("user_id", "es", "event_id")
+  }
+
+  val qRangeWindowSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS es,
+      |         CAST(round(value * 100) AS BIGINT) v100, event_type
+      |  FROM events)
+      |SELECT user_id, event_id, es,
+      |       CAST(sum(v100) OVER (PARTITION BY user_id ORDER BY es
+      |                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) hour_sum,
+      |       dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) type_rank
+      |FROM e ORDER BY user_id, es, event_id""".stripMargin
+
   // ---- json / dates / scalars --------------------------------------------
 
   def qJson(spark: SparkSession, sfDir: String): DataFrame =
@@ -468,6 +500,7 @@ object Relational {
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_window" -> (qWindow _),
+    "q_range_window" -> (qRangeWindow _),
     "q_json" -> (qJson _),
     "q_map" -> (qMap _),
     "q_dates" -> (qDates _),
@@ -495,6 +528,7 @@ object Relational {
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
     "q_window" -> qWindowSql,
+    "q_range_window" -> qRangeWindowSql,
     "q_json" -> qJsonSql,
     "q_map" -> qMapSql,
     "q_dates" -> qDatesSql,
