@@ -262,6 +262,35 @@ object Relational {
       |       CAST(cardinality(m) AS BIGINT) nkeys
       |FROM wm ORDER BY p_partkey""".stripMargin
 
+  /** Array-family coverage not exercised elsewhere: posexplode (position +
+    * value) and flatten. DuckDB has no WITH ORDINALITY in 1.0 — positions
+    * come from an unnested generate_series over the list length.
+    */
+  def qArray(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(
+        col("p_partkey"),
+        split(col("p_name"), " ").as("words"),
+        array_join(flatten(array(array(col("p_brand")), array(col("p_type")))), "|")
+          .as("flat"))
+      .select(col("p_partkey"), col("flat"),
+        posexplode(col("words")).as(Seq("pos", "w")))
+      .withColumn("pos", col("pos").cast("long"))
+      .orderBy("p_partkey", "pos")
+
+  val qArraySql: String =
+    """WITH t AS (
+      |  SELECT p_partkey,
+      |         string_split(p_name, ' ') words,
+      |         array_to_string(flatten([[p_brand], [p_type]]), '|') flat
+      |  FROM part),
+      |px AS (
+      |  SELECT p_partkey, flat, words,
+      |         unnest(generate_series(1, len(words))) i
+      |  FROM t)
+      |SELECT p_partkey, flat, CAST(i - 1 AS BIGINT) pos, words[i] w
+      |FROM px ORDER BY p_partkey, pos""".stripMargin
+
   def qDates(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
       .groupBy(date_trunc("MONTH", col("o_orderdate")).cast("timestamp_ntz").as("o_month"))
@@ -503,6 +532,7 @@ object Relational {
     "q_range_window" -> (qRangeWindow _),
     "q_json" -> (qJson _),
     "q_map" -> (qMap _),
+    "q_array" -> (qArray _),
     "q_dates" -> (qDates _),
     "q_scalar_str" -> (qScalarStr _),
     "q_topk" -> (qTopk _),
@@ -531,6 +561,7 @@ object Relational {
     "q_range_window" -> qRangeWindowSql,
     "q_json" -> qJsonSql,
     "q_map" -> qMapSql,
+    "q_array" -> qArraySql,
     "q_dates" -> qDatesSql,
     "q_scalar_str" -> qScalarStrSql,
     "q_topk" -> qTopkSql,
