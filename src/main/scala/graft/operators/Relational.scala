@@ -158,6 +158,27 @@ object Relational {
       |FROM events GROUP BY CUBE(event_type, date_trunc('day', ts))
       |ORDER BY event_type ASC NULLS FIRST, e_day ASC NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS (beyond rollup/cube) with grouping_id — SQL-only
+    * surface in Spark's Dataset API, so stated via spark.sql over a temp
+    * view (same pattern as the correlated subquery).
+    */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "documents").createOrReplaceTempView("v_documents")
+    spark.sql(
+      """SELECT lang, source, count(*) AS n,
+        |       CAST(grouping_id(lang, source) AS BIGINT) AS gid
+        |FROM v_documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT lang, source, count(*) AS n,
+      |       CAST(GROUPING(lang, source) AS BIGINT) AS gid
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang), (source), ())
+      |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
   // ---- window functions --------------------------------------------------
 
   def qWindow(spark: SparkSession, sfDir: String): DataFrame = {
@@ -528,6 +549,7 @@ object Relational {
     "q_outer" -> (qOuter _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_gsets" -> (qGroupingSets _),
     "q_window" -> (qWindow _),
     "q_range_window" -> (qRangeWindow _),
     "q_json" -> (qJson _),
@@ -557,6 +579,7 @@ object Relational {
     "q_outer" -> qOuterSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
+    "q_gsets" -> qGroupingSetsSql,
     "q_window" -> qWindowSql,
     "q_range_window" -> qRangeWindowSql,
     "q_json" -> qJsonSql,
