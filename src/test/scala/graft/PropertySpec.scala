@@ -108,4 +108,31 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("TopKPerKey equals the window formulation on random data (property)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val rowGen = for {
+      key <- Gen.choose(0, 7)
+      v <- Gen.choose(-1000L, 1000L)
+      id <- Gen.choose(0L, 500L) // deliberately non-unique: (v, id) ties exist
+    } yield (key, v, id)
+    for (trial <- 0 until 3) {
+      val rows = samples(Gen.listOfN(400, rowGen), 1).head
+        // dedup (key, v, id) triples so the total-order requirement holds
+        .distinct
+      val df = rows.toDF("key", "v", "id").repartition(5)
+      val k = trial + 1
+      val custom = graft.plans.TopK
+        .perKey(df, Seq(col("key")), Seq(col("v").desc, col("id").asc), k)
+        .orderBy("key", "v", "id").collect()
+      val w = Window.partitionBy("key").orderBy(col("v").desc, col("id").asc)
+      val window = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .drop("rn").orderBy("key", "v", "id").collect()
+      assert(custom.length == window.length, s"trial=$trial k=$k")
+      custom.zip(window).foreach { case (a, b) => assert(a == b, s"trial=$trial k=$k") }
+    }
+  }
 }
