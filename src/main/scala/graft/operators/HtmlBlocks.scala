@@ -101,9 +101,15 @@ object HtmlBlocks {
     val s = html
     val n = s.length
 
-    // accumulated text runs for the current block: (text, isLink)
-    val runs = ArrayBuffer.empty[(String, Boolean)]
-    val pending = new java.lang.StringBuilder
+    // Current block's text, normalized ONLINE (single pass, no per-run
+    // String allocations): whitespace collapses as chars arrive. This is
+    // equivalent to the earlier run-buffer formulation because every
+    // dropDepth/linkDepth change happens at a tag boundary, where the old
+    // code flushed its pending run — so each char sees the same depth state
+    // either way (goldens pin the equivalence).
+    val sbBlock = new java.lang.StringBuilder
+    var linkChars = 0
+    var pendingSpace = false
 
     val stack = ArrayBuffer.empty[Open]
     var dropDepth = 0
@@ -113,11 +119,28 @@ object HtmlBlocks {
     var nodeCounter = 0
     var blockCounter = 0
 
-    def flushPending(): Unit = {
-      if (pending.length > 0) {
-        if (dropDepth == 0) runs += ((pending.toString, linkDepth > 0))
-        pending.setLength(0)
+    def appendChar(c: Char): Unit = {
+      if (dropDepth == 0) {
+        // ' ' (nbsp, from &nbsp;) collapses like whitespace — Java's
+        // isWhitespace does NOT cover it
+        if (Character.isWhitespace(c) || c == '\u00a0') {
+          if (sbBlock.length > 0) pendingSpace = true
+        } else {
+          val isLink = linkDepth > 0
+          if (pendingSpace) {
+            sbBlock.append(' ')
+            if (isLink) linkChars += 1
+            pendingSpace = false
+          }
+          sbBlock.append(c)
+          if (isLink) linkChars += 1
+        }
       }
+    }
+
+    def appendStr(d: String): Unit = {
+      var i = 0
+      while (i < d.length) { appendChar(d.charAt(i)); i += 1 }
     }
 
     def currentBlockTag(): String = {
@@ -131,36 +154,16 @@ object HtmlBlocks {
     }
 
     def emitBlock(): Unit = {
-      flushPending()
-      if (runs.isEmpty) return
-      // normalize with link tracking
-      val sb = new java.lang.StringBuilder
-      var linkChars = 0
-      var pendingSpace = false
-      var ri = 0
-      while (ri < runs.length) {
-        val (txt, isLink) = runs(ri)
-        var i = 0
-        while (i < txt.length) {
-          val c = txt.charAt(i)
-          if (Character.isWhitespace(c) || c == ' ') {
-            if (sb.length > 0) pendingSpace = true
-          } else {
-            if (pendingSpace) {
-              sb.append(' ')
-              if (isLink) linkChars += 1
-              pendingSpace = false
-            }
-            sb.append(c)
-            if (isLink) linkChars += 1
-          }
-          i += 1
-        }
-        ri += 1
+      if (sbBlock.length == 0) {
+        linkChars = 0
+        pendingSpace = false
+        return
       }
-      runs.clear()
-      if (sb.length == 0) return
-      val text = sb.toString
+      val text = sbBlock.toString
+      val blockLinkChars = linkChars
+      sbBlock.setLength(0)
+      linkChars = 0
+      pendingSpace = false
       var words = 1
       var i = 0
       while (i < text.length) { if (text.charAt(i) == ' ') words += 1; i += 1 }
@@ -170,7 +173,7 @@ object HtmlBlocks {
         depth = stack.length,
         text = text,
         textLen = text.length,
-        linkChars = linkChars,
+        linkChars = blockLinkChars,
         wordCount = words,
         parentSeq = if (containerIds.nonEmpty) containerIds.last else 0,
         flags = if (boilerDepth > 0) graft.Model.FLAG_BOILER else 0
@@ -241,7 +244,6 @@ object HtmlBlocks {
       if (c == '<' && i + 1 < n) {
         val c1 = s.charAt(i + 1)
         if (c1 == '!') {
-          flushPending()
           if (s.startsWith("<!--", i)) {
             val e = s.indexOf("-->", i + 4)
             i = if (e < 0) n else e + 3
@@ -253,7 +255,6 @@ object HtmlBlocks {
             i = if (e < 0) n else e + 1
           }
         } else if (c1 == '?') {
-          flushPending()
           val e = s.indexOf('>', i + 2)
           i = if (e < 0) n else e + 1
         } else if (c1 == '/') {
@@ -263,13 +264,13 @@ object HtmlBlocks {
           while (j < n && isNameChar(s.charAt(j))) j += 1
           if (j == start) {
             // "</" not followed by name: literal text
-            pending.append(c); i += 1
+            appendChar(c); i += 1
           } else {
             val tag = s.substring(start, j).toLowerCase
             // skip to '>'
             while (j < n && s.charAt(j) != '>') j += 1
             i = if (j < n) j + 1 else n
-            if (BLOCK.contains(tag)) emitBlock() else flushPending()
+            if (BLOCK.contains(tag)) emitBlock()
             popTo(tag)
           }
         } else if (isNameStart(c1)) {
@@ -333,7 +334,7 @@ object HtmlBlocks {
             }
           }
           i = j
-          if (BLOCK.contains(tag)) emitBlock() else flushPending()
+          if (BLOCK.contains(tag)) emitBlock()
           val isVoid = VOID.contains(tag) || selfClosing
           if (!isVoid) {
             impliedEnds(tag)
@@ -378,15 +379,15 @@ object HtmlBlocks {
           }
         } else {
           // '<' followed by junk: literal
-          pending.append(c)
+          appendChar(c)
           i += 1
         }
       } else if (c == '&') {
         val (d, ni) = Entities.decodeAt(s, i)
-        pending.append(d)
+        appendStr(d)
         i = ni
       } else {
-        pending.append(c)
+        appendChar(c)
         i += 1
       }
     }
