@@ -101,6 +101,15 @@ class CatalystSurfaceSpec extends AnyFunSuite {
       li.repartition(7), Seq(col("l_returnflag"), col("l_linestatus")), ord, 3)
       .orderBy(sortAll: _*).collect()
     re.zip(b).foreach { case (x, y) => assert(x == y) }
+    // null keys group together, like groupBy/window partitioning semantics
+    import spark.implicits._
+    val withNulls = Seq((Some("a"), 1L), (None, 2L), (None, 3L), (Some("a"), 4L), (None, 5L))
+      .toDF("k", "v")
+    val topNull = graft.plans.TopK
+      .perKey(withNulls, Seq(col("k")), Seq(col("v").desc), 2)
+      .orderBy(col("k").asc_nulls_first, col("v").asc).collect()
+    assert(topNull.map(r => (Option(r.getString(0)), r.getLong(1))).toSeq ==
+      Seq((None, 3L), (None, 5L), (Some("a"), 1L), (Some("a"), 4L)))
   }
 
   test("processable filter (F3) pushes null/lang predicates to the parquet scan") {
