@@ -89,6 +89,45 @@ object Relational {
       |WHERE o_orderstatus = 'O'
       |GROUP BY 1 ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 10""".stripMargin
 
+  /** 5-way join chain (TPC-H Q5 shape): region -> nation -> customer ->
+    * orders -> lineitem, revenue by nation. The two dimension tables get
+    * explicit broadcast hints (they are tiny at ANY scale factor — the big
+    * fact-side never shuffles for them); customer⨝orders⨝lineitem are the
+    * real shuffles. Exercises the deepest join chain in the suite plus
+    * Catalyst's join planning over mixed broadcast/shuffle strategies.
+    */
+  def q5Join(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "region").filter(col("r_name") === "ASIA").as("r")
+      .join(broadcast(t(spark, sfDir, "nation")).as("n"),
+        col("n.n_regionkey") === col("r.r_regionkey"))
+      .join(t(spark, sfDir, "customer").as("c"),
+        col("c.c_nationkey") === col("n.n_nationkey"))
+      .join(t(spark, sfDir, "orders").as("o"),
+        col("o.o_custkey") === col("c.c_custkey"))
+      .join(t(spark, sfDir, "lineitem").as("l"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .groupBy(col("n.n_name").as("n_name"))
+      .agg(
+        sum((col("l.l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+          * (lit(100L) - (col("l.l_discount").cast("decimal(12,2)") * 100).cast("long")))
+          .as("revenue_e4"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("revenue_e4").desc, col("n_name").asc)
+
+  val q5JoinSql: String =
+    """SELECT n_name,
+      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |                * (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)))
+      |            AS BIGINT) revenue_e4,
+      |       count(*) n_items
+      |FROM region JOIN nation ON n_regionkey = r_regionkey
+      |            JOIN customer ON c_nationkey = n_nationkey
+      |            JOIN orders ON o_custkey = c_custkey
+      |            JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY 1 ORDER BY revenue_e4 DESC, n_name ASC""".stripMargin
+
   // ---- semi / anti / outer joins -----------------------------------------
 
   def qSemi(spark: SparkSession, sfDir: String): DataFrame =
@@ -544,6 +583,7 @@ object Relational {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
+    "q5_join" -> (q5Join _),
     "q_semi" -> (qSemi _),
     "q_anti" -> (qAnti _),
     "q_outer" -> (qOuter _),
@@ -574,6 +614,7 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
     "q3_join" -> q3JoinSql,
+    "q5_join" -> q5JoinSql,
     "q_semi" -> qSemiSql,
     "q_anti" -> qAntiSql,
     "q_outer" -> qOuterSql,
