@@ -62,7 +62,7 @@ object HtmlBlocks {
     "body", "div", "article", "section", "main", "table", "td", "ul", "ol",
     "blockquote", "figure"
   )
-  // block-level boundaries: start/end flushes the current text run
+  // block-level boundaries: start/end emits the current block
   private val BLOCK = Set(
     "address", "article", "aside", "blockquote", "body", "br", "caption",
     "dd", "details", "div", "dl", "dt", "fieldset", "figcaption", "figure",
