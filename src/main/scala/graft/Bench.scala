@@ -77,7 +77,9 @@ object Bench {
     // (the python timeit rationale); the spread is recorded in BENCH.md
     var nDocs = Extract.extract(pages).count()
     nDocs = Extract.extract(pages).count()
-    val reps = (1 to 3).map(_ => time { nDocs = Extract.extract(pages).count() })
+    // 5 reps for the headline metric: interference bursts last minutes, so
+    // more ~3 s samples raise the odds that one lands between bursts
+    val reps = (1 to 5).map(_ => time { nDocs = Extract.extract(pages).count() })
     val tExtract = reps.min
     val docsPerSec = nDocs / tExtract
 
