@@ -115,7 +115,7 @@ object Multimodal {
   // checks (a) decode determinism under repartition and (b) the entire
   // distributed tail, bit-exactly — instead of a rows-only count.
 
-  val ORACLE_DIR = "/root/repo/target/oracle-corpus"
+  val ORACLE_DIR: String = graft.sources.OracleCorpus.DIR
   val META = s"$ORACLE_DIR/media-meta"
   val FRAMES = s"$ORACLE_DIR/media-frames"
   val META_PQ = s"read_parquet('$META/*.parquet')"
@@ -129,14 +129,11 @@ object Multimodal {
     val marker = new java.io.File(s"$ORACLE_DIR/_MEDIA_READY")
     // same staleness guard as OracleCorpus: any recompile re-materializes
     val stamp = s"$N_MEDIA:${graft.sources.OracleCorpus.codeStamp()}"
-    val fresh = marker.exists() &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
-    if (!fresh) {
+    if (!graft.sources.OracleCorpus.markerFresh(marker, stamp)) {
       val m = media(spark, N_MEDIA)
       decodeMeta(m).write.mode("overwrite").parquet(META)
       sampleFrames(m).write.mode("overwrite").parquet(FRAMES)
-      marker.getParentFile.mkdirs()
-      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      graft.sources.OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
   }

@@ -97,7 +97,7 @@ object Relational {
     * Catalyst's join planning over mixed broadcast/shuffle strategies.
     */
   def q5Join(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "region").filter(col("r_name") === "ASIA").as("r")
+    broadcast(t(spark, sfDir, "region").filter(col("r_name") === "ASIA")).as("r")
       .join(broadcast(t(spark, sfDir, "nation")).as("n"),
         col("n.n_regionkey") === col("r.r_regionkey"))
       .join(t(spark, sfDir, "customer").as("c"),

@@ -35,14 +35,35 @@ object OracleCorpus {
       val loc = classOf[graft.BlockRow].getProtectionDomain.getCodeSource.getLocation
       val f = new java.io.File(java.nio.file.Paths.get(loc.toURI).toString, "graft")
       if (f.isDirectory) {
-        var m = 0L
-        java.nio.file.Files.walk(f.toPath).forEach { p =>
-          val t = p.toFile.lastModified(); if (t > m) m = t
-        }
-        m.toString
+        val walk = java.nio.file.Files.walk(f.toPath)
+        try {
+          var m = 0L
+          walk.forEach { p =>
+            val t = p.toFile.lastModified(); if (t > m) m = t
+          }
+          m.toString
+        } finally walk.close()
       } else new java.io.File(java.nio.file.Paths.get(loc.toURI).toString).lastModified.toString
-    } catch { case _: Throwable => "nocode" }
+    } catch {
+      case e: Throwable =>
+        // fall back loudly: a constant stamp disables the staleness guard
+        System.err.println(s"[OracleCorpus] code-stamp probe failed (${e.getClass.getSimpleName}): " +
+          "oracle materializations will NOT auto-invalidate on recompile")
+        "nocode"
+    }
     codeDir
+  }
+
+  /** Shared marker-freshness protocol for oracle materializations: a marker
+    * file is fresh iff it exists and carries exactly `stamp`.
+    */
+  def markerFresh(marker: java.io.File, stamp: String): Boolean =
+    marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+
+  def writeMarker(marker: java.io.File, stamp: String): Unit = {
+    marker.getParentFile.mkdirs()
+    java.nio.file.Files.write(marker.toPath, stamp.getBytes)
   }
 
   private def stamp(): String = s"$N_PAGES:${codeStamp()}"
@@ -55,9 +76,7 @@ object OracleCorpus {
     if (done) return
     val marker = new java.io.File(s"$DIR/_READY")
     val s = stamp()
-    val fresh = marker.exists() &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == s
-    if (!fresh) {
+    if (!markerFresh(marker, s)) {
       import spark.implicits._
       val pages = Corpus.pages(spark, N_PAGES).cache()
       pages.flatMap(Extract.toRows).toDF()
@@ -65,8 +84,7 @@ object OracleCorpus {
       Extract.extract(pages)
         .write.mode("overwrite").parquet(DOCS)
       pages.unpersist()
-      marker.getParentFile.mkdirs()
-      java.nio.file.Files.write(marker.toPath, s.getBytes)
+      writeMarker(marker, s)
     }
     done = true
   }

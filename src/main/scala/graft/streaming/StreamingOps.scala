@@ -252,7 +252,9 @@ object StreamingOps {
         (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
          state: GroupState[Long]) => {
           val start = state.getOption.getOrElse(0L)
-          val batch = it.toIndexedSeq.sortBy(r => (r._3.getTime, r._2))
+          // full microsecond precision: getTime alone is millis and would
+          // drop sub-millisecond ordering the oracle's ORDER BY ts sees
+          val batch = it.toIndexedSeq.sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
           state.update(start + batch.size)
           batch.iterator.zipWithIndex.map { case ((u, eid, _), i) =>
             (u, eid, start + i + 1)
