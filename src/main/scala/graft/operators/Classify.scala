@@ -28,7 +28,8 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Line formation:
   *   HTML: each kept block is one line, in seq order.
-  *   PDF:  runs sorted by (-y, x, seq); a new line starts when prevY - y > 3;
+  *   PDF:  runs sorted by (page, -y, x, seq) — page = RawBlock.depth; a new
+  *         line starts at every page boundary and when prevRunY - y > 3;
   *         runs within a line joined by a single space, in (x, seq) order.
   *
   * Assembly: lines joined by "\n" (Unix); span i covers line i with
@@ -96,21 +97,33 @@ object Classify {
   def linesFromHtml(kept: Vector[RawBlock]): Vector[Line] =
     kept.map(b => Line(b.text, b.seq))
 
-  /** PDF y/x sort-and-merge (the graft's namesake, SURVEY.md W2/W3/A1). */
+  /** PDF y/x sort-and-merge (the graft's namesake, SURVEY.md W2/W3/A1).
+    *
+    * Runs sort `(page, -y, x, seq)` — `RawBlock.depth` carries the page
+    * ordinal on the PDF branch (PdfRuns header) so multi-page documents never
+    * interleave lines across pages. A new line starts at every page boundary
+    * and whenever the vertical gap to the PREVIOUS RUN exceeds PDF_LINE_GAP
+    * (previous run, not line start: exactly the distributed pipeline's
+    * `lag(y)` semantics — the two formulations only agree under that choice
+    * when y drifts monotonically within a line).
+    */
   def linesFromPdfRuns(runs: Vector[RawBlock]): Vector[Line] = {
     val nonEmpty = runs.filter(_.textLen > 0)
     if (nonEmpty.isEmpty) return Vector.empty
-    val sorted = nonEmpty.sortBy(r => (-r.y, r.x, r.seq))
+    val sorted = nonEmpty.sortBy(r => (r.depth, -r.y, r.x, r.seq))
     val out = ArrayBuffer.empty[Line]
     var lineRuns = ArrayBuffer[RawBlock](sorted.head)
     var prevY = sorted.head.y
+    var prevPage = sorted.head.depth
     def flush(): Unit = {
       val ordered = lineRuns.sortBy(r => (r.x, r.seq))
       out += Line(ordered.map(_.text).mkString(" "), ordered.map(_.seq).min)
       lineRuns = ArrayBuffer.empty
     }
     sorted.tail.foreach { r =>
-      if (prevY - r.y > PDF_LINE_GAP) { flush(); prevY = r.y }
+      if (r.depth != prevPage || prevY - r.y > PDF_LINE_GAP) flush()
+      prevY = r.y
+      prevPage = r.depth
       lineRuns += r
     }
     flush()

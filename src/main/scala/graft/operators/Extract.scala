@@ -148,25 +148,30 @@ object Extract {
       )
   }
 
-  /** Kept blocks → per-line rows: unified ordering (HTML: seq; PDF: -y, x,
-    * seq), line breaks (HTML: every block; PDF: vertical gap > PDF_LINE_GAP),
-    * within-line merge ordered by (x, seq) joined by single space (A1).
+  /** Kept blocks → per-line rows: unified ordering (HTML: seq; PDF: page,
+    * -y, x, seq — `depth` carries the page ordinal on the PDF branch, see
+    * PdfRuns), line breaks (HTML: every block; PDF: page boundary or vertical
+    * gap > PDF_LINE_GAP), within-line merge ordered by (x, seq) joined by
+    * single space (A1).
     */
   def lines(classified: DataFrame): DataFrame = {
     val isPdf = col("kind") === Charset.KIND_PDF
+    val k0 = when(isPdf, col("depth")).otherwise(lit(0))
     val k1 = when(isPdf, -col("y")).otherwise(col("seq"))
     val k2 = when(isPdf, col("x")).otherwise(lit(0))
     val k3 = when(isPdf, col("seq")).otherwise(lit(0))
-    val wOrd = Window.partitionBy("url").orderBy(k1.asc, k2.asc, k3.asc)
+    val wOrd = Window.partitionBy("url").orderBy(k0.asc, k1.asc, k2.asc, k3.asc)
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     classified
       .filter(col("kept"))
       .withColumn("prevY", lag(col("y"), 1).over(wOrd))
+      .withColumn("prevPage", lag(k0, 1).over(wOrd))
       .withColumn(
         "newLine",
         when(!isPdf, lit(1))
           .when(col("prevY").isNull, lit(1))
+          .when(col("prevPage") =!= k0, lit(1))
           .when(col("prevY") - col("y") > Classify.PDF_LINE_GAP, lit(1))
           .otherwise(lit(0))
       )

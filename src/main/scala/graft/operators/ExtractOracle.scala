@@ -22,7 +22,7 @@ object ExtractOracle {
   /** Shared DuckDB CTE chain replicating Classify semantics over blocks. */
   private val SQL_CLASSIFY_CTES =
     s"""cand AS (
-       |  SELECT url, seq, tag, kind, text, textLen, linkChars, parentSeq, x, y,
+       |  SELECT url, seq, tag, kind, text, textLen, linkChars, parentSeq, x, y, depth,
        |         (100 * linkChars) // greatest(textLen, 1) AS ld
        |  FROM $B WHERE (flags & 2) = 0 AND (flags & 1) = 0),
        |d1 AS (
@@ -58,6 +58,7 @@ object ExtractOracle {
     s"""$SQL_CLASSIFY_CTES,
        |ordered AS (
        |  SELECT url, kind, seq, text, x, y,
+       |         CASE WHEN kind = 'pdf' THEN depth ELSE 0 END k0,
        |         CASE WHEN kind = 'pdf' THEN -y ELSE seq END k1,
        |         CASE WHEN kind = 'pdf' THEN x  ELSE 0   END k2,
        |         CASE WHEN kind = 'pdf' THEN seq ELSE 0  END k3
@@ -67,13 +68,14 @@ object ExtractOracle {
        |         lag(y) OVER w AS prevY,
        |         CASE WHEN kind <> 'pdf' THEN 1
        |              WHEN lag(y) OVER w IS NULL THEN 1
+       |              WHEN lag(k0) OVER w <> k0 THEN 1
        |              WHEN lag(y) OVER w - y > 3 THEN 1
        |              ELSE 0 END AS newLine
        |  FROM ordered
-       |  WINDOW w AS (PARTITION BY url ORDER BY k1, k2, k3)),
+       |  WINDOW w AS (PARTITION BY url ORDER BY k0, k1, k2, k3)),
        |numbered AS (
        |  SELECT *,
-       |         CAST(sum(newLine) OVER (PARTITION BY url ORDER BY k1, k2, k3
+       |         CAST(sum(newLine) OVER (PARTITION BY url ORDER BY k0, k1, k2, k3
        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lineId
        |  FROM marked),
        |lines AS (

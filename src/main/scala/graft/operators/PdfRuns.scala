@@ -18,6 +18,14 @@ import scala.util.control.NonFatal
   *     rounded to integer PDF units. No width advance between shows — the
   *     y/x sort-and-merge downstream (Classify.linesFromPdfRuns) restores
   *     reading order.
+  *   - Pages: the page tree (`/Type /Pages` + `/Kids`, one nesting level or
+  *     more, `/Contents` refs) is parsed so every emitted run carries its
+  *     PAGE ORDINAL in `RawBlock.depth` (an otherwise-unused field on the
+  *     PDF branch). Downstream reading order sorts `(page, -y, x, seq)` —
+  *     without the page key, page 2's y=700 line would interleave with page
+  *     1's y=700 line. When no page tree is parseable the ordinal falls back
+  *     to the content-stream ordinal (file order), which preserves the old
+  *     single-page behavior exactly.
   *
   * Never throws: any structural surprise -> None (pdf_unsupported).
   */
@@ -27,19 +35,33 @@ object PdfRuns {
     try {
       val streams = contentStreams(bytes)
       if (streams.isEmpty) return None
+      val pageOf = pageContentsMap(bytes) // content-stream objNum -> page ordinal
+      val nPages = if (pageOf.isEmpty) 0 else pageOf.values.max + 1
       val runs = ArrayBuffer.empty[RawBlock]
       var seq = 0
-      streams.foreach { data =>
+      var unmapped = 0
+      streams.zipWithIndex.foreach { case ((objNum, data), ordinal) =>
+        val page =
+          if (pageOf.isEmpty) ordinal // no page tree: stream order IS page order
+          else
+            pageOf.get(objNum) match {
+              case Some(p) => p
+              case None => // non-content stream (font, xobject): sorts after real pages
+                unmapped += 1; nPages + unmapped - 1
+            }
         val s = new String(data, java.nio.charset.Charset.forName("windows-1252"))
-        seq = interpret(s, runs, seq)
+        seq = interpret(s, runs, seq, page)
       }
       Some(runs.toVector)
     } catch { case NonFatal(_) => None }
   }
 
-  /** Decoded bytes of every decodable stream object in the file. */
-  private def contentStreams(bytes: Array[Byte]): Vector[Array[Byte]] = {
-    val out = ArrayBuffer.empty[Array[Byte]]
+  /** `(objectNumber, decodedBytes)` of every decodable stream object in the
+    * file, in file order. Object number is -1 when the `N 0 obj` header is
+    * not visible in the 512-byte window before the stream keyword.
+    */
+  private def contentStreams(bytes: Array[Byte]): Vector[(Int, Array[Byte])] = {
+    val out = ArrayBuffer.empty[(Int, Array[Byte])]
     val n = bytes.length
     var i = 0
     val kw = "stream".getBytes("US-ASCII")
@@ -61,10 +83,13 @@ object PdfRuns {
           var realEnd = de
           if (realEnd > ds && bytes(realEnd - 1) == '\n') realEnd -= 1
           if (realEnd > ds && bytes(realEnd - 1) == '\r') realEnd -= 1
-          val dict = dictBefore(bytes, p)
+          val window = asciiWindowBefore(bytes, p)
+          val dict = dictOf(window)
+          val objNum = objNumOf(window)
           val data = java.util.Arrays.copyOfRange(bytes, ds, realEnd)
-          if (!dict.contains("/Filter")) out += data
-          else if (dict.contains("/FlateDecode")) inflate(data).foreach(out += _)
+          if (!dict.contains("/Filter")) out += ((objNum, data))
+          else if (dict.contains("/FlateDecode"))
+            inflate(data).foreach(d => out += ((objNum, d)))
           // other filters: skipped
           i = de + endKw.length
         }
@@ -74,20 +99,121 @@ object PdfRuns {
   }
 
   /** ASCII view of up to 512 bytes before the `stream` keyword — enough to
-    * see the stream dictionary's /Filter entry in any sane PDF.
+    * see the `N 0 obj` header and the stream dictionary's /Filter entry in
+    * any sane PDF.
     */
-  private def dictBefore(bytes: Array[Byte], p: Int): String = {
+  private def asciiWindowBefore(bytes: Array[Byte], p: Int): String = {
     val from = math.max(0, p - 512)
-    val sb = new java.lang.StringBuilder(p - from)
+    asciiView(bytes, from, p)
+  }
+
+  /** Printable-ASCII projection (non-printables become spaces) — safe to
+    * regex: binary stream payloads degrade to space runs.
+    */
+  private def asciiView(bytes: Array[Byte], from: Int, to: Int): String = {
+    val sb = new java.lang.StringBuilder(to - from)
     var i = from
-    while (i < p) {
+    while (i < to) {
       val c = bytes(i) & 0xff
       sb.append(if (c >= 0x20 && c <= 0x7e) c.toChar else ' ')
       i += 1
     }
-    val s = sb.toString
-    val objAt = s.lastIndexOf(" obj")
-    if (objAt >= 0) s.substring(objAt) else s
+    sb.toString
+  }
+
+  /** The stream's dictionary text (from its last `obj` keyword on). */
+  private def dictOf(window: String): String = {
+    val objAt = window.lastIndexOf(" obj")
+    if (objAt >= 0) window.substring(objAt) else window
+  }
+
+  /** The object number of the last `N G obj` header in the window, or -1. */
+  private def objNumOf(window: String): Int = {
+    val objAt = window.lastIndexOf(" obj")
+    if (objAt < 0) return -1
+    // walk back over "<gen>" then "<num>"
+    var i = objAt - 1
+    def skipWs(): Unit = { while (i >= 0 && window.charAt(i) == ' ') i -= 1 }
+    def readNum(): Int = {
+      val end = i
+      while (i >= 0 && window.charAt(i) >= '0' && window.charAt(i) <= '9') i -= 1
+      if (end == i) -1
+      else
+        try window.substring(i + 1, end + 1).toInt
+        catch { case _: NumberFormatException => -1 }
+    }
+    skipWs()
+    if (readNum() < 0) return -1 // generation number
+    skipWs()
+    readNum()
+  }
+
+  private val PagesDictRe = "/Type\\s*/Pages".r
+  private val PageDictRe = "/Type\\s*/Page(?![a-zA-Z])".r
+  private val KidsRe = "/Kids\\s*\\[([^\\]]*)\\]".r
+  private val RefRe = "(\\d+)\\s+\\d+\\s+R".r
+  private val ContentsArrRe = "/Contents\\s*\\[([^\\]]*)\\]".r
+  private val ContentsRefRe = "/Contents\\s+(\\d+)\\s+\\d+\\s+R".r
+  private val ObjHeaderRe = "(\\d+)\\s+\\d+\\s+obj".r
+
+  /** Map of content-stream object number -> 0-based page ordinal, by walking
+    * the page tree (`/Kids` DFS, page order = Kids order). Empty map when no
+    * page tree is parseable (caller falls back to stream file order).
+    */
+  private[operators] def pageContentsMap(bytes: Array[Byte]): Map[Int, Int] = {
+    try {
+      val view = asciiView(bytes, 0, bytes.length)
+      // every object's dictionary text, keyed by object number (first wins)
+      val headers = ObjHeaderRe.findAllMatchIn(view).toVector
+      val dicts = scala.collection.mutable.Map.empty[Int, String]
+      headers.indices.foreach { h =>
+        val m = headers(h)
+        val objNum = m.group(1).toInt
+        if (!dicts.contains(objNum)) {
+          val end =
+            if (h + 1 < headers.length) headers(h + 1).start else view.length
+          val text = view.substring(m.end, end)
+          val cut = text.indexOf("endobj")
+          dicts(objNum) = if (cut >= 0) text.substring(0, cut) else text
+        }
+      }
+      val pagesNodes = dicts.collect {
+        case (n, d) if PagesDictRe.findFirstIn(d).isDefined => n
+      }.toSet
+      if (pagesNodes.isEmpty) return Map.empty
+      val kidsOf: Map[Int, Vector[Int]] = pagesNodes.map { n =>
+        n -> KidsRe
+          .findFirstMatchIn(dicts(n))
+          .map(k => RefRe.findAllMatchIn(k.group(1)).map(_.group(1).toInt).toVector)
+          .getOrElse(Vector.empty)
+      }.toMap
+      // root(s): Pages nodes not referenced as a kid of another Pages node
+      val allKids = kidsOf.values.flatten.toSet
+      val roots = pagesNodes.toVector.filterNot(allKids.contains).sorted
+      val contentsOf = scala.collection.mutable.Map.empty[Int, Int] // obj -> page
+      var page = 0
+      val visited = scala.collection.mutable.Set.empty[Int]
+      def visit(node: Int, depth: Int): Unit = {
+        if (depth > 64 || !visited.add(node)) return
+        if (pagesNodes.contains(node)) {
+          kidsOf.getOrElse(node, Vector.empty).foreach(visit(_, depth + 1))
+        } else {
+          dicts.get(node).foreach { d =>
+            if (PageDictRe.findFirstIn(d).isDefined) {
+              val refs = ContentsArrRe
+                .findFirstMatchIn(d)
+                .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toVector)
+                .orElse(ContentsRefRe.findFirstMatchIn(d).map(m => Vector(m.group(1).toInt)))
+                .getOrElse(Vector.empty)
+              refs.foreach(r => if (!contentsOf.contains(r)) contentsOf(r) = page)
+              page += 1
+            }
+          }
+        }
+      }
+      roots.foreach(visit(_, 0))
+      contentsOf.toMap
+    } catch { case NonFatal(_) => Map.empty }
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
@@ -124,7 +250,7 @@ object PdfRuns {
 
   // ---- content-stream interpreter ----
 
-  private def interpret(s: String, out: ArrayBuffer[RawBlock], seq0: Int): Int = {
+  private def interpret(s: String, out: ArrayBuffer[RawBlock], seq0: Int, page: Int): Int = {
     var seq = seq0
     val n = s.length
     var i = 0
@@ -148,7 +274,7 @@ object PdfRuns {
         out += RawBlock(
           seq = seq,
           tag = "pdf",
-          depth = 0,
+          depth = page, // PDF branch: depth carries the page ordinal (see header)
           text = norm,
           textLen = norm.length,
           linkChars = 0,

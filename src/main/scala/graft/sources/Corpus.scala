@@ -158,29 +158,36 @@ object Corpus {
 
   // ---- PDF payloads ----
 
-  /** Content stream with runs at known x/y — exercises y/x sort-and-merge. */
-  def pdfContent(seed: Long, i: Long, lang: String): String = {
+  /** Content stream with runs at known x/y — exercises y/x sort-and-merge.
+    * `page` shifts every RNG stream (page 0 = the historical key space, so
+    * single-page PDFs are byte-identical across this change); each page
+    * restarts y at the top of the page — exactly the input class where the
+    * multi-page ordering fix matters (page 2's y=700 must not interleave
+    * with page 1's y=700).
+    */
+  def pdfContent(seed: Long, i: Long, lang: String, page: Int = 0): String = {
     // zh text would not survive the windows-1252 PDF string path; keep ASCII-ish
     val l = if (lang == "zh") "en" else lang
-    val nLines = 3 + Rng.nextInt(seed, 800L, i, 6)
+    val po = page * 7919L
+    val nLines = 3 + Rng.nextInt(seed, 800L + po, i, 6)
     val sb = new StringBuilder("BT /F1 12 Tf\n")
     var y = 700
     var li = 0
     while (li < nLines) {
       // 1-3 runs per line at increasing x; emitted out of order on purpose
-      val nRuns = 1 + Rng.nextInt(seed, 810L + li, i, 3)
+      val nRuns = 1 + Rng.nextInt(seed, 810L + po + li, i, 3)
       val runs = (0 until nRuns).map { r =>
         val x = 72 + r * 150
         val txt = pdfEscape(
-          (0 until (2 + Rng.nextInt(seed, 820L + li * 7 + r, i, 4)))
-            .map(k => word(seed, i, l, 8000 + li * 37 + r * 7 + k))
+          (0 until (2 + Rng.nextInt(seed, 820L + po + li * 7 + r, i, 4)))
+            .map(k => word(seed, i, l, 8000 + page * 997 + li * 37 + r * 7 + k))
             .mkString(" ")
         )
         (x, txt)
       }
       // emit runs in reverse x order sometimes (parser must re-sort)
       val emitOrder =
-        if (Rng.nextInt(seed, 830L + li, i, 2) == 0) runs else runs.reverse
+        if (Rng.nextInt(seed, 830L + po + li, i, 2) == 0) runs else runs.reverse
       emitOrder.foreach { case (x, txt) =>
         sb.append(s"1 0 0 1 $x $y Tm ($txt) Tj\n")
       }
@@ -194,31 +201,43 @@ object Corpus {
   private def pdfEscape(s: String): String =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
-  def pdfBytes(content: String, flate: Boolean, badFilter: Boolean): Array[Byte] = {
-    val raw = content.getBytes("ISO-8859-1")
-    val data =
-      if (flate && !badFilter) {
-        val d = new java.util.zip.Deflater()
-        d.setInput(raw); d.finish()
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-        d.end()
-        out.toByteArray
-      } else raw
+  def pdfBytes(content: String, flate: Boolean, badFilter: Boolean): Array[Byte] =
+    pdfBytes(Seq(content), flate, badFilter)
+
+  /** Multi-page PDF writer: one content stream per page, page tree
+    * Kids-ordered. Object layout: 1 catalog, 2 pages root, then per page p
+    * (0-based) object 3+2p is the /Page and 4+2p its content stream. For a
+    * single page the output is byte-identical to the historical writer.
+    */
+  def pdfBytes(contents: Seq[String], flate: Boolean, badFilter: Boolean): Array[Byte] = {
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
     val filter =
       if (badFilter) " /Filter /LZWDecode"
       else if (flate) " /Filter /FlateDecode"
       else ""
     val bos = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    val n = contents.length
     w("%PDF-1.4\n")
     w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
-    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
-    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
-    w(s"4 0 obj << /Length ${data.length}$filter >>\nstream\n")
-    bos.write(data)
-    w("\nendstream\nendobj\n")
+    val kids = (0 until n).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
+    w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
+    contents.zipWithIndex.foreach { case (content, p) =>
+      val raw = content.getBytes("ISO-8859-1")
+      val data = if (flate && !badFilter) deflate(raw) else raw
+      w(s"${3 + 2 * p} 0 obj << /Type /Page /Parent 2 0 R /Contents ${4 + 2 * p} 0 R >> endobj\n")
+      w(s"${4 + 2 * p} 0 obj << /Length ${data.length}$filter >>\nstream\n")
+      bos.write(data)
+      w("\nendstream\nendobj\n")
+    }
     w("trailer << /Root 1 0 R >>\n%%EOF\n")
     bos.toByteArray
   }
@@ -253,12 +272,17 @@ object Corpus {
             Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ enc
           else enc
         (withBom, paragraph(seed, i, lang, 0))
-      } else if (roll < 88) {
-        (pdfBytes(pdfContent(seed, i, lang), flate = true, badFilter = false), null)
-      } else if (roll < 90) {
-        (pdfBytes(pdfContent(seed, i, lang), flate = false, badFilter = false), null)
       } else if (roll < 92) {
-        (pdfBytes(pdfContent(seed, i, lang), flate = true, badFilter = true), null)
+        // 1-3 pages per PDF: multi-page documents are the input class where
+        // page-aware reading order matters (pages restart y at the top)
+        val nPdfPages = 1 + Rng.nextInt(seed, 9L, i, 3)
+        val contents = (0 until nPdfPages).map(p => pdfContent(seed, i, lang, p))
+        if (roll < 88)
+          (pdfBytes(contents, flate = true, badFilter = false), null)
+        else if (roll < 90)
+          (pdfBytes(contents, flate = false, badFilter = false), null)
+        else
+          (pdfBytes(contents, flate = true, badFilter = true), null)
       } else if (roll < 96) {
         (s"${paragraph(seed, i, lang, 0)}\n\n${paragraph(seed, i, lang, 1)}"
           .getBytes("UTF-8"), null)

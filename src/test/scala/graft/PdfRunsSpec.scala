@@ -63,6 +63,69 @@ class PdfRunsSpec extends AnyFunSuite {
     PdfRuns.parse("%PDF-stream\nstreamendstream".getBytes)
   }
 
+  test("multi-page PDFs: pages never interleave, page boundary breaks lines") {
+    // page 2 restarts at y=700 — same y as page 1's top line: without the
+    // page key the two top lines would merge; and page 1's bottom (y=100) to
+    // page 2's top (y=700) has negative gap, so only the page-boundary rule
+    // separates those lines
+    val p0 = "BT /F1 12 Tf 1 0 0 1 72 700 Tm (page one top) Tj " +
+      "1 0 0 1 72 100 Tm (page one bottom) Tj ET"
+    val p1 = "BT /F1 12 Tf 1 0 0 1 72 700 Tm (page two top) Tj ET"
+    for (flate <- Seq(true, false)) {
+      val runs =
+        PdfRuns.parse(Corpus.pdfBytes(Seq(p0, p1), flate, badFilter = false)).get
+      assert(runs.map(_.depth) == Vector(0, 0, 1), "page ordinals")
+      val (text, _) = Classify.assemble(Classify.linesFromPdfRuns(runs))
+      assert(text == "page one top\npage one bottom\npage two top")
+    }
+  }
+
+  test("page order follows the Kids array, not file order") {
+    // page objects appear in file order 5 (content 6) then 3 (content 4),
+    // but Kids lists [3 0 R 5 0 R]: reading order must be (alpha, beta)
+    val c0 = "BT 72 700 Td (alpha) Tj ET" // page obj 3 -> content obj 4
+    val c1 = "BT 72 700 Td (beta) Tj ET" //  page obj 5 -> content obj 6
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n")
+    w("5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${c0.length} >>\nstream\n$c0\nendstream\nendobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val runs = PdfRuns.parse(bos.toByteArray).get
+    assert(runs.map(r => (r.text, r.depth)) == Vector(("beta", 1), ("alpha", 0)))
+    val lines = Classify.linesFromPdfRuns(runs)
+    assert(lines.map(_.text) == Vector("alpha", "beta"))
+  }
+
+  test("no parseable page tree: page ordinal falls back to stream order") {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("<< /Length 22 >>\nstream\nBT 72 700 Td (a) Tj ET\nendstream\n")
+    w("<< /Length 22 >>\nstream\nBT 72 700 Td (b) Tj ET\nendstream\n")
+    val runs = PdfRuns.parse(bos.toByteArray).get
+    assert(runs.map(r => (r.text, r.depth)) == Vector(("a", 0), ("b", 1)))
+  }
+
+  test("corpus multi-page PDFs round-trip with per-page ordinals") {
+    val contents = (0 until 3).map(p => Corpus.pdfContent(42L, 7L, "en", p))
+    assert(contents.distinct.size == 3, "pages must differ")
+    val runs =
+      PdfRuns.parse(Corpus.pdfBytes(contents, flate = true, badFilter = false)).get
+    assert(runs.map(_.depth).distinct == Vector(0, 1, 2))
+    // per-page text equals the single-page parse of that page's content
+    (0 until 3).foreach { p =>
+      val single = PdfRuns.parse(pdf(contents(p))).get
+      val mine = runs.filter(_.depth == p)
+      assert(mine.map(_.text) == single.map(_.text), s"page $p")
+      assert(mine.map(r => (r.x, r.y)) == single.map(r => (r.x, r.y)), s"page $p xy")
+    }
+  }
+
   test("corpus PDFs round-trip through the parser deterministically") {
     val c = Corpus.pdfContent(42L, 7L, "en")
     val a = PdfRuns.parse(pdf(c)).get
