@@ -1,0 +1,193 @@
+package graft.sources
+
+import graft.Model
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.util
+
+/** DataSource-v2 catalog for pages tables (SURVEY.md §1.2: the promise that
+  * `spark.read.table("pages")` works and a real Iceberg catalog later drops
+  * in without touching callers). A `TableCatalog` plugin over the existing
+  * bucket/day Parquet layout:
+  *
+  *   spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  *
+  * Each table is `warehouse/<name>/` in exactly the [[PageTable]] layout
+  * (`data/bucket=<b>/day=<yyyy-MM-dd>/` parquet files), so a directory written by
+  * `PageTable.write` IS a catalog table and vice versa. The split of labor is
+  * the one every production table format uses: the catalog owns identity and
+  * metadata; the read data plane delegates to Spark's built-in v2 Parquet
+  * source (vectorized reader, filter pushdown, bucket/day directory pruning
+  * — pinned in PageTableSpec), and the write plane is a `V1Write` that
+  * derives the bucket/day partition columns when absent and routes through
+  * the dynamic-partition Parquet writer the rest of the engine already uses.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"catalog $name needs spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): java.io.File = {
+    require(ident.namespace.isEmpty || ident.namespace.sameElements(Array("default")),
+      s"single-level namespace only: $ident")
+    new java.io.File(warehouse, ident.name)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!(namespace.isEmpty || namespace.sameElements(Array("default"))))
+      throw new NoSuchNamespaceException(namespace)
+    val w = new java.io.File(warehouse)
+    if (!w.isDirectory) Array.empty
+    else
+      w.listFiles.filter(f => new java.io.File(f, "data").isDirectory || new java.io.File(f, "_table").isFile)
+        .map(f => Identifier.of(namespace, f.getName))
+        .sortBy(_.name)
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val d = tableDir(ident)
+    new java.io.File(d, "data").isDirectory || new java.io.File(d, "_table").isFile
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new PagesTable(ident.name, tableDir(ident).toString)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val d = tableDir(ident)
+    d.mkdirs()
+    // `_table` marks an empty table (no data/ dir yet) as existing
+    java.nio.file.Files.write(new java.io.File(d, "_table").toPath,
+      schema.json.getBytes("UTF-8"))
+    new PagesTable(ident.name, d.toString)
+  }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    createTable(ident, info.schema(), info.partitions(), info.properties())
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("pages tables have a fixed schema (B:15)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = tableDir(ident)
+    if (!tableExists(ident)) false
+    else {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(d)
+      true
+    }
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    if (!tableDir(from).renameTo(tableDir(to)))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
+}
+
+object PagesTable {
+  /** Contract columns (B:15) plus the two physical partition columns. */
+  val FULL: StructType = Model.PAGES.add("bucket", "int").add("day", "string")
+}
+
+/** One pages table: `SupportsRead` via the built-in v2 Parquet scan over the
+  * partitioned layout, `SupportsWrite` via a V1 fallback write that computes
+  * `bucket`/`day` from `url`/`warc_ts` when the incoming frame carries only
+  * the five contract columns (`ACCEPT_ANY_SCHEMA` — partition columns are
+  * derived, exactly like hidden partitioning in a real table format).
+  */
+class PagesTable(tableName: String, dir: String)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private val dataDir = s"$dir/data"
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = PagesTable.FULL
+
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity("bucket"), Expressions.identity("day"))
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put(TableCatalog.PROP_LOCATION, dir)
+    m.put(TableCatalog.PROP_PROVIDER, "parquet")
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (!new java.io.File(dataDir).isDirectory) {
+      // empty table (created, never written): scan an empty relation through
+      // the same code path by pointing at the (existing, empty) table dir
+      new java.io.File(dataDir).mkdirs()
+    }
+    ParquetTable(tableName, spark, options, Seq(dataDir),
+      Some(PagesTable.FULL), classOf[ParquetFileFormat]).newScanBuilder(options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val missing = Model.PAGES.fieldNames.filterNot(data.columns.contains)
+              require(missing.isEmpty, s"pages insert missing columns: ${missing.mkString(",")}")
+              val withBucket =
+                if (data.columns.contains("bucket")) data
+                else data.withColumn("bucket", PageTable.bucketCol(PageTable.DEFAULT_BUCKETS))
+              val withDay =
+                if (withBucket.columns.contains("day")) withBucket
+                else withBucket.withColumn("day", date_format(col("warc_ts"), "yyyy-MM-dd"))
+              withDay
+                .repartition(col("bucket"))
+                .write
+                .mode(if (overwriteAll || overwrite) SaveMode.Overwrite else SaveMode.Append)
+                .partitionBy("bucket", "day")
+                .parquet(dataDir)
+            }
+          }
+      }
+    }
+}

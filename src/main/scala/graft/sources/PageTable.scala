@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * catalog would maintain — hash-bucket + day partitioning for pruning, plus
   * a manifest table carrying per-partition lineage and metrics. The API is
   * kept narrow (read/write/buckets) so a real `spark.read.table("pages")` on
-  * an Iceberg catalog drops in without touching callers.
+  * an Iceberg catalog drops in without touching callers — and since round 3
+  * that path exists offline too: [[GraftCatalog]] is a DataSource-v2
+  * `TableCatalog` over this exact layout ([[register]] +
+  * `spark.read.table("<catalog>.<name>")`).
   *
   * Layout: `dir/data/bucket=<b>/day=<yyyy-MM-dd>/` parquet files, where
   * `b = pmod(xxhash64(url), numBuckets)` — at 10^12-document scale the bucket
@@ -18,6 +21,14 @@ import org.apache.spark.sql.functions._
 object PageTable {
 
   val DEFAULT_BUCKETS = 32
+
+  /** Register a [[GraftCatalog]] under `catalog`, serving every PageTable
+    * layout directly under `warehouse` as `<catalog>.<dirname>`.
+    */
+  def register(spark: SparkSession, catalog: String, warehouse: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$catalog", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catalog.warehouse", warehouse)
+  }
 
   def bucketCol(numBuckets: Int) =
     pmod(xxhash64(col("url")), lit(numBuckets.toLong)).cast("int")

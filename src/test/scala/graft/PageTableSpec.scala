@@ -33,6 +33,77 @@ class PageTableSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("DSv2 catalog: spark.read.table works with partition pruning") {
+    val wh = s"$tmp/warehouse"
+    PageTable.write(Corpus.pages(spark, N), s"$wh/pages", numBuckets = 8)
+    PageTable.register(spark, "pcat", wh)
+
+    // a PageTable layout under the warehouse IS a catalog table
+    val t = spark.read.table("pcat.pages")
+    assert(t.count() == N)
+    assert(t.columns.toSeq ==
+      Seq("url", "warc_ts", "html", "text", "lang", "bucket", "day"))
+
+    // SQL resolution through the catalog; bucket filter prunes directories
+    val pruned = spark.sql("SELECT url FROM pcat.pages WHERE bucket = 3")
+    assert(pruned.count() > 0)
+    val scans = pruned.queryExecution.executedPlan.collectLeaves()
+    val scanStr = scans.mkString("\n")
+    assert(scanStr.contains("BatchScan") || scanStr.contains("Scan parquet"), scanStr)
+    // pruning proof: the PLANNED file partitions contain only bucket=3 files,
+    // while the table layout holds other buckets
+    val batchScan = scans.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val allFiles = batchScan.scan match {
+      case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+        f.fileIndex.inputFiles.toSeq // the full layout, before pruning
+      case _ => Nil
+    }
+    assert(allFiles.exists(!_.contains("bucket=3")), "layout has other buckets")
+    val plannedFiles = batchScan.partitions.flatten.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString)
+      case _ => Nil
+    }
+    assert(plannedFiles.nonEmpty)
+    assert(plannedFiles.forall(_.contains("bucket=3")),
+      s"unpruned files planned: ${plannedFiles.filterNot(_.contains("bucket=3")).take(3)}")
+
+    // catalog surface: list / exists / load
+    assert(spark.sql("SHOW TABLES IN pcat").collect().map(_.getString(1)).contains("pages"))
+  }
+
+  test("DSv2 catalog: CREATE TABLE + append derives partition columns") {
+    val wh = s"$tmp/warehouse2"
+    PageTable.register(spark, "pcat2", wh)
+    spark.sql(
+      """CREATE TABLE pcat2.pages (
+        |  url string, warc_ts timestamp, html binary, text string, lang string,
+        |  bucket int, day string
+        |) PARTITIONED BY (bucket, day)""".stripMargin)
+    assert(spark.read.table("pcat2.pages").count() == 0)
+
+    // append the five contract columns only: bucket/day must be derived
+    Corpus.pages(spark, 50L).writeTo("pcat2.pages").append()
+    val back = spark.read.table("pcat2.pages")
+    assert(back.count() == 50)
+    // derived bucket matches the canonical layout function
+    val bad = back
+      .filter(col("bucket") =!=
+        pmod(xxhash64(col("url")), lit(PageTable.DEFAULT_BUCKETS.toLong)).cast("int"))
+      .count()
+    assert(bad == 0)
+    // and the physical layout is the PageTable layout (dir-partitioned)
+    assert(new java.io.File(s"$wh/pages/data").listFiles.exists(_.getName.startsWith("bucket=")))
+
+    // idempotent re-read through a fresh table resolution after more data
+    Corpus.pages(spark, 10L, seed = 99L).writeTo("pcat2.pages").append()
+    assert(spark.read.table("pcat2.pages").count() == 60)
+    spark.sql("DROP TABLE pcat2.pages")
+    assert(spark.sql("SHOW TABLES IN pcat2").collect().isEmpty)
+  }
+
   test("kill-and-resume equals one-shot run; manifest carries lineage") {
     val pagesDir = s"$tmp/pages2"
     PageTable.write(Corpus.pages(spark, N), pagesDir, numBuckets = 8)
