@@ -58,37 +58,88 @@ object TopKStrategy extends SparkStrategy {
 
 /** Shared bounded-heap fold: one pass over the partition, a k-capped heap
   * per key (worst row on top), emitted per key in ascending `ordering`.
+  *
+  * The PARTIAL (map-side) variant is memory-bounded and self-disabling: when
+  * keys are near-unique the heap map would hold ~the whole partition on-heap
+  * while filtering nothing, so the fold BAILS to passthrough — it drains the
+  * heaps accumulated so far and streams the remaining rows through unchanged.
+  * Bailing is always correct: every row the fold has dropped was dominated by
+  * k better same-key rows which are all still in the heaps, so the partial
+  * output remains a superset of each key's true top-k. Two triggers:
+  *
+  *   - key cap (`maxKeys`, default 2^17 via -Dgraft.topk.maxPartialKeys):
+  *     hard memory bound of O(maxKeys * k) retained rows per partition;
+  *   - selectivity probe: after [[PROBE_ROWS]] rows, if the heaps have
+  *     retained >= 75% of input, the pre-selection cannot pay for its row
+  *     copies — passthrough and let the exact final stage do the work.
+  *
+  * The FINAL (reduce-side) stage never bails — it is the exactness point and
+  * its true memory need is O(distinct keys in partition * k) rows, the
+  * operator's documented bound (PLANS.md).
   */
-private[plans] object TopKFold {
+private[graft] object TopKFold {
+  val PROBE_ROWS = 8192L
+
+  def maxPartialKeys: Int =
+    sys.props.get("graft.topk.maxPartialKeys").map(_.toInt).getOrElse(1 << 17)
+
+  /** Exact fold (final stage): never bails. */
   def fold(
       it: Iterator[InternalRow],
       keyExprs: Seq[Expression],
       ordering: Seq[SortOrder],
       k: Int,
-      inputSchema: Seq[Attribute]): Iterator[InternalRow] = {
+      inputSchema: Seq[Attribute]): Iterator[InternalRow] =
+    foldPartial(it, keyExprs, ordering, k, inputSchema, Int.MaxValue, Long.MaxValue)
+
+  /** Bounded fold (partial stage): may bail to passthrough (see header). */
+  def foldPartial(
+      it: Iterator[InternalRow],
+      keyExprs: Seq[Expression],
+      ordering: Seq[SortOrder],
+      k: Int,
+      inputSchema: Seq[Attribute],
+      maxKeys: Int,
+      probeRows: Long): Iterator[InternalRow] = {
     val keyGen = UnsafeProjection.create(keyExprs, inputSchema)
     val ord = new LazilyGeneratedOrdering(ordering, inputSchema)
     val worstFirst = new java.util.Comparator[InternalRow] {
       override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
     }
     val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-    while (it.hasNext) {
+    var seen = 0L
+    var retained = 0L
+    var bailed = false
+    var pendingBail: InternalRow = null
+    while (!bailed && it.hasNext) {
       val row = it.next()
       val key = keyGen(row)
       var pq = heaps.get(key)
       if (pq == null) {
-        pq = new java.util.PriorityQueue[InternalRow](k, worstFirst)
-        heaps.put(key.copy(), pq)
+        if (heaps.size >= maxKeys) {
+          pendingBail = row.copy() // this row not folded: emit it on the way out
+          bailed = true
+        } else {
+          pq = new java.util.PriorityQueue[InternalRow](k, worstFirst)
+          heaps.put(key.copy(), pq)
+        }
       }
-      if (pq.size < k) pq.add(row.copy())
-      else if (ord.compare(row, pq.peek()) < 0) { pq.poll(); pq.add(row.copy()) }
+      if (!bailed) {
+        seen += 1
+        if (pq.size < k) { pq.add(row.copy()); retained += 1 }
+        else if (ord.compare(row, pq.peek()) < 0) { pq.poll(); pq.add(row.copy()) }
+        if (seen == probeRows && retained * 4 >= seen * 3) bailed = true
+      }
     }
     import scala.jdk.CollectionConverters._
-    heaps.values.iterator.asScala.flatMap { pq =>
+    val drained = heaps.values.iterator.asScala.flatMap { pq =>
       val arr = pq.toArray(new Array[InternalRow](pq.size))
       java.util.Arrays.sort(arr, ord)
       arr.iterator
     }
+    if (!bailed) drained
+    else if (pendingBail != null) drained ++ Iterator.single(pendingBail) ++ it
+    else drained ++ it
   }
 }
 
@@ -107,7 +158,9 @@ case class PartialTopKExec(
     copy(child = newChild)
   override protected def doExecute(): RDD[InternalRow] = {
     val (ke, ord, kk, schema) = (keyExprs, ordering, k, child.output)
-    child.execute().mapPartitions(TopKFold.fold(_, ke, ord, kk, schema),
+    val (maxKeys, probe) = (TopKFold.maxPartialKeys, TopKFold.PROBE_ROWS)
+    child.execute().mapPartitions(
+      TopKFold.foldPartial(_, ke, ord, kk, schema, maxKeys, probe),
       preservesPartitioning = true)
   }
 }

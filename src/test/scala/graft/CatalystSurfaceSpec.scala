@@ -112,6 +112,61 @@ class CatalystSurfaceSpec extends AnyFunSuite {
       Seq((None, 3L), (None, 5L), (Some("a"), 1L), (Some("a"), 4L)))
   }
 
+  test("TopKFold partial stage bails to passthrough on high-cardinality keys") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, SortOrder => CSortOrder}
+    import org.apache.spark.sql.types.IntegerType
+    val kAttr = AttributeReference("k", IntegerType, nullable = false)()
+    val vAttr = AttributeReference("v", IntegerType, nullable = false)()
+    val schema = Seq(kAttr, vAttr)
+    val input: Seq[InternalRow] =
+      for { k <- 0 until 100; v <- 0 until 10 } yield InternalRow(k, v)
+    val ord = Seq(CSortOrder(vAttr, Ascending))
+    def pairs(it: Iterator[InternalRow]): Seq[(Int, Int)] =
+      it.map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+
+    // exact fold: 2 rows per key
+    val exact = pairs(graft.plans.TopKFold.fold(
+      input.iterator, Seq(kAttr), ord, 2, schema))
+    assert(exact == (for { k <- 0 until 100; v <- 0 until 2 } yield (k, v)))
+
+    // key-cap bail: only 8 keys folded, the rest passed through — output is
+    // larger than the exact selection but still a superset of every top-2
+    val bailed = pairs(graft.plans.TopKFold.foldPartial(
+      input.iterator, Seq(kAttr), ord, 2, schema, 8, Long.MaxValue))
+    assert(bailed.size > exact.size, s"expected passthrough, got ${bailed.size} rows")
+    val refolded = pairs(graft.plans.TopKFold.fold(
+      bailed.iterator.map { case (k, v) => InternalRow(k, v) }, Seq(kAttr), ord, 2, schema))
+    assert(refolded == exact, "final fold over bailed partial output must stay exact")
+
+    // selectivity-probe bail: unique keys, probe after 64 rows -> passthrough
+    val uniq: Seq[InternalRow] = (0 until 500).map(i => InternalRow(i, i))
+    val probed = pairs(graft.plans.TopKFold.foldPartial(
+      uniq.iterator, Seq(kAttr), ord, 2, schema, Int.MaxValue, 64L))
+    assert(probed.size == 500, "unique keys: every row survives either way")
+  }
+
+  test("TopKPerKey stays exact on ~1M near-unique keys (partial-stage fallback)") {
+    val big = spark.range(1000000L).select(
+      (col("id") % 900000L).as("k"),
+      pmod(col("id") * 2654435761L, lit(1000003L)).as("v"),
+      col("id"))
+    val ord = Seq(col("v").asc, col("id").asc)
+    val windowed = big.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("v").asc, col("id").asc)))
+      .filter(col("rn") <= 3).drop("rn")
+    def check(): Unit = {
+      val custom = graft.plans.TopK.perKey(big, Seq(col("k")), ord, 3)
+      assert(custom.count() == windowed.count())
+      assert(custom.exceptAll(windowed).count() == 0)
+    }
+    check() // default cap: selectivity probe bails (keys ~= rows per partition)
+    sys.props("graft.topk.maxPartialKeys") = "1000"
+    try check() // tiny cap: key-cap bail path end-to-end
+    finally sys.props.remove("graft.topk.maxPartialKeys")
+  }
+
   test("processable filter (F3) pushes null/lang predicates to the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-f3").toString
     Corpus.pages(spark, 80).write.mode("overwrite").parquet(dir)
