@@ -148,7 +148,10 @@ object Corpus {
 <![CDATA[ raw <b>stuff</b> ]]><!-- trailing -->"""
       case _ => // entity dense
         s"""<div><p>Fish &amp; chips &#38; more &#x26; again &mdash; ${paragraph(seed, i, lang, 1)}</p>
-<p>&laquo;${sentence(seed, i, lang, 2)}&raquo; &nbsp; caf&eacute; &copy; &euro;5 &frac12; &hellip;</p></div>"""
+<p>&laquo;${sentence(seed, i, lang, 2)}&raquo; &nbsp; caf&eacute; &copy; &euro;5 &frac12; &hellip;</p>
+<p>Legacy forms: &copy 2026 caf&eacute and &amp co &sup2 but &euro stays &bogus; too.
+Greek &alpha;&beta;&Gamma; math &le; &ne; &forall;&exist; arrows &larr;&rArr;
+aliases &sol;&lpar;x&rpar; &check; &OElig;uvre ${sentence(seed, i, lang, 3)}</p></div>"""
     }
     val t = title(seed, i, lang)
     s"""<!DOCTYPE html>

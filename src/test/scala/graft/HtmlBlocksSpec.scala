@@ -27,6 +27,39 @@ class HtmlBlocksSpec extends AnyFunSuite {
     assert(Entities.decodeAll("&eacute;") == "é")
   }
 
+  test("expanded entity table: Latin-1 row, Greek, symbols, HTML5 aliases") {
+    // positional Latin-1 correctness at row boundaries and interior
+    assert(Entities.decodeAll("&iexcl;&yuml;&eth;&Agrave;&frac34;") == "¡ÿðÀ¾")
+    assert(Entities.named.size >= 300, s"table has ${Entities.named.size} names")
+    // Greek incl. the 0x3A2 gap (Sigma after Rho) and final sigma
+    assert(Entities.decodeAll("&Rho;&Sigma;&rho;&sigmaf;&sigma;&Omega;&omega;") ==
+      "ΡΣρςσΩω")
+    // symbol set
+    assert(Entities.decodeAll("&forall;&isin;&notin;&there4;&hArr;&spades;") ==
+      "∀∈∉∴⇔♠")
+    // HTML5 aliases
+    assert(Entities.decodeAll("&sol;&lpar;x&rpar;&check;&leq;&NewLine;") == "/(x)✓≤\n")
+    // every named mapping is a single codepoint from this hand-built table
+    Entities.named.values.foreach(v => assert(v.codePointCount(0, v.length) == 1))
+  }
+
+  test("legacy semicolon-less references decode by maximal munch; modern names need ;") {
+    // spec §13.5 historical behavior
+    assert(Entities.decodeAll("&copy 2026") == "© 2026")
+    assert(Entities.decodeAll("caf&eacute") == "café")
+    assert(Entities.decodeAll("&copyright") == "©right") // longest legacy prefix
+    assert(Entities.decodeAll("&ampx") == "&x")
+    assert(Entities.decodeAll("&lte;") == "<e;") // lte; unknown -> legacy lt
+    assert(Entities.decodeAll("&notin;") == "∉") // with ; the full name wins
+    assert(Entities.decodeAll("&notx") == "¬x")
+    assert(Entities.decodeAll("&sup2") == "²") // longest prefix beats &sup
+    // non-legacy names stay literal without the semicolon
+    assert(Entities.decodeAll("&euro 5") == "&euro 5")
+    assert(Entities.decodeAll("&alpha test") == "&alpha test")
+    // and through the tokenizer
+    assert(texts("<p>x &copy 2026 &amp co</p>") == Vector("x © 2026 & co"))
+  }
+
   test("script/style/title/textarea content is dropped entirely") {
     val html =
       """<title>nope</title><script>var a = "<p>ghost</p>";</script>
