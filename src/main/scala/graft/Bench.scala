@@ -7,10 +7,12 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract; BASELINE.md protocol).
   *
   * Headline metric: extracted-docs/sec of the full pipeline over a staged
-  * synthetic pages table (generation is NOT timed), median of 3 measured
-  * passes after one full warm-up pass — the first pass of a fresh JVM runs
-  * largely interpreted (C2 warm-up inflates CPU 20x+; see BASELINE.md) and
-  * is never representative of a long-running 100 TB job.
+  * synthetic pages table (generation is NOT timed, stamped against code
+  * changes), min of 5 measured passes after two full warm-up passes — the
+  * first pass of a fresh JVM runs largely interpreted (C2 warm-up inflates
+  * CPU 20x+; see BASELINE.md), and the host's bursty co-tenant load only
+  * ever ADDS time, so min estimates capability; the per-rep spread and
+  * median are also emitted in the JSON line.
   *
   * Also times the headline relational / dedup / similarity queries at
   * `SPARK_GRAFT_SF_DIR` (second of two runs each). Prints ONE JSON line.
@@ -63,11 +65,18 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // stage the bench corpus once (generation/IO excluded from the metric)
+    // stage the bench corpus once (generation/IO excluded from the metric).
+    // Same marker protocol as OracleCorpus: keyed on (nPages, code mtime) so
+    // a Corpus/tokenizer change across rounds can never silently reuse a
+    // stale staged corpus and misreport docs/s.
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS",
       s"/dev/shm/graft-bench-pages-$nPages")
-    if (!new java.io.File(s"$corpusDir/_SUCCESS").exists())
+    val marker = new java.io.File(s"$corpusDir/_GRAFT_STAMP")
+    val stamp = s"$nPages:${graft.sources.OracleCorpus.codeStamp()}"
+    if (!graft.sources.OracleCorpus.markerFresh(marker, stamp)) {
       Corpus.pages(spark, nPages).write.mode("overwrite").parquet(corpusDir)
+      graft.sources.OracleCorpus.writeMarker(marker, stamp)
+    }
     val pages = spark.read.schema(Model.PAGES).parquet(corpusDir).as[Page]
 
     // two full warm-up passes (C2 needs >1 full pass to compile the hot
@@ -82,6 +91,11 @@ object Bench {
     val reps = (1 to 5).map(_ => time { nDocs = Extract.extract(pages).count() })
     val tExtract = reps.min
     val docsPerSec = nDocs / tExtract
+    // min is the capability estimator (bursty co-tenant load only adds time);
+    // the per-rep spread goes into the machine-readable output so downstream
+    // comparisons see variance, not just the floor (ADVICE r2)
+    val repsJson = reps.map(r => f"$r%.3f").mkString("[", ",", "]")
+    val tExtractMedian = reps.sorted.apply(reps.size / 2)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("extract") = tExtract
@@ -99,7 +113,7 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"extract_pages":$nPages,"extract_docs_per_sec":$docsPerSec%.1f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"extract_pages":$nPages,"extract_docs_per_sec":$docsPerSec%.1f,"extract_reps_sec":$repsJson,"extract_median_sec":$tExtractMedian%.3f}""")
     spark.stop()
   }
 }

@@ -220,8 +220,10 @@ object ExtractOracle {
     */
   def exHostJoin(spark: SparkSession, sfDir: String): DataFrame = {
     // parse_url is the named built-in (SURVEY.md §2.8); the DuckDB side uses
-    // an equivalent regex (DuckDB has no URL parser). All corpus urls carry an
-    // explicit scheme, where the two agree.
+    // an equivalent regex (DuckDB has no URL parser). The regex stops at
+    // '/' OR ':' and needs no trailing slash, so the two agree for any
+    // scheme-prefixed URL without userinfo; a port would still diverge
+    // (parse_url keeps it out of HOST) — corpus urls carry none.
     val docs = OracleCorpus.docs(spark)
       .withColumn("host", parse_url(col("url"), lit("HOST")))
     val stats = docs.groupBy("host")
@@ -235,7 +237,7 @@ object ExtractOracle {
 
   val exHostJoinSql: String =
     s"""WITH d AS (
-       |  SELECT url, regexp_extract(url, '^https?://([^/]+)/', 1) host, length(text) nc
+       |  SELECT url, regexp_extract(url, '^https?://([^/:]+)', 1) host, length(text) nc
        |  FROM $D),
        |stats AS (SELECT host, count(*) host_docs,
        |                 CAST(sum(nc) AS BIGINT) host_chars FROM d GROUP BY 1)
@@ -267,10 +269,43 @@ object ExtractOracle {
   }
 
   val exSaltedSql: String =
-    s"""SELECT regexp_extract(url, '^https?://([^/]+)/', 1) host,
+    s"""SELECT regexp_extract(url, '^https?://([^/:]+)', 1) host,
        |       count(*) n_docs,
        |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) chars
        |FROM $D GROUP BY 1 ORDER BY host""".stripMargin
+
+  // ---- salted skew JOIN (explicit skew handling on a join key) -----------
+
+  /** Salt-folded JOIN — completes the B:14 "skew handled explicitly" story
+    * for joins (r2 covered only aggregation): the fact side (docs, Zipf-hot
+    * on host) folds `salt = pmod(xxhash64(url), SALT)` into the join key and
+    * the small dim side is replicated SALT ways, so the hot host's probe
+    * rows spread over SALT reducers instead of one. The `shuffle_hash` hint
+    * keeps the demonstration honest — at 10^12 docs a derived per-host dim
+    * can exceed broadcast reach, and a broadcast join would never skew in
+    * the first place. Results are identical to the unsalted join (the
+    * oracle): salting is pure partitioning, never semantics — plan pinned in
+    * CatalystSurfaceSpec.
+    */
+  def exSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val SALT = 8L
+    val docs = OracleCorpus.docs(spark)
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(SALT)))
+    val dim = docs.groupBy("host").agg(count(lit(1)).as("host_docs"))
+    val dimSalted = dim
+      .withColumn("salt", explode(sequence(lit(0L), lit(SALT - 1L))))
+    docs.join(dimSalted.hint("shuffle_hash"), Seq("host", "salt"))
+      .select(col("url"), col("host"), col("host_docs"))
+      .orderBy("url")
+  }
+
+  val exSkewJoinSql: String =
+    s"""WITH d AS (
+       |  SELECT url, regexp_extract(url, '^https?://([^/:]+)', 1) host FROM $D),
+       |dim AS (SELECT host, count(*) host_docs FROM d GROUP BY 1)
+       |SELECT url, d.host, host_docs
+       |FROM d JOIN dim ON d.host = dim.host ORDER BY url""".stripMargin
 
   // ---- contract surface --------------------------------------------------
 
@@ -281,7 +316,8 @@ object ExtractOracle {
     "ex_stats" -> (exStats _),
     "ex_langid" -> (exLangid _),
     "ex_hostjoin" -> (exHostJoin _),
-    "ex_salted" -> (exSalted _)
+    "ex_salted" -> (exSalted _),
+    "ex_skewjoin" -> (exSkewJoin _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -291,6 +327,7 @@ object ExtractOracle {
     "ex_stats" -> exStatsSql,
     "ex_langid" -> exLangidSql,
     "ex_hostjoin" -> exHostJoinSql,
-    "ex_salted" -> exSaltedSql
+    "ex_salted" -> exSaltedSql,
+    "ex_skewjoin" -> exSkewJoinSql
   )
 }

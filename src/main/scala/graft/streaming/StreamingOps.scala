@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 /** Structured Streaming surface (SURVEY.md §2.9 ST1–ST6), exercised in
   * batch-equivalent form so the driver's DuckDB oracle can check results:
   * each query streams the events table with `Trigger.AvailableNow()` into a
-  * memory sink, then returns the materialized result. Late rows beyond the
+  * temp parquet sink, then returns the re-read result. Late rows beyond the
   * watermark horizon are excluded on BOTH sides by a fixed cutoff, making
   * streaming output == batch SQL.
   *
@@ -75,16 +75,40 @@ object StreamingOps {
       .withColumn("ts", col("ts").cast("timestamp"))
   }
 
-  private[graft] def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+  /** Run an AvailableNow query into a temp PARQUET sink (tmpfs) and read the
+    * result back — no driver-memory materialization, so the harness itself
+    * follows the scale story (the memory sink it replaced collected every
+    * result row onto the driver). The file sink is append-only, which is the
+    * mode every harness query uses.
+    *
+    * `requireSingleBatch` pins the one-microbatch assumption where
+    * correctness depends on it (stDedup's DISTINCT oracle, stSeq's in-batch
+    * ordering): if staging ever splits the input into multiple files (or
+    * maxFilesPerTrigger appears), the run fails HERE at the assumption, not
+    * downstream at an opaque hash diff.
+    */
+  private[graft] def runToTable(
+      df: DataFrame, name: String, mode: String,
+      requireSingleBatch: Boolean = false): DataFrame = {
+    require(mode == "append", s"parquet sink is append-only, got $mode")
+    val out = new java.io.File(
+      new java.io.File(sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")),
+      s"graft-sink-$name").getAbsolutePath
     val q = df.writeStream
-      .format("memory")
-      .queryName(name)
+      .format("parquet")
+      .option("path", out)
       .outputMode(mode)
       .option("checkpointLocation", ckpt(name))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    if (requireSingleBatch) {
+      val feeding = q.recentProgress.count(_.numInputRows > 0)
+      require(feeding == 1,
+        s"$name expected exactly one data microbatch, saw $feeding — " +
+          "staged source no longer single-file; the query's oracle assumes one batch")
+    }
+    df.sparkSession.read.parquet(out)
   }
 
   // ---- ST2/ST3: watermarked tumbling-window counts -----------------------
@@ -217,7 +241,8 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
-    runToTable(dd, s"st_dedup_${System.nanoTime()}", "append")
+    runToTable(dd, s"st_dedup_${System.nanoTime()}", "append",
+      requireSingleBatch = true)
       .orderBy("user_id", "event_type")
   }
 
@@ -265,7 +290,8 @@ object StreamingOps {
 
   def stSeq(spark: SparkSession, sfDir: String): DataFrame = {
     val numbered = seqNumbered(streamEvents(spark, sfDir))
-    runToTable(numbered, s"st_seq_${System.nanoTime()}", "append")
+    runToTable(numbered, s"st_seq_${System.nanoTime()}", "append",
+      requireSingleBatch = true)
       .orderBy("user_id", "seq_no")
   }
 

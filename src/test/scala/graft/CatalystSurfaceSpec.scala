@@ -167,6 +167,28 @@ class CatalystSurfaceSpec extends AnyFunSuite {
     finally sys.props.remove("graft.topk.maxPartialKeys")
   }
 
+  test("ex_skewjoin: salted shuffle join, no broadcast, equals unsalted join") {
+    val salted = graft.operators.ExtractOracle.exSkewJoin(spark, "")
+    val plan = salted.queryExecution.executedPlan.toString
+    // the join must be a shuffled join keyed on (host, salt) — a broadcast
+    // join would make the skew demonstration vacuous
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"), plan)
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin")).get
+    assert(joinLine.contains("host") && joinLine.contains("salt"), joinLine)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    // salting never changes results: equal to the plain host join
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.OracleCorpus.docs(spark)
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+    val dim = docs.groupBy("host").agg(count(lit(1)).as("host_docs"))
+    val plain = docs.join(dim, Seq("host"))
+      .select(col("url"), col("host"), col("host_docs")).orderBy("url")
+    val a = salted.collect().map(_.toString).toSeq
+    val b = plain.collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("processable filter (F3) pushes null/lang predicates to the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-f3").toString
     Corpus.pages(spark, 80).write.mode("overwrite").parquet(dir)

@@ -125,6 +125,45 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(TextAnalysis.winnow("tiny") == Vector.empty)
   }
 
+  test("q_approx sketches stay within configured error vs exact (sf0.01 + sf0.1)") {
+    // the driver entry is rows-only (sketch values are engine-specific), so
+    // bound the sketches here: HLL++ rsd=0.02 (allow 4 sigma) and
+    // percentile_approx accuracy=10000 (allow +-1% rank, covering ties)
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val approx = Relational.qApprox(spark, sf).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nd"), count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(approx.keySet == exact.keySet)
+      approx.foreach { case (flag, (apxNd, apxP95)) =>
+        val (nd, n) = exact(flag)
+        val relErr = math.abs(apxNd - nd).toDouble / nd
+        assert(relErr <= 0.08, s"$sf $flag: approx_count_distinct off by $relErr")
+        val below = li.filter(col("l_returnflag") === flag &&
+          col("l_extendedprice") <= apxP95).count()
+        val rank = below.toDouble / n
+        assert(rank >= 0.94 && rank <= 0.96,
+          s"$sf $flag: p95 sketch sits at rank $rank")
+      }
+    }
+  }
+
+  test("winnow SQL-oracle precondition: documents text is BMP-only") {
+    // the DuckDB winnow twin hashes per-CODEPOINT (unicode()/substr) while
+    // the Scala rolling hash walks UTF-16 units (charAt): they agree only
+    // when no codepoint is >= U+10000. Enforce the precondition loudly here
+    // instead of letting a future corpus change surface as a hash diff.
+    for (sf <- Seq(SF, "/root/testdata/sf0.01")) {
+      val astral = spark.read.parquet(s"$sf/documents.parquet")
+        .filter(col("text").rlike("[\\x{10000}-\\x{10FFFF}]"))
+        .count()
+      assert(astral == 0, s"$astral documents in $sf contain astral (non-BMP) " +
+        "codepoints; winnowSql's charAt==codepoint equivalence no longer holds")
+    }
+  }
+
   test("multimodal: header decode round-trips; deterministic under repartition") {
     import spark.implicits._
     val m = Multimodal.media(spark, 100)
