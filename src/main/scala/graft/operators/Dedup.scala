@@ -226,6 +226,88 @@ object Dedup {
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- near-dup connected components -------------------------------------
+
+  /** Cluster the near-dup pair graph into CONNECTED COMPONENTS — the step
+    * that turns pairwise similarity into dedup decisions (keep one canonical
+    * doc per cluster; transitive near-dups A~B~C collapse even when A~C was
+    * never scored). Edges: jaccard pairs with jacc_pct >= 50.
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint — each round,
+    * every vertex takes the min of its own label and its neighbors' labels;
+    * rounds needed = graph diameter (dup clusters are tiny, so 2-3 here; the
+    * loop converges by a driver-checked changed-count, capped at 20).
+    * 100 TB shape: each round is one join + one partial-aggregated groupBy
+    * on doc_id — the standard large-scale CC recipe (alternating-star
+    * variants only pay off on web-graph-diameter inputs, documented here as
+    * the upgrade path); `localCheckpoint` cuts the growing lineage each
+    * round so the plan stays O(1) per iteration.
+    *
+    * Output: one row per doc in a non-singleton cluster, with the cluster
+    * label (= min doc_id in the component), the cluster size, and the
+    * canonical flag. Oracle: DuckDB recursive CTE transitive closure.
+    */
+  def components(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = ngramJaccard(spark, sfDir)
+      .filter(col("jacc_pct") >= 50)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = edges.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .unionByName(edges.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .localCheckpoint() // edges reused every round: compute the pairs once
+    var labels = sym.select(col("s").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = sym.join(labels, sym("d") === labels("id"))
+        .groupBy(col("s").as("pid"))
+        .agg(min(col("comp")).as("ncomp"))
+      val next = labels
+        .join(prop, labels("id") === prop("pid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("comp"))
+      .select(
+        col("id").as("doc_id"),
+        col("comp").as("cluster_id"),
+        col("cluster_size"),
+        (col("id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  val componentsSql: String =
+    s"""${SQL_DOCS_WITH_DUPS.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$SQL_SHINGLES,
+       |$SQL_CAPPED,
+       |n AS (SELECT doc_id, count(*) n FROM shc GROUP BY 1),
+       |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+       |      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |e AS (SELECT doc_a, doc_b FROM p
+       |      JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+       |      WHERE (100 * inter) // (na.n + nb.n - inter) >= 50),
+       |sym AS (SELECT doc_a s, doc_b d FROM e UNION ALL SELECT doc_b, doc_a FROM e),
+       |reach(id, lab) AS (
+       |  SELECT DISTINCT s, s FROM sym
+       |  UNION
+       |  SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
+       |comp AS (SELECT id, min(lab) comp FROM reach GROUP BY id),
+       |cs AS (SELECT comp, count(*) cluster_size FROM comp GROUP BY 1)
+       |SELECT c.id doc_id, c.comp cluster_id, CAST(cs.cluster_size AS BIGINT) cluster_size,
+       |       (c.id = c.comp) is_canonical
+       |FROM comp c JOIN cs USING (comp)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- SimHash -----------------------------------------------------------
 
   private val SIM_BITS = 16
@@ -270,7 +352,8 @@ object Dedup {
     "dd_contam" -> (contam _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
     "dd_minhash_lsh" -> (minhashLsh _),
-    "dd_simhash" -> (simhash _)
+    "dd_simhash" -> (simhash _),
+    "dd_components" -> (components _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -278,6 +361,7 @@ object Dedup {
     "dd_contam" -> contamSql,
     "dd_ngram_jaccard" -> ngramJaccardSql,
     "dd_minhash_lsh" -> minhashLshSql,
-    "dd_simhash" -> simhashSql
+    "dd_simhash" -> simhashSql,
+    "dd_components" -> componentsSql
   )
 }

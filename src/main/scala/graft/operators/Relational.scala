@@ -567,6 +567,73 @@ object Relational {
     """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) med_qty, count(*) n
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- gap-filled calendar spine (§2.12) ---------------------------------
+
+  /** Gap-fill: daily order counts per priority over a fixed calendar month,
+    * missing days zero-filled — the date-spine pattern every time-series
+    * report needs (a groupBy alone silently drops empty days). The spine is
+    * `sequence(start, stop) × distinct keys`: generated, never shuffled at
+    * scale (the fact side aggregates FIRST, the tiny spine left-joins the
+    * aggregate — broadcast at any corpus size).
+    */
+  def qGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = spark.range(1).select(
+      explode(expr("sequence(DATE'1995-01-01', DATE'1995-01-31', interval 1 day)")).as("d"))
+    val pr = t(spark, sfDir, "orders").select(col("o_orderpriority")).distinct()
+    val counts = t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1995-02-01"))
+      .groupBy(to_date(col("o_orderdate")).as("d"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    days.crossJoin(pr)
+      .join(counts, Seq("d", "o_orderpriority"), "left")
+      .select(col("d"), col("o_orderpriority"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("d", "o_orderpriority")
+  }
+
+  val qGapfillSql: String =
+    """WITH days AS (
+      |  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-01-31',
+      |                                     INTERVAL 1 DAY)) AS DATE) d),
+      |pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+      |c AS (SELECT CAST(o_orderdate AS DATE) d, o_orderpriority, count(*) n
+      |      FROM orders
+      |      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |        AND o_orderdate < TIMESTAMP '1995-02-01'
+      |      GROUP BY 1, 2)
+      |SELECT days.d, pr.o_orderpriority, CAST(coalesce(c.n, 0) AS BIGINT) n_orders
+      |FROM days CROSS JOIN pr
+      |LEFT JOIN c ON c.d = days.d AND c.o_orderpriority = pr.o_orderpriority
+      |ORDER BY days.d, pr.o_orderpriority""".stripMargin
+
+  // ---- distribution ranks: ntile / percent_rank / cume_dist (§2.12) ------
+
+  /** The remaining ranking-window family: quartile bucket, percentile rank,
+    * and cumulative distribution per event over its type's value ordering.
+    * The ORDER BY is total (value, event_id), so the double-valued
+    * percent_rank/cume_dist are the same exact rationals in both engines.
+    */
+  def qRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    t(spark, sfDir, "events")
+      .select(
+        col("event_id"), col("event_type"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+      .orderBy("event_id")
+  }
+
+  val qRanksSql: String =
+    """SELECT event_id, event_type,
+      |       ntile(4)       OVER w AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist()    OVER w AS cum_dist
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+      |ORDER BY event_id""".stripMargin
+
   // ---- approximate aggregates (engine-specific — rows-only check) --------
 
   def qApprox(spark: SparkSession, sfDir: String): DataFrame =
@@ -607,6 +674,8 @@ object Relational {
     "q_asof" -> (qAsof _),
     "q_median" -> (qMedian _),
     "q_subquery" -> (qSubquery _),
+    "q_gapfill" -> (qGapfill _),
+    "q_ranks" -> (qRanks _),
     "q_union" -> (qUnion _),
     "q_approx" -> (qApprox _)
   )
@@ -638,6 +707,8 @@ object Relational {
     "q_asof" -> qAsofSql,
     "q_median" -> qMedianSql,
     "q_subquery" -> qSubquerySql,
+    "q_gapfill" -> qGapfillSql,
+    "q_ranks" -> qRanksSql,
     "q_union" -> qUnionSql
     // q_approx: HLL++/KLL sketches are engine-specific — rows-only check
   )

@@ -95,6 +95,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(cold.count() == sh.filter(col("doc_id") < Dedup.DF_CAP).count())
   }
 
+  test("connected components: injected dup pairs cluster with min-id canonical") {
+    val r = Dedup.components(spark, SF).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.nonEmpty)
+    // every injected copy (id+1000000) shares a cluster with its original
+    r.filter(_._1 >= 1000000L).foreach { case (id, cluster, _, canon) =>
+      val orig = r.find(_._1 == id - 1000000L)
+      assert(orig.isDefined, s"original of $id missing from components")
+      assert(orig.get._2 == cluster, s"$id not clustered with its original")
+      assert(!canon, s"copy $id cannot be canonical (original has smaller id)")
+    }
+    // cluster label is the min doc_id of the cluster; exactly one canonical
+    r.groupBy(_._2).foreach { case (cluster, members) =>
+      assert(members.map(_._1).min == cluster)
+      assert(members.count(_._4) == 1)
+      assert(members.forall(_._3 == members.length))
+    }
+  }
+
   test("simhash is identical for identical copies") {
     val sh = Dedup.simhash(spark, SF)
     val joined = sh.as("a")
