@@ -8,12 +8,42 @@ import java.nio.ByteBuffer
   * Decode policy (fixed; feeds the byte-identical output, BASELINE.json:14):
   *   1. UTF-8 BOM (EF BB BF)  -> UTF-8, BOM stripped.
   *   2. `charset=NAME` found in the first 1024 bytes (ASCII, case-insensitive,
-  *      e.g. `<meta charset="...">` or http-equiv content) -> that charset if
-  *      supported (utf-8, iso-8859-1/latin-1, windows-1252, us-ascii).
+  *      e.g. `<meta charset="...">` or http-equiv content) -> the charset the
+  *      WHATWG Encoding label maps to, over the fixed allow-list in [[LABELS]]
+  *      (the major web encodings the JDK ships: the windows-125x family, CJK
+  *      double-byte sets, KOI8, ISO-8859-x). Per the Encoding standard,
+  *      latin-1 labels mean windows-1252 and gb2312 means GBK.
   *   3. Otherwise UTF-8.
-  * Malformed sequences decode to U+FFFD (REPLACE) — deterministic.
+  * Malformed sequences decode to U+FFFD (REPLACE) — deterministic. The list
+  * is FIXED (not `JCharset.isSupported`-driven) so output never depends on
+  * the JRE's installed charset providers.
   */
 object Charset {
+
+  /** WHATWG encoding label -> JVM charset name (subset; unknown -> utf-8). */
+  private val LABELS: Map[String, String] = Map(
+    "utf-8" -> "UTF-8", "utf8" -> "UTF-8",
+    "us-ascii" -> "UTF-8", "ascii" -> "UTF-8",
+    "iso-8859-1" -> "windows-1252", "latin-1" -> "windows-1252",
+    "latin1" -> "windows-1252", "l1" -> "windows-1252",
+    "windows-1252" -> "windows-1252", "cp1252" -> "windows-1252",
+    "iso-8859-2" -> "ISO-8859-2", "latin2" -> "ISO-8859-2",
+    "iso-8859-5" -> "ISO-8859-5",
+    "iso-8859-7" -> "ISO-8859-7",
+    "iso-8859-9" -> "windows-1254", "windows-1254" -> "windows-1254",
+    "iso-8859-15" -> "ISO-8859-15",
+    "windows-1250" -> "windows-1250", "cp1250" -> "windows-1250",
+    "windows-1251" -> "windows-1251", "cp1251" -> "windows-1251",
+    "windows-1256" -> "windows-1256",
+    "koi8-r" -> "KOI8-R", "koi8" -> "KOI8-R",
+    "gbk" -> "GBK", "gb2312" -> "GBK", "gb-2312" -> "GBK",
+    "gb18030" -> "GB18030",
+    "big5" -> "Big5", "big5-hkscs" -> "Big5-HKSCS",
+    "shift_jis" -> "Shift_JIS", "shift-jis" -> "Shift_JIS",
+    "sjis" -> "Shift_JIS", "ms_kanji" -> "Shift_JIS",
+    "euc-jp" -> "EUC-JP",
+    "euc-kr" -> "EUC-KR", "ks_c_5601-1987" -> "EUC-KR"
+  )
   val KIND_HTML = "html"
   val KIND_PDF = "pdf"
   val KIND_TEXT = "text"
@@ -48,14 +78,8 @@ object Charset {
           (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '-' || c == '_'
         }
       ) j += 1
-      head.substring(start, j) match {
-        case "utf-8" | "utf8"                            => "utf-8"
-        case "iso-8859-1" | "latin-1" | "latin1"         => "windows-1252"
-        case "windows-1252" | "cp1252"                   => "windows-1252"
-        case "us-ascii" | "ascii"                        => "utf-8"
-        case _                                           => "utf-8"
-      }
-    } else "utf-8"
+      LABELS.getOrElse(head.substring(start, j), "UTF-8")
+    } else "UTF-8"
   }
 
   /** Decode bytes to a String under the fixed policy. */
@@ -63,8 +87,7 @@ object Charset {
     if (bytes == null || bytes.isEmpty) return ""
     val hasBom =
       bytes.length >= 3 && (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf
-    val name = sniffCharset(bytes)
-    val cs = JCharset.forName(if (name == "windows-1252") "windows-1252" else "UTF-8")
+    val cs = JCharset.forName(sniffCharset(bytes))
     val dec = cs
       .newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)

@@ -261,15 +261,17 @@ aliases &sol;&lpar;x&rpar; &check; &OElig;uvre ${sentence(seed, i, lang, 3)}</p>
         val html = htmlFor(seed, i, effLang, template)
         val csRoll = Rng.nextInt(seed, 6L, i, 10)
         val (meta, charset) =
-          if (effLang == "zh") ("""<meta charset="utf-8">""", "UTF-8")
-          else if (csRoll < 6) ("""<meta charset="utf-8">""", "UTF-8")
+          if (effLang == "zh") {
+            // real zh web content splits between utf-8 and the gb2312 label
+            // (which the Encoding standard maps to GBK)
+            if (csRoll < 3) ("""<meta charset="gb2312">""", "GBK")
+            else ("""<meta charset="utf-8">""", "UTF-8")
+          } else if (csRoll < 6) ("""<meta charset="utf-8">""", "UTF-8")
           else if (csRoll < 8)
             ("""<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">""", "windows-1252")
           else ("", "UTF-8")
         val full = html.replace("CHARSETMETA", meta)
-        val enc =
-          if (charset == "UTF-8") full.getBytes("UTF-8")
-          else full.getBytes("windows-1252")
+        val enc = full.getBytes(charset)
         val withBom =
           if (charset == "UTF-8" && csRoll == 9)
             Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ enc

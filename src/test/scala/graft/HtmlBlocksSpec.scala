@@ -154,4 +154,25 @@ class HtmlBlocksSpec extends AnyFunSuite {
     assert(Charset.sniffKind("hello".getBytes) == "text")
     assert(Charset.sniffKind(Array.empty[Byte]) == "empty")
   }
+
+  test("charset: WHATWG labels for CJK/Cyrillic double-byte encodings") {
+    def page(metaLabel: String, body: String, enc: String): Array[Byte] =
+      s"""<html><head><meta charset="$metaLabel"></head><body>$body</body></html>"""
+        .getBytes(enc)
+    // gb2312 label maps to GBK per the Encoding standard
+    assert(Charset.decode(page("gb2312", "中文内容测试", "GBK")).contains("中文内容测试"))
+    assert(Charset.decode(page("gbk", "中文内容", "GBK")).contains("中文内容"))
+    assert(Charset.decode(page("shift_jis", "日本語のテキスト", "Shift_JIS"))
+      .contains("日本語のテキスト"))
+    assert(Charset.decode(page("euc-kr", "한국어 텍스트", "EUC-KR")).contains("한국어 텍스트"))
+    assert(Charset.decode(page("windows-1251", "русский текст", "windows-1251"))
+      .contains("русский текст"))
+    assert(Charset.decode(page("big5", "繁體中文", "Big5")).contains("繁體中文"))
+    // unknown labels stay on the UTF-8 default
+    assert(Charset.decode(page("x-no-such-cs", "plain", "UTF-8")).contains("plain"))
+    // a BOM still beats any label
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      page("gb2312", "utf8 wins", "UTF-8")
+    assert(Charset.decode(bom).contains("utf8 wins"))
+  }
 }
