@@ -634,6 +634,70 @@ object Relational {
       |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
       |ORDER BY event_id""".stripMargin
 
+  // ---- unpivot / melt (§2.12 — inverse of A9 pivot) ----------------------
+
+  /** `Dataset.unpivot` (melt): the wide per-month × status counts from the
+    * pivot shape stacked back to long form, missing cells zero-filled. Wide
+    * → long is the standard prep step before per-cell operators (the pivot
+    * demo's exact inverse; `unpivot` is the first-class Spark 3.4+ API, not
+    * a stack() selectExpr).
+    */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = t(spark, sfDir, "orders")
+      .withColumn("o_month", date_trunc("MONTH", col("o_orderdate")).cast("timestamp_ntz"))
+      .groupBy("o_month")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+    wide
+      .unpivot(Array(col("o_month")), Array(col("F"), col("O"), col("P")),
+        "o_orderstatus", "n")
+      .select(col("o_month"), col("o_orderstatus"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("o_month", "o_orderstatus")
+  }
+
+  val qUnpivotSql: String =
+    """WITH c AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) m,
+      |                  o_orderstatus st, count(*) n
+      |           FROM orders GROUP BY 1, 2),
+      |months AS (SELECT DISTINCT m FROM c),
+      |sts AS (SELECT unnest(['F', 'O', 'P']) st)
+      |SELECT months.m AS o_month, sts.st AS o_orderstatus,
+      |       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |FROM months CROSS JOIN sts
+      |LEFT JOIN c ON c.m = months.m AND c.st = sts.st
+      |ORDER BY o_month, o_orderstatus""".stripMargin
+
+  // ---- navigation window functions (§2.12 — completes W6/W7) -------------
+
+  /** first_value / last_value / nth_value over the full partition frame:
+    * per event, its type's first, last, and third event id in time order.
+    * The frame must be explicitly UNBOUNDED FOLLOWING — the default frame
+    * ends at CURRENT ROW, which silently turns last_value into "self".
+    */
+  def qNav(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, sfDir, "events")
+      .select(
+        col("event_id"), col("event_type"),
+        first(col("event_id")).over(w).as("first_ev"),
+        last(col("event_id")).over(w).as("last_ev"),
+        nth_value(col("event_id"), 3).over(w).as("third_ev"))
+      .orderBy("event_id")
+  }
+
+  val qNavSql: String =
+    """SELECT event_id, event_type,
+      |       first_value(event_id) OVER w AS first_ev,
+      |       last_value(event_id)  OVER w AS last_ev,
+      |       nth_value(event_id, 3) OVER w AS third_ev
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY event_id""".stripMargin
+
   // ---- approximate aggregates (engine-specific — rows-only check) --------
 
   def qApprox(spark: SparkSession, sfDir: String): DataFrame =
@@ -676,6 +740,8 @@ object Relational {
     "q_subquery" -> (qSubquery _),
     "q_gapfill" -> (qGapfill _),
     "q_ranks" -> (qRanks _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_nav" -> (qNav _),
     "q_union" -> (qUnion _),
     "q_approx" -> (qApprox _)
   )
@@ -709,6 +775,8 @@ object Relational {
     "q_subquery" -> qSubquerySql,
     "q_gapfill" -> qGapfillSql,
     "q_ranks" -> qRanksSql,
+    "q_unpivot" -> qUnpivotSql,
+    "q_nav" -> qNavSql,
     "q_union" -> qUnionSql
     // q_approx: HLL++/KLL sketches are engine-specific — rows-only check
   )
