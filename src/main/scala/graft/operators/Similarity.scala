@@ -18,30 +18,44 @@ import org.apache.spark.sql.functions._
   *   - `sim_lsh_nn` / `dd_embed_cos` are the scale path: candidates meet
   *     only inside a sign-LSH bucket (random-hyperplane LSH with
   *     axis-aligned planes — deterministic, no stored model), in BANDS
-  *     independent bands of BAND_BITS planes each. Within-band bucket count
-  *     is 2^BAND_BITS (4096 here vs 256 in round 1 — the within-bucket
-  *     quadratic residue shrinks 16x), and multiple bands restore recall
-  *     the finer buckets would lose. Both knobs are compile-time params:
-  *     at 10^9+ vectors raise BAND_BITS (and/or hand off to `sim_ivf`,
-  *     whose probe-list shape is the better asymptotic fit). Band-duplicate
-  *     candidate pairs are folded by a max-aggregation on the pair key —
-  *     no join-back to the vector table.
+  *     independent bands of BAND_BITS planes each. Band-duplicate candidate
+  *     pairs are folded by a max-aggregation on the pair key — no join-back
+  *     to the vector table.
+  *
+  * Parameter law (round 3 — set by MEASURED recall, not guessed): a pair at
+  * angle θ collides in one b-bit band with prob (1-θ/π)^b and in any of L
+  * bands with 1-(1-(1-θ/π)^b)^L; candidate volume scales as L·n²/2^b. The
+  * r2 setting (L=2, b=12) measured recall ~0.28 even on near-dup-grade
+  * planted pairs (θ≈14°) — exact vs its oracle but weak as search. Round 3
+  * uses L=4, b=12: near-dup recall rises to >0.85 (floor pinned on PLANTED
+  * perturbed copies in TrainingOpsSpec) while candidate volume stays at
+  * n²/1024 — scale-safe. What LSH at ANY scale-viable parameters cannot do
+  * is find the true nearest neighbor of a near-RANDOM vector (the test
+  * embeddings' true-NN angles are ≈60°: per-band collision (2/3)^12 ≈
+  * 0.008, so measured top-1 recall is a few percent — reported, not
+  * asserted): that regime needs the IVF path (probe lists cover angular
+  * cells regardless of similarity) or brute force. This boundary is
+  * fundamental to single-probe sign-LSH, not a tuning miss.
   */
 object Similarity {
 
-  private val BANDS = 2
+  private val BANDS = 4
   private val BAND_BITS = 12 // planes per band; needs BANDS*BAND_BITS <= dims (64)
   private val N_QUERIES = 8
   private val TOP_K = 5
 
-  private def quantized(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+  /** Quantized view of any (vec_id, embedding) frame. */
+  private[graft] def quantizedFrom(raw: DataFrame): DataFrame =
+    raw
       .select(
         col("vec_id"),
         Toks.quantize(col("embedding")).as("q"),
         col("embedding").as("e")
       )
       .withColumn("nq", Toks.dotQ(col("q"), col("q")))
+
+  private def quantized(spark: SparkSession, sfDir: String): DataFrame =
+    quantizedFrom(spark.read.parquet(s"$sfDir/embeddings.parquet"))
 
   /** Sign bucket of band `b` (0-based): planes are dims b*BAND_BITS+1 ..
     * (b+1)*BAND_BITS. pow(2, k-1) is exact in double for k <= 53.
@@ -56,14 +70,17 @@ object Similarity {
     )
 
   /** One row per (vector, band): (vec_id, q, nq, band, sig). */
-  private def banded(spark: SparkSession, sfDir: String): DataFrame =
-    quantized(spark, sfDir).select(
+  private[graft] def bandedFrom(quant: DataFrame): DataFrame =
+    quant.select(
       col("vec_id"), col("q"), col("nq"),
       explode(array((0 until BANDS).map { b =>
         struct(lit(b).as("band"), bandSig(col("e"), b).as("sig"))
       }: _*)).as("bs")
     ).select(col("vec_id"), col("q"), col("nq"),
       col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  private def banded(spark: SparkSession, sfDir: String): DataFrame =
+    bandedFrom(quantized(spark, sfDir))
 
   private val SQL_QUANTIZED =
     s"""emb AS (SELECT vec_id, embedding e FROM embeddings),
@@ -112,9 +129,12 @@ object Similarity {
 
   // ---- LSH-bucketed nearest neighbor (scale path) ------------------------
 
-  def lshNn(spark: SparkSession, sfDir: String): DataFrame = {
+  def lshNn(spark: SparkSession, sfDir: String): DataFrame =
+    lshNnFrom(banded(spark, sfDir))
+
+  /** LSH top-1 over any pre-banded frame (tests plant perturbed copies). */
+  private[graft] def lshNnFrom(bd: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bd = banded(spark, sfDir)
     // candidates meet inside a (band, sig) bucket; a pair seen in several
     // bands is folded by the groupBy (dot is identical in every copy)
     val pairs = bd.as("a")
@@ -199,31 +219,50 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN -------------------------------------------
 
-  private val N_CENT = 8   // deterministic centroids: vec_id < 8
+  private val N_CENT = 8   // deterministic centroids
   private val N_PROBE = 2  // probe the 2 nearest centroid lists
   private val IVF_K = 3    // neighbors returned per query
+  private val IVF_QUERIES = 32 // query vectors: vec_id in [N_CENT, N_CENT + 32)
+  private val DIMS = 64    // embedding dimensionality (fixed by the table)
 
-  /** IVF ANN: vectors are assigned to their nearest centroid (deterministic
-    * "codebook" = the first 8 vectors — no trained model, so both engines
-    * agree exactly); a query probes only its top-2 centroid lists. At scale
-    * the assignment is a one-off pass and the candidate join touches
-    * |probes|/|centroids| of the corpus instead of all of it.
+  /** IVF ANN with a one-step integer Lloyd refinement: the seed codebook is
+    * the first 8 vectors, every vector is assigned to its nearest seed, and
+    * each centroid is re-estimated as the element-wise TRUNCATED integer
+    * mean of its members — Spark `div` and DuckDB `//` both truncate toward
+    * zero, so both engines hold bit-identical codebooks with no
+    * trained-model exchange. The refinement lifted measured recall@1-in-3
+    * from 0.125 (seed codebook ≈ random sphere partition) to the floor
+    * pinned in TrainingOpsSpec. A query probes its top-2 refined lists; at
+    * scale assignment is a one-off pass and the candidate join touches
+    * |probes|/|centroids| of the corpus, with more Lloyd steps / sqrt(n)
+    * centroids as the quality levers.
     */
   def ivf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = quantized(spark, sfDir)
-    val cent = e.filter(col("vec_id") < N_CENT)
+    val cent0 = e.filter(col("vec_id") < N_CENT)
       .select(col("vec_id").as("cid"), col("q").as("cq"))
     // nearest-centroid assignment (rank by dot desc, cid asc)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
-    val assign = e.crossJoin(broadcast(cent))
+    def assignTo(centroids: DataFrame): DataFrame = e
+      .crossJoin(broadcast(centroids))
       .withColumn("cdot", Toks.dotQ(col("q"), col("cq")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("cid"), col("q"))
+    // one Lloyd step: per-centroid element-wise integer floor mean
+    val cent = assignTo(cent0)
+      .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .selectExpr("cid", "pos", "s div c AS m")
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("cq"))
+    val assign = assignTo(cent)
     // queries probe their top-N_PROBE centroids
     val wProbe = Window.partitionBy("qid").orderBy(col("cdot").desc, col("cid").asc)
-    val probes = e.filter(col("vec_id") >= N_CENT && col("vec_id") < N_CENT + 8)
+    val probes = e.filter(col("vec_id") >= N_CENT && col("vec_id") < N_CENT + IVF_QUERIES)
       .select(col("vec_id").as("qid"), col("q").as("qq"))
       .crossJoin(broadcast(cent))
       .withColumn("cdot", Toks.dotQ(col("qq"), col("cq")))
@@ -243,7 +282,21 @@ object Similarity {
 
   val ivfSql: String =
     s"""WITH $SQL_QUANTIZED,
-       |cent AS (SELECT vec_id cid, q cq FROM qn WHERE vec_id < $N_CENT),
+       |cent0 AS (SELECT vec_id cid, q cq FROM qn WHERE vec_id < $N_CENT),
+       |assign0 AS (
+       |  SELECT vec_id, cid, q FROM (
+       |    SELECT e.vec_id, cent0.cid, e.q,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY CAST(list_dot_product(e.q, cent0.cq) AS BIGINT) DESC,
+       |                                       cent0.cid ASC) arn
+       |    FROM qn e CROSS JOIN cent0)
+       |  WHERE arn = 1),
+       |cent AS (
+       |  SELECT cid, list(m ORDER BY pos) cq FROM (
+       |    SELECT a.cid, g.pos, CAST(sum(a.q[g.pos]) // count(*) AS BIGINT) m
+       |    FROM assign0 a, generate_series(1, $DIMS) g(pos)
+       |    GROUP BY a.cid, g.pos)
+       |  GROUP BY cid),
        |assign AS (
        |  SELECT vec_id, cid, q FROM (
        |    SELECT e.vec_id, cent.cid, e.q,
@@ -259,7 +312,7 @@ object Similarity {
        |                              ORDER BY CAST(list_dot_product(e.q, cent.cq) AS BIGINT) DESC,
        |                                       cent.cid ASC) prn
        |    FROM qn e CROSS JOIN cent
-       |    WHERE e.vec_id >= $N_CENT AND e.vec_id < ${N_CENT + 8})
+       |    WHERE e.vec_id >= $N_CENT AND e.vec_id < ${N_CENT + IVF_QUERIES})
        |  WHERE prn <= $N_PROBE)
        |SELECT qid, rank, vec_id, dot FROM (
        |  SELECT p.qid, a.vec_id,

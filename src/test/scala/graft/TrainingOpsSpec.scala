@@ -136,6 +136,59 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r.map(_.toString).toSeq == r2.map(_.toString).toSeq)
   }
 
+  test("ANN quality: LSH and IVF recall vs brute-force ground truth") {
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select(col("vec_id"), graft.functions.Toks.quantize(col("embedding")).as("q"))
+    val w = Window.partitionBy("a").orderBy(col("dot").desc, col("b").asc)
+    val truth = e.as("x").join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        graft.functions.Toks.dotQ(col("x.q"), col("y.q")).as("dot"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("a", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // LSH: top-1 within bucket candidates, over every vector
+    val lsh = Similarity.lshNn(spark, SF).select("vec_id", "nn_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lshRecall = truth.count { case (v, t) => lsh.get(v).contains(t) }.toDouble / truth.size
+    info(f"LSH recall@1 = $lshRecall%.3f over ${truth.size} vectors")
+
+    // IVF: truth top-1 present in the returned top-3, over its query set
+    val ivf = Similarity.ivf(spark, SF).select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivfQ = ivf.keySet
+    val ivfRecall = ivfQ.count(q => ivf(q).contains(truth(q))).toDouble / ivfQ.size
+    info(f"IVF recall@1-in-3 = $ivfRecall%.3f over ${ivfQ.size} queries")
+
+    // PLANTED near-dup recall — the product metric. The natural embeddings
+    // are near-random (max pairwise cos^2 ~ 0.23, true-NN angles ~60°), a
+    // regime single-probe LSH cannot search sublinearly (see the parameter
+    // law in Similarity's header) — so the raw top-1 recall above is
+    // REPORTED, not asserted. What the near-dup product path must do is
+    // find perturbed COPIES: plant one per 10th vector at cos ~ 0.98
+    // (e' = e + 0.2 * rotate(e)) and require LSH to pair each copy with
+    // its original.
+    val dims = 64
+    val raw = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val rot = concat(slice(col("embedding"), 2, dims - 1), slice(col("embedding"), 1, 1))
+    val planted = raw.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("embedding"), rot, (x, y) => x + y * lit(0.2f)).as("embedding"))
+    val withDups = raw.unionByName(planted)
+    val nn = Similarity.lshNnFrom(Similarity.bandedFrom(Similarity.quantizedFrom(withDups)))
+      .filter(col("vec_id") >= 1000000L)
+      .select("vec_id", "nn_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nPlanted = planted.count()
+    val plantedHits = nn.count { case (copy, top1) => top1 == copy - 1000000L }
+    val plantedRecall = plantedHits.toDouble / nPlanted
+    info(f"planted near-dup recall@1 = $plantedRecall%.3f over $nPlanted copies")
+
+    assert(ivfRecall >= 0.30, f"IVF recall degraded: $ivfRecall%.3f")
+    assert(plantedRecall >= 0.80, f"planted near-dup recall degraded: $plantedRecall%.3f")
+  }
+
   test("winnowing fingerprints: equal text -> equal set; deterministic") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
