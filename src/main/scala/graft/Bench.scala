@@ -22,12 +22,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline subset — big shuffly queries, one per operator family. */
+  /** Headline subset — big shuffly queries, one per operator family.
+    * Round 3 adds the iterative connected-components clustering and the
+    * Lloyd-refined IVF (both multi-job shapes worth tracking).
+    */
   private val HEADLINE = Seq(
     "q1_agg", "q3_join", "q_window", "q_range_join", "q_distinct",
     "q_topk_per_key",
     "dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_contam",
-    "sim_knn", "dd_embed_cos", "ta_quality", "ta_tokens", "ta_ngrams",
+    "dd_components",
+    "sim_knn", "sim_ivf", "dd_embed_cos", "ta_quality", "ta_tokens", "ta_ngrams",
     "st_session"
   )
 

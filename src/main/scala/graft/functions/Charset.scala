@@ -6,6 +6,9 @@ import java.nio.ByteBuffer
 /** Payload sniffing (F1) and deterministic charset decoding (F2).
   *
   * Decode policy (fixed; feeds the byte-identical output, BASELINE.json:14):
+  *   0. UTF-16 BOM (FF FE / FE FF) -> UTF-16LE/BE, BOM stripped (the kind
+  *      sniff also decodes the head as UTF-16 first — NUL-interleaved
+  *      `<html` would otherwise mis-classify the page as text).
   *   1. UTF-8 BOM (EF BB BF)  -> UTF-8, BOM stripped.
   *   2. `charset=NAME` found in the first 1024 bytes (ASCII, case-insensitive,
   *      e.g. `<meta charset="...">` or http-equiv content) -> the charset the
@@ -51,11 +54,25 @@ object Charset {
 
   private val PDF_MAGIC = "%PDF-".getBytes("US-ASCII")
 
-  /** Classify raw payload bytes: empty | pdf | html | text. */
+  /** UTF-16 BOM detection: 2 = LE (FF FE), 1 = BE (FE FF), 0 = none. */
+  private def utf16Bom(bytes: Array[Byte]): Int =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe) 2
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff) 1
+    else 0
+
+  /** Classify raw payload bytes: empty | pdf | html | text. A UTF-16 BOM
+    * switches the head sniff to UTF-16 decoding — otherwise `<html` is
+    * NUL-interleaved and an HTML page would mis-classify as text.
+    */
   def sniffKind(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.isEmpty) return KIND_EMPTY
     if (startsWith(bytes, PDF_MAGIC)) return KIND_PDF
-    val head = asciiLowerHead(bytes, 1024)
+    val head =
+      if (utf16Bom(bytes) != 0) {
+        val cs = if (utf16Bom(bytes) == 2) "UTF-16LE" else "UTF-16BE"
+        val n = math.min(bytes.length, 2048)
+        new String(bytes, 2, n - 2, cs).toLowerCase
+      } else asciiLowerHead(bytes, 1024)
     if (head.contains("<!doctype") || head.contains("<html") || head.contains("<head") || head.contains("<body"))
       KIND_HTML
     else KIND_TEXT
@@ -82,17 +99,23 @@ object Charset {
     } else "UTF-8"
   }
 
-  /** Decode bytes to a String under the fixed policy. */
+  /** Decode bytes to a String under the fixed policy (UTF-16 BOMs beat the
+    * meta label exactly like the UTF-8 BOM does).
+    */
   def decode(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.isEmpty) return ""
-    val hasBom =
+    val u16 = utf16Bom(bytes)
+    val hasBom8 =
       bytes.length >= 3 && (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf
-    val cs = JCharset.forName(sniffCharset(bytes))
-    val dec = cs
+    val (name, off) =
+      if (u16 == 2) ("UTF-16LE", 2)
+      else if (u16 == 1) ("UTF-16BE", 2)
+      else if (hasBom8) ("UTF-8", 3)
+      else (sniffCharset(bytes), 0)
+    val dec = JCharset.forName(name)
       .newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)
       .onUnmappableCharacter(CodingErrorAction.REPLACE)
-    val off = if (hasBom) 3 else 0
     dec.decode(ByteBuffer.wrap(bytes, off, bytes.length - off)).toString
   }
 

@@ -114,12 +114,24 @@ object AdversarialFixtures {
     Page("https://adversarial.example.org/soup", ts, html.getBytes(UTF_8), null, "en")
   }
 
+  /** UTF-16LE page with BOM: the kind sniff must see through the
+    * NUL-interleaved markup (naively it reads as `text`).
+    */
+  def utf16Page: Page = {
+    val html = "<!DOCTYPE html><html><body>" +
+      "<p>utf-16 content déjà vu — a paragraph long enough to be dense body text here</p>" +
+      "</body></html>"
+    Page("https://adversarial.example.org/utf16", ts,
+      Array[Byte](0xff.toByte, 0xfe.toByte) ++ html.getBytes("UTF-16LE"), null, "fr")
+  }
+
   def pages: Seq[(String, Page)] = Seq(
     "big_doc" -> bigDoc,
     "deep_nesting" -> deepNesting,
     "multipage_pdf" -> multiPagePdf,
     "charset_bom_vs_meta" -> bomVsMeta,
     "charset_latin1_meta" -> latin1Meta,
+    "charset_utf16le" -> utf16Page,
     "entity_soup" -> entitySoup
   )
 
@@ -177,9 +189,11 @@ class AdversarialSpec extends AnyFunSuite {
     // multi-page pdf: 5 pages' lines, never interleaved (pages in order)
     val pdf = ScalarExtract.extract(byName("multipage_pdf"))
     assert(pdf.contentKind == "pdf")
-    // charset handling: accents survive both conflict cases
+    // charset handling: accents survive both conflict cases + UTF-16
     assert(ScalarExtract.extract(byName("charset_bom_vs_meta")).text.contains("café naïve €50"))
     assert(ScalarExtract.extract(byName("charset_latin1_meta")).text.contains("café déjà vu à côté"))
+    val u16 = ScalarExtract.extract(byName("charset_utf16le"))
+    assert(u16.contentKind == "html" && u16.text.contains("utf-16 content déjà vu"))
     // entity soup: legacy + numeric edge cases; "&notarealentityname;" hits
     // the legacy "not" by maximal munch (browser behavior), invalid numeric
     // "&#x;" stays literal, surrogate ref becomes U+FFFD

@@ -175,4 +175,17 @@ class HtmlBlocksSpec extends AnyFunSuite {
       page("gb2312", "utf8 wins", "UTF-8")
     assert(Charset.decode(bom).contains("utf8 wins"))
   }
+
+  test("charset: UTF-16 BOMs decode and the kind sniff sees through them") {
+    val html = "<html><head><title>t</title></head><body><p>utf16 text déjà</p></body></html>"
+    val le = Array[Byte](0xff.toByte, 0xfe.toByte) ++ html.getBytes("UTF-16LE")
+    val be = Array[Byte](0xfe.toByte, 0xff.toByte) ++ html.getBytes("UTF-16BE")
+    // without BOM awareness the NUL-interleaved '<html' reads as text
+    assert(Charset.sniffKind(le) == "html")
+    assert(Charset.sniffKind(be) == "html")
+    assert(Charset.decode(le) == html)
+    assert(Charset.decode(be) == html)
+    // and the full pipeline extracts it
+    assert(texts(Charset.decode(le)) == Vector("utf16 text déjà"))
+  }
 }
