@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    if (args.length < 3) {
+    val minArgs =
+      if (args.nonEmpty && Set("profile", "scale", "mat-bench").contains(args(0))) 2 else 3
+    if (args.length < minArgs) {
       System.err.println(
-        "usage: graft.Main extract <nPages> <outDir> [seed] | extract-dir <pagesDir> <outDir>")
+        "usage: graft.Main extract <nPages> <outDir> [seed] | extract-dir <pagesDir> <outDir> | " +
+          "write-pages <n> <dir> | run <dir> <out> <manifest> | " +
+          "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps]")
       sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)

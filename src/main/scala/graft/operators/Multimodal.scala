@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * (the Scala analog of `mapInPandas` — one iterator per partition, batch
   * shape preserved, no driver collect).
   *
-  * The actual codec work is STUBBED (no image/audio libraries exist in this
-  * container): payloads carry a deterministic 16-byte header
-  * `[magic(4) | width(4) | height(4) | nframes(4)]` (big-endian) + opaque
-  * md5-derived body, and "decoding" parses the header while "features" are a
-  * deterministic fold of the body bytes. The Spark-side contracts — schema,
+  * Codec status (round 3): the `png` kind is a REAL format — actual PNG
+  * bytes encoded and decoded with the JDK's own `javax.imageio` (ships in
+  * `java.desktop`, headless-safe; PNG is lossless so decoded pixels are a
+  * pure deterministic function of the generation pattern, never of encoder
+  * byte choices). The `image`/`audio`/`video` kinds remain header-stub
+  * payloads (`[magic|width|height|nframes]` + md5-derived body — no
+  * video/audio codec exists in the JDK). Spark-side contracts — schema,
   * binary encoding, partition-local batching, explode of per-frame rows,
-  * determinism under repartition — are real and tested.
+  * determinism under repartition — are real and tested for all kinds.
   */
 object Multimodal {
 
@@ -27,11 +29,37 @@ object Multimodal {
 
   val MAGIC: Int = 0x47524d4d // "GRMM"
 
-  private val kinds = Array("image", "audio", "video")
+  private val kinds = Array("image", "audio", "video", "png")
+
+  /** The deterministic RGB pattern of pixel (x, y) for image `id`. */
+  def pngPixel(seed: Long, id: Long, x: Int, y: Int): Int = {
+    val v = Rng.draw(seed, 17L + x * 131L + y, id)
+    (v & 0xffffff).toInt
+  }
+
+  /** Real PNG bytes of a deterministic pattern (JDK ImageIO, lossless). */
+  def pngBytes(seed: Long, id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pngPixel(seed, id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** Deterministic synthetic media corpus — pure function of (seed, id). */
   def mediaRow(seed: Long, id: Long): MediaRow = {
     val kind = kinds(Rng.nextInt(seed, 11L, id, kinds.length))
+    if (kind == "png") {
+      val w = 16 + Rng.nextInt(seed, 12L, id, 48)
+      val h = 16 + Rng.nextInt(seed, 13L, id, 48)
+      return MediaRow(id, kind, pngBytes(seed, id, w, h))
+    }
     val w = 16 + Rng.nextInt(seed, 12L, id, 4080)
     val h = 16 + Rng.nextInt(seed, 13L, id, 2144)
     val nf = kind match {
@@ -59,31 +87,63 @@ object Multimodal {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.map { r =>
-        val bb = java.nio.ByteBuffer.wrap(r.payload)
-        val magic = bb.getInt()
-        require(magic == MAGIC, s"bad media magic for ${r.media_id}")
-        MediaMeta(r.media_id, r.kind, bb.getInt(), bb.getInt(), bb.getInt(),
-          r.payload.length - 16)
+        if (r.kind == "png") {
+          // REAL decode: the JDK PNG reader parses the actual image
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"png decode failed for ${r.media_id}")
+          MediaMeta(r.media_id, r.kind, img.getWidth, img.getHeight, 1,
+            r.payload.length)
+        } else {
+          val bb = java.nio.ByteBuffer.wrap(r.payload)
+          val magic = bb.getInt()
+          require(magic == MAGIC, s"bad media magic for ${r.media_id}")
+          MediaMeta(r.media_id, r.kind, bb.getInt(), bb.getInt(), bb.getInt(),
+            r.payload.length - 16)
+        }
       }
     }
   }
 
-  /** STUB feature extractor: 8 deterministic integer buckets folded from the
-    * body bytes, scaled to float. A real pipeline would decode pixels/samples
-    * here; the Spark contract (binary in, fixed-width vector out, partition
-    * batching) is identical.
+  /** Feature extractor: for `png`, REAL pixel work — decoded luminance
+    * averaged into 8 column buckets (PNG is lossless, so the vector is a
+    * pure function of the pattern). Stub kinds fold body bytes instead.
+    * Same Spark contract either way: binary in, fixed-width vector out,
+    * partition batching.
     */
   def features(rows: Dataset[MediaRow]): DataFrame = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.map { r =>
-        val acc = new Array[Long](8)
-        var i = 16
-        while (i < r.payload.length) {
-          acc(i % 8) += (r.payload(i) & 0xff).toLong
-          i += 1
+        if (r.kind == "png") {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val acc = new Array[Long](8)
+          val cnt = new Array[Long](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              val b = x * 8 / w
+              acc(b) += lum; cnt(b) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (r.media_id,
+            acc.indices.map(b => acc(b).toFloat / (cnt(b) * 765).toFloat).toSeq)
+        } else {
+          val acc = new Array[Long](8)
+          var i = 16
+          while (i < r.payload.length) {
+            acc(i % 8) += (r.payload(i) & 0xff).toLong
+            i += 1
+          }
+          (r.media_id, acc.map(v => v.toFloat / 255f).toSeq)
         }
-        (r.media_id, acc.map(v => v.toFloat / 255f).toSeq)
       }
     }.toDF("media_id", "feature")
   }
@@ -118,9 +178,37 @@ object Multimodal {
   val ORACLE_DIR: String = graft.sources.OracleCorpus.DIR
   val META = s"$ORACLE_DIR/media-meta"
   val FRAMES = s"$ORACLE_DIR/media-frames"
+  val PNGSTATS = s"$ORACLE_DIR/media-png"
   val META_PQ = s"read_parquet('$META/*.parquet')"
   val FRAMES_PQ = s"read_parquet('$FRAMES/*.parquet')"
+  val PNG_PQ = s"read_parquet('$PNGSTATS/*.parquet')"
   val N_MEDIA = 500L
+
+  /** Per-image REAL pixel statistics from the decoded PNG (integer sums —
+    * exact): (media_id, width, height, sum_lum, n_pix).
+    */
+  def pngStats(rows: Dataset[MediaRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.filter(_.kind == "png").mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var lum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            lum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (r.media_id, w, h, lum, w.toLong * h)
+      }
+    }.toDF("media_id", "width", "height", "sum_lum", "n_pix")
+  }
 
   @volatile private var done = false
 
@@ -133,6 +221,7 @@ object Multimodal {
       val m = media(spark, N_MEDIA)
       decodeMeta(m).write.mode("overwrite").parquet(META)
       sampleFrames(m).write.mode("overwrite").parquet(FRAMES)
+      pngStats(m).write.mode("overwrite").parquet(PNGSTATS)
       graft.sources.OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -170,13 +259,36 @@ object Multimodal {
     s"""SELECT media_id, frame_idx, frame_fp
        |FROM $FRAMES_PQ ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Real-codec aggregation: width-bucketed counts and EXACT mean luminance
+    * (integer e4) over the decoded PNG pixels; the Spark side re-runs the
+    * production ImageIO decode, DuckDB recomputes the tail over the
+    * materialized per-image stats.
+    */
+  def mmPng(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark)
+    pngStats(media(spark, N_MEDIA))
+      .groupBy(expr("CAST(width div 16 AS BIGINT)").as("wb"))
+      .agg(count(lit(1)).as("n"), sum(col("sum_lum")).as("lum"),
+        sum(col("n_pix")).as("pix"))
+      .selectExpr("wb", "n", "lum", "(10000 * lum) div (765 * pix) AS mean_lum_e4")
+      .orderBy("wb")
+  }
+
+  val mmPngSql: String =
+    s"""SELECT CAST(width // 16 AS BIGINT) wb, count(*) n,
+       |       CAST(sum(sum_lum) AS BIGINT) lum,
+       |       CAST((10000 * sum(sum_lum)) // (765 * sum(n_pix)) AS BIGINT) mean_lum_e4
+       |FROM $PNG_PQ GROUP BY 1 ORDER BY wb""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
-    "mm_frames" -> (mmFrames _)
+    "mm_frames" -> (mmFrames _),
+    "mm_png" -> (mmPng _)
   )
 
   def oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
-    "mm_frames" -> mmFramesSql
+    "mm_frames" -> mmFramesSql,
+    "mm_png" -> mmPngSql
   )
 }

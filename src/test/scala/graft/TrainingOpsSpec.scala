@@ -254,6 +254,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(fr.map(r => (r.media_id, r.frame_idx)).distinct.length == fr.length)
   }
 
+  test("png payloads are real images: JDK decode recovers the exact pattern") {
+    val pngIds = (0L until 200L)
+      .filter(id => Multimodal.mediaRow(7L, id).kind == "png")
+    assert(pngIds.size > 20, s"png kind underrepresented: ${pngIds.size}")
+    pngIds.take(5).foreach { id =>
+      val row = Multimodal.mediaRow(7L, id)
+      // the payload must be an actual PNG file
+      assert((row.payload(0) & 0xff) == 0x89 &&
+        new String(row.payload, 1, 3, "US-ASCII") == "PNG")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.payload))
+      // lossless round-trip: every decoded pixel equals the generator pattern
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        assert((img.getRGB(x, y) & 0xffffff) == Multimodal.pngPixel(7L, id, x, y),
+          s"pixel ($x,$y) of image $id")
+    }
+    // pngStats is deterministic under repartition (real decode on executors)
+    import spark.implicits._
+    val m = Multimodal.media(spark, 100)
+    val a = Multimodal.pngStats(m).collect().map(_.toString).sorted.toSeq
+    val b = Multimodal.pngStats(m.repartition(7)).collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("streaming hourly counts equal the batch aggregation") {
     val streamed = graft.streaming.StreamingOps.stHourly(spark, SF)
       .collect().map(_.toString).toSeq
