@@ -84,7 +84,7 @@ object Bench {
     val pages = spark.read.schema(Model.PAGES).parquet(corpusDir).as[Page]
 
     // two full warm-up passes (C2 needs >1 full pass to compile the hot
-    // tokenizer + codegen paths), then MINIMUM of 3: co-tenant interference
+    // tokenizer + codegen paths), then MINIMUM of 5: co-tenant interference
     // on this host is bursty (load 1 -> 13 within a minute) and only ever
     // ADDS time, so min is the unbiased estimator of engine capability
     // (the python timeit rationale); the spread is recorded in BENCH.md

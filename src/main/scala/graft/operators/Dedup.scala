@@ -257,9 +257,15 @@ object Dedup {
     var labels = sym.select(col("s").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    // label propagation needs `diameter` rounds; dup clusters are tiny (2-3
+    // here) but an adversarial chain could exceed any fixed cap — so the cap
+    // FAILS LOUDLY instead of silently returning unconverged (= wrong)
+    // labels that would also diverge from the recursive-CTE oracle
+    val maxIters =
+      sys.props.get("graft.components.maxIters").map(_.toInt).getOrElse(30)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < maxIters) {
       val prop = sym.join(labels, sym("d") === labels("id"))
         .groupBy(col("s").as("pid"))
         .agg(min(col("comp")).as("ncomp"))
@@ -275,6 +281,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    require(changed == 0,
+      s"connected components did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — raise -Dgraft.components.maxIters")
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("comp"))
       .select(

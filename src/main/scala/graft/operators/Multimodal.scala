@@ -88,12 +88,15 @@ object Multimodal {
     rows.mapPartitions { it =>
       it.map { r =>
         if (r.kind == "png") {
-          // REAL decode: the JDK PNG reader parses the actual image
+          // REAL decode: the JDK PNG reader parses the actual image.
+          // n_bytes is the DECODED content size (w*h*3) — a function of the
+          // pixels, never of the encoder's compression choices, so mm_meta
+          // stays bit-stable across JDK PNG-writer changes
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.payload))
           require(img != null, s"png decode failed for ${r.media_id}")
           MediaMeta(r.media_id, r.kind, img.getWidth, img.getHeight, 1,
-            r.payload.length)
+            img.getWidth * img.getHeight * 3)
         } else {
           val bb = java.nio.ByteBuffer.wrap(r.payload)
           val magic = bb.getInt()

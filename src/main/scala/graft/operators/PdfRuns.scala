@@ -18,14 +18,19 @@ import scala.util.control.NonFatal
   *     rounded to integer PDF units. No width advance between shows — the
   *     y/x sort-and-merge downstream (Classify.linesFromPdfRuns) restores
   *     reading order.
-  *   - Pages: the page tree (`/Type /Pages` + `/Kids`, one nesting level or
-  *     more, `/Contents` refs) is parsed so every emitted run carries its
+  *   - Pages: the page tree (`/Type /Pages` + `/Kids`, nested trees, direct
+  *     or one-level-indirect `/Contents` refs) is parsed over a
+  *     stream-payload-masked ASCII view so every emitted run carries its
   *     PAGE ORDINAL in `RawBlock.depth` (an otherwise-unused field on the
   *     PDF branch). Downstream reading order sorts `(page, -y, x, seq)` —
   *     without the page key, page 2's y=700 line would interleave with page
-  *     1's y=700 line. When no page tree is parseable the ordinal falls back
-  *     to the content-stream ordinal (file order), which preserves the old
-  *     single-page behavior exactly.
+  *     1's y=700 line. Fallbacks: a single-stream file is page 0 with no
+  *     metadata scan at all; with a parsed tree, streams the walk cannot
+  *     attribute (fonts, xobjects) share one trailing pseudo-page so their
+  *     runs still y-merge with each other; with no parseable tree (e.g.
+  *     page dicts inside object streams) each content stream becomes its
+  *     own page — multi-page documents stay non-interleaved at the cost of
+  *     not merging a single page that a writer split across streams.
   *
   * Never throws: any structural surprise -> None (pdf_unsupported).
   */
@@ -35,20 +40,24 @@ object PdfRuns {
     try {
       val streams = contentStreams(bytes)
       if (streams.isEmpty) return None
-      val pageOf = pageContentsMap(bytes) // content-stream objNum -> page ordinal
+      // single stream: its runs are page 0 whatever the page tree says —
+      // skip the whole-file metadata scan (the common case and the hot path)
+      val pageOf =
+        if (streams.length == 1) Map.empty[Int, Int]
+        else pageContentsMap(bytes) // content-stream objNum -> page ordinal
       val nPages = if (pageOf.isEmpty) 0 else pageOf.values.max + 1
       val runs = ArrayBuffer.empty[RawBlock]
       var seq = 0
-      var unmapped = 0
       streams.zipWithIndex.foreach { case ((objNum, data), ordinal) =>
         val page =
-          if (pageOf.isEmpty) ordinal // no page tree: stream order IS page order
+          if (streams.length == 1) 0
+          else if (pageOf.isEmpty) ordinal // no page tree: stream order IS page order
           else
-            pageOf.get(objNum) match {
-              case Some(p) => p
-              case None => // non-content stream (font, xobject): sorts after real pages
-                unmapped += 1; nPages + unmapped - 1
-            }
+            // unmapped streams (fonts, xobjects, or content the tree walk
+            // could not attribute) all share ONE trailing pseudo-page: their
+            // runs keep merging with each other exactly as the pre-page-tree
+            // code merged everything, instead of splitting per stream
+            pageOf.getOrElse(objNum, nPages)
         val s = new String(data, java.nio.charset.Charset.forName("windows-1252"))
         seq = interpret(s, runs, seq, page)
       }
@@ -107,6 +116,29 @@ object PdfRuns {
     asciiView(bytes, from, p)
   }
 
+  /** Blank the payload spans between `stream`/`endstream` keywords so that
+    * compressed bytes which happen to form printable ASCII cannot fabricate
+    * object headers or page dictionaries during the metadata scan.
+    */
+  private def maskStreamData(view: String): String = {
+    val sb = new java.lang.StringBuilder(view)
+    var i = 0
+    while (i >= 0 && i < sb.length) {
+      val s = sb.indexOf("stream", i)
+      if (s < 0) i = -1
+      else if (s >= 3 && sb.charAt(s - 3) == 'e' && sb.charAt(s - 2) == 'n' && sb.charAt(s - 1) == 'd') {
+        i = s + 6 // "endstream" without a preceding "stream": skip the keyword
+      } else {
+        val e = sb.indexOf("endstream", s + 6)
+        val end = if (e < 0) sb.length else e
+        var k = s + 6
+        while (k < end) { sb.setCharAt(k, ' '); k += 1 }
+        i = if (e < 0) -1 else e + 9
+      }
+    }
+    sb.toString
+  }
+
   /** Printable-ASCII projection (non-printables become spaces) — safe to
     * regex: binary stream payloads degrade to space runs.
     */
@@ -162,7 +194,9 @@ object PdfRuns {
     */
   private[operators] def pageContentsMap(bytes: Array[Byte]): Map[Int, Int] = {
     try {
-      val view = asciiView(bytes, 0, bytes.length)
+      // ASCII view with stream PAYLOADS blanked: compressed bytes can
+      // accidentally spell "N 0 obj" / "/Type /Page" and fabricate metadata
+      val view = maskStreamData(asciiView(bytes, 0, bytes.length))
       // every object's dictionary text, keyed by object number (first wins)
       val headers = ObjHeaderRe.findAllMatchIn(view).toVector
       val dicts = scala.collection.mutable.Map.empty[Int, String]
@@ -200,11 +234,20 @@ object PdfRuns {
         } else {
           dicts.get(node).foreach { d =>
             if (PageDictRe.findFirstIn(d).isDefined) {
-              val refs = ContentsArrRe
+              val direct = ContentsArrRe
                 .findFirstMatchIn(d)
                 .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toVector)
                 .orElse(ContentsRefRe.findFirstMatchIn(d).map(m => Vector(m.group(1).toInt)))
                 .getOrElse(Vector.empty)
+              // one level of indirection: `/Contents 5 0 R` where object 5
+              // is itself a bare ARRAY of stream refs `[6 0 R 7 0 R]`
+              val refs = direct.flatMap { r =>
+                dicts.get(r) match {
+                  case Some(body) if body.trim.startsWith("[") =>
+                    RefRe.findAllMatchIn(body).map(_.group(1).toInt).toVector
+                  case _ => Vector(r)
+                }
+              }
               refs.foreach(r => if (!contentsOf.contains(r)) contentsOf(r) = page)
               page += 1
             }

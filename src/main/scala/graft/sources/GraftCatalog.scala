@@ -71,7 +71,12 @@ class GraftCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new PagesTable(ident.name, tableDir(ident).toString)
+    val dir = tableDir(ident).toString
+    // the bucket count recorded at write time is authoritative — deriving
+    // bucket with any other modulus on append would silently break the
+    // layout function readers use to locate a url
+    val buckets = PageTable.readBucketMeta(dir).getOrElse(PageTable.DEFAULT_BUCKETS)
+    new PagesTable(ident.name, dir, buckets)
   }
 
   override def createTable(
@@ -82,10 +87,11 @@ class GraftCatalog extends TableCatalog {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val d = tableDir(ident)
     d.mkdirs()
-    // `_table` marks an empty table (no data/ dir yet) as existing
-    java.nio.file.Files.write(new java.io.File(d, "_table").toPath,
-      schema.json.getBytes("UTF-8"))
-    new PagesTable(ident.name, d.toString)
+    // `_table` marks an empty table as existing AND pins its bucket count
+    val buckets = Option(properties.get("numBuckets")).map(_.toInt)
+      .getOrElse(PageTable.DEFAULT_BUCKETS)
+    PageTable.writeBucketMeta(d.toString, buckets)
+    new PagesTable(ident.name, d.toString, buckets)
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table =
@@ -126,7 +132,8 @@ object PagesTable {
   * the five contract columns (`ACCEPT_ANY_SCHEMA` — partition columns are
   * derived, exactly like hidden partitioning in a real table format).
   */
-class PagesTable(tableName: String, dir: String)
+class PagesTable(tableName: String, dir: String,
+    numBuckets: Int = PageTable.DEFAULT_BUCKETS)
     extends Table with SupportsRead with SupportsWrite {
 
   private val dataDir = s"$dir/data"
@@ -142,6 +149,7 @@ class PagesTable(tableName: String, dir: String)
     val m = new util.HashMap[String, String]()
     m.put(TableCatalog.PROP_LOCATION, dir)
     m.put(TableCatalog.PROP_PROVIDER, "parquet")
+    m.put("numBuckets", numBuckets.toString)
     m
   }
 
@@ -176,7 +184,7 @@ class PagesTable(tableName: String, dir: String)
               require(missing.isEmpty, s"pages insert missing columns: ${missing.mkString(",")}")
               val withBucket =
                 if (data.columns.contains("bucket")) data
-                else data.withColumn("bucket", PageTable.bucketCol(PageTable.DEFAULT_BUCKETS))
+                else data.withColumn("bucket", PageTable.bucketCol(numBuckets))
               val withDay =
                 if (withBucket.columns.contains("day")) withBucket
                 else withBucket.withColumn("day", date_format(col("warc_ts"), "yyyy-MM-dd"))

@@ -43,6 +43,29 @@ object PageTable {
       .mode(SaveMode.Overwrite)
       .partitionBy("bucket", "day")
       .parquet(s"$dir/data")
+    writeBucketMeta(dir, numBuckets)
+  }
+
+  /** The bucket count is part of the table's identity (the layout function
+    * `b = pmod(xxhash64(url), numBuckets)` is how readers LOCATE a url):
+    * persist it next to the data so catalog appends and resume runs derive
+    * the SAME bucket for new rows as the original writer did.
+    */
+  def writeBucketMeta(dir: String, numBuckets: Int): Unit = {
+    val f = new java.io.File(dir, "_table")
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath,
+      s"""{"numBuckets": $numBuckets}""".getBytes("UTF-8"))
+  }
+
+  /** numBuckets recorded at write time; None for pre-metadata layouts. */
+  def readBucketMeta(dir: String): Option[Int] = {
+    val f = new java.io.File(dir, "_table")
+    if (!f.isFile) None
+    else
+      "\"numBuckets\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        .map(_.group(1).toInt)
   }
 
   /** Typed read; partition columns are re-derivable, so callers get exactly

@@ -29,11 +29,23 @@ object StreamingOps {
     * (11.2 s -> ~3 s). A real cluster puts checkpoints on fast shared
     * storage; tmpfs is the local-mode stand-in.
     */
-  private def ckpt(name: String): String = {
+  /** Stable per-name scratch dir on tmpfs, DELETED before reuse — each query
+    * name holds at most one sink + one checkpoint copy at a time, so
+    * repeated harness/bench invocations cannot leak RAM-backed tmpfs (the
+    * r2 nanoTime-suffixed dirs accumulated without bound). Harness queries
+    * run sequentially; concurrent same-name runs are not a supported shape.
+    */
+  private def freshDir(prefix: String, name: String): String = {
     val base = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
     base.mkdirs()
-    new java.io.File(base, s"graft-ckpt-$name-${System.nanoTime()}").getAbsolutePath
+    val d = new java.io.File(base, s"$prefix-$name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    rm(d)
+    d.getAbsolutePath
   }
 
   /** Session tuned for stateful streaming: AQE is auto-disabled there, so
@@ -91,14 +103,12 @@ object StreamingOps {
       df: DataFrame, name: String, mode: String,
       requireSingleBatch: Boolean = false): DataFrame = {
     require(mode == "append", s"parquet sink is append-only, got $mode")
-    val out = new java.io.File(
-      new java.io.File(sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")),
-      s"graft-sink-$name").getAbsolutePath
+    val out = freshDir("graft-sink", name)
     val q = df.writeStream
       .format("parquet")
       .option("path", out)
       .outputMode(mode)
-      .option("checkpointLocation", ckpt(name))
+      .option("checkpointLocation", freshDir("graft-ckpt", name))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -118,7 +128,7 @@ object StreamingOps {
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .count()
-    runToTable(agg, s"st_hourly_${System.nanoTime()}", "append")
+    runToTable(agg, "st_hourly", "append")
       // back to NTZ so the parquet dump matches the oracle's naive timestamps
       .select(col("window.start").cast("timestamp_ntz").as("wstart"),
         col("event_type"), col("count").as("n"))
@@ -145,7 +155,7 @@ object StreamingOps {
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .count()
-    runToTable(agg, s"st_sliding_${System.nanoTime()}", "append")
+    runToTable(agg, "st_sliding", "append")
       .select(col("window.start").cast("timestamp_ntz").as("wstart"),
         col("window.end").cast("timestamp_ntz").as("wend"),
         col("event_type"), col("count").as("n"))
@@ -169,7 +179,7 @@ object StreamingOps {
       .withWatermark("ts", "0 seconds")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .count()
-    runToTable(agg, s"st_session_${System.nanoTime()}", "append")
+    runToTable(agg, "st_session", "append")
       .select(
         col("user_id"),
         col("session_window.start").cast("timestamp_ntz").as("s_start"),
@@ -217,7 +227,7 @@ object StreamingOps {
     val joined = stream
       .select("event_id", "user_id", "event_type")
       .join(userDim, Seq("user_id"))
-    runToTable(joined, s"st_join_${System.nanoTime()}", "append")
+    runToTable(joined, "st_join", "append")
       .orderBy("event_id")
   }
 
@@ -241,7 +251,7 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
-    runToTable(dd, s"st_dedup_${System.nanoTime()}", "append",
+    runToTable(dd, "st_dedup", "append",
       requireSingleBatch = true)
       .orderBy("user_id", "event_type")
   }
@@ -290,7 +300,7 @@ object StreamingOps {
 
   def stSeq(spark: SparkSession, sfDir: String): DataFrame = {
     val numbered = seqNumbered(streamEvents(spark, sfDir))
-    runToTable(numbered, s"st_seq_${System.nanoTime()}", "append",
+    runToTable(numbered, "st_seq", "append",
       requireSingleBatch = true)
       .orderBy("user_id", "seq_no")
   }

@@ -21,7 +21,7 @@ object AdversarialFixtures {
 
   private val ts = new java.sql.Timestamp(1735689600000L)
 
-  /** >1 MB HTML article: 6000 dense paragraphs. Catches accidental
+  /** >1 MB HTML article: 8000 dense paragraphs. Catches accidental
     * quadratic behavior (string concat, per-block rescans) and any
     * fixed-size buffer assumption.
     */
@@ -180,7 +180,7 @@ class AdversarialSpec extends AnyFunSuite {
 
   test("adversarial structure sanity: sizes, depth, pages, charsets") {
     val byName = AdversarialFixtures.pages.toMap
-    // big doc: all 6000 paragraphs survive classification
+    // big doc: all 8000 paragraphs survive classification
     val big = ScalarExtract.extract(byName("big_doc"))
     assert(big.text.length > 1000000 && big.nBlocks == 8000 && big.nDropped == 0)
     // deep nesting: bottom paragraph present exactly once

@@ -231,7 +231,7 @@ class CatalystSurfaceSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1) // one file per microbatch
       .parquet(staged.toString)
     val got = StreamingOps.runToTable(
-      StreamingOps.seqNumbered(stream), s"st_seq2_${System.nanoTime()}", "append")
+      StreamingOps.seqNumbered(stream), "st_seq2", "append")
       .orderBy("user_id", "seq_no").collect()
     // both files ride ts order, so state continuity across the two batches
     // must reproduce the single-pass global numbering

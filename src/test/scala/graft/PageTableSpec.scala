@@ -94,6 +94,17 @@ class PageTableSpec extends AnyFunSuite {
         pmod(xxhash64(col("url")), lit(PageTable.DEFAULT_BUCKETS.toLong)).cast("int"))
       .count()
     assert(bad == 0)
+
+    // appending to a table WRITTEN WITH A DIFFERENT BUCKET COUNT must honor
+    // the table's recorded count, not the default — otherwise the layout
+    // function readers use to locate a url silently breaks
+    PageTable.write(Corpus.pages(spark, 40L), s"$wh/pages8", numBuckets = 8)
+    Corpus.pages(spark, 20L, seed = 5L).writeTo("pcat2.pages8").append()
+    val b8 = spark.read.table("pcat2.pages8")
+    assert(b8.count() == 60)
+    assert(b8.filter(col("bucket") =!=
+      pmod(xxhash64(col("url")), lit(8L)).cast("int")).count() == 0)
+    assert(b8.agg(max(col("bucket"))).collect()(0).getInt(0) < 8)
     // and the physical layout is the PageTable layout (dir-partitioned)
     assert(new java.io.File(s"$wh/pages/data").listFiles.exists(_.getName.startsWith("bucket=")))
 
@@ -101,7 +112,8 @@ class PageTableSpec extends AnyFunSuite {
     Corpus.pages(spark, 10L, seed = 99L).writeTo("pcat2.pages").append()
     assert(spark.read.table("pcat2.pages").count() == 60)
     spark.sql("DROP TABLE pcat2.pages")
-    assert(spark.sql("SHOW TABLES IN pcat2").collect().isEmpty)
+    assert(spark.sql("SHOW TABLES IN pcat2").collect()
+      .map(_.getString(1)).toSeq == Seq("pages8")) // only the 8-bucket table remains
   }
 
   test("kill-and-resume equals one-shot run; manifest carries lineage") {

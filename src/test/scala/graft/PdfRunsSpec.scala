@@ -111,6 +111,51 @@ class PdfRunsSpec extends AnyFunSuite {
     assert(runs.map(r => (r.text, r.depth)) == Vector(("a", 0), ("b", 1)))
   }
 
+  test("indirect /Contents array object: both streams map to the same page") {
+    // page's /Contents points at object 5, which is itself [6 0 R 7 0 R];
+    // the two streams carry halves of ONE line at the same y — they must
+    // share a page ordinal and merge, not split into pseudo-pages
+    val c0 = "BT 72 700 Td (left) Tj ET"
+    val c1 = "BT 300 700 Td (right) Tj ET"
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n")
+    w("5 0 obj [6 0 R 7 0 R] endobj\n")
+    w(s"6 0 obj << /Length ${c0.length} >>\nstream\n$c0\nendstream\nendobj\n")
+    w(s"7 0 obj << /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val runs = PdfRuns.parse(bos.toByteArray).get
+    assert(runs.map(_.depth).distinct == Vector(0), s"ordinals: ${runs.map(_.depth)}")
+    val lines = Classify.linesFromPdfRuns(runs)
+    assert(lines.map(_.text) == Vector("left right"))
+  }
+
+  test("fake object headers inside stream payloads cannot corrupt the page map") {
+    // the raw (uncompressed) stream payload contains ASCII that LOOKS like
+    // a page object; the masked metadata scan must ignore it
+    val trap = "BT 72 700 Td (real) Tj ET\n" +
+      "99 0 obj << /Type /Page /Contents 4 0 R >> endobj"
+    val c1 = "BT 72 700 Td (second page) Tj ET"
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${trap.length} >>\nstream\n$trap\nendstream\nendobj\n")
+    w("5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val runs = PdfRuns.parse(bos.toByteArray).get
+    // the trap text IS content of page 0 (it sits inside page 0's stream);
+    // the real second page keeps ordinal 1
+    assert(runs.filter(_.text.contains("real")).map(_.depth) == Vector(0))
+    assert(runs.filter(_.text.contains("second page")).map(_.depth) == Vector(1))
+  }
+
   test("corpus multi-page PDFs round-trip with per-page ordinals") {
     val contents = (0 until 3).map(p => Corpus.pdfContent(42L, 7L, "en", p))
     assert(contents.distinct.size == 3, "pages must differ")
