@@ -116,27 +116,41 @@ object PdfRuns {
     asciiView(bytes, from, p)
   }
 
-  /** Blank the payload spans between `stream`/`endstream` keywords so that
-    * compressed bytes which happen to form printable ASCII cannot fabricate
-    * object headers or page dictionaries during the metadata scan.
+  /** ASCII projection of the whole file with stream PAYLOAD spans blanked,
+    * in ONE pass and ONE allocation: compressed bytes which happen to form
+    * printable ASCII cannot fabricate object headers or page dictionaries
+    * during the metadata scan, and the hot path pays no extra copies.
     */
-  private def maskStreamData(view: String): String = {
-    val sb = new java.lang.StringBuilder(view)
+  private def maskedAsciiView(bytes: Array[Byte]): String = {
+    val n = bytes.length
+    val kw = "stream".getBytes("US-ASCII")
+    val endKw = "endstream".getBytes("US-ASCII")
+    val sb = new java.lang.StringBuilder(n)
     var i = 0
-    while (i >= 0 && i < sb.length) {
-      val s = sb.indexOf("stream", i)
-      if (s < 0) i = -1
-      else if (s >= 3 && sb.charAt(s - 3) == 'e' && sb.charAt(s - 2) == 'n' && sb.charAt(s - 1) == 'd') {
-        i = s + 6 // "endstream" without a preceding "stream": skip the keyword
-      } else {
-        val e = sb.indexOf("endstream", s + 6)
-        val end = if (e < 0) sb.length else e
-        var k = s + 6
-        while (k < end) { sb.setCharAt(k, ' '); k += 1 }
-        i = if (e < 0) -1 else e + 9
+    while (i < n) {
+      val p = indexOf(bytes, kw, i)
+      val isEnd = p >= 3 && bytes(p - 3) == 'e' && bytes(p - 2) == 'n' && bytes(p - 1) == 'd'
+      if (p < 0) { appendAscii(sb, bytes, i, n); i = n }
+      else if (isEnd) { appendAscii(sb, bytes, i, p + kw.length); i = p + kw.length }
+      else {
+        val de = indexOf(bytes, endKw, p + kw.length)
+        val end = if (de < 0) n else de
+        appendAscii(sb, bytes, i, p + kw.length) // keep the keyword itself
+        var k = p + kw.length
+        while (k < end) { sb.append(' '); k += 1 } // blank the payload
+        i = end
       }
     }
     sb.toString
+  }
+
+  private def appendAscii(sb: java.lang.StringBuilder, b: Array[Byte], from: Int, to: Int): Unit = {
+    var i = from
+    while (i < to) {
+      val c = b(i) & 0xff
+      sb.append(if (c >= 0x20 && c <= 0x7e) c.toChar else ' ')
+      i += 1
+    }
   }
 
   /** Printable-ASCII projection (non-printables become spaces) — safe to
@@ -196,7 +210,7 @@ object PdfRuns {
     try {
       // ASCII view with stream PAYLOADS blanked: compressed bytes can
       // accidentally spell "N 0 obj" / "/Type /Page" and fabricate metadata
-      val view = maskStreamData(asciiView(bytes, 0, bytes.length))
+      val view = maskedAsciiView(bytes)
       // every object's dictionary text, keyed by object number (first wins)
       val headers = ObjHeaderRe.findAllMatchIn(view).toVector
       val dicts = scala.collection.mutable.Map.empty[Int, String]
