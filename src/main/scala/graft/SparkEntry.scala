@@ -28,7 +28,8 @@ object SparkEntry {
       TextAnalysis.queries ++
       ExtractOracle.queries ++
       graft.streaming.StreamingOps.queries ++
-      Multimodal.queries
+      Multimodal.queries ++
+      graft.sources.Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (winnowing,
@@ -41,5 +42,6 @@ object SparkEntry {
       TextAnalysis.oracles ++
       ExtractOracle.oracles ++
       graft.streaming.StreamingOps.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++
+      graft.sources.Formats.oracles
 }

@@ -698,6 +698,42 @@ object Relational {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY event_id""".stripMargin
 
+  // ---- lateral join (correlated top-N subquery per row) ------------------
+
+  /** LATERAL correlated subquery: each BUILDING-segment customer paired with
+    * its two highest-value orders. Catalyst decorrelates the LIMIT-per-group
+    * subquery into a ranked window join — the declarative form of the
+    * top-k-per-key pattern (U5) expressed through the SQL lateral surface.
+    * Money compared in exact BIGINT cents (FIXTURES.md §3 rules).
+    */
+  def qLateral(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "customer").createOrReplaceTempView("v_customer")
+    t(spark, sfDir, "orders").createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.total_c
+        |FROM v_customer c,
+        |LATERAL (
+        |  SELECT o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) total_c
+        |  FROM v_orders WHERE o_custkey = c.c_custkey
+        |  ORDER BY total_c DESC, o_orderkey LIMIT 2
+        |) o
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, total_c DESC, o_orderkey""".stripMargin)
+  }
+
+  val qLateralSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.total_c
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) total_c
+      |  FROM orders WHERE o_custkey = c.c_custkey
+      |  ORDER BY total_c DESC, o_orderkey LIMIT 2
+      |) o
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |ORDER BY c_custkey, total_c DESC, o_orderkey""".stripMargin
+
   // ---- approximate aggregates (engine-specific — rows-only check) --------
 
   def qApprox(spark: SparkSession, sfDir: String): DataFrame =
@@ -738,6 +774,7 @@ object Relational {
     "q_asof" -> (qAsof _),
     "q_median" -> (qMedian _),
     "q_subquery" -> (qSubquery _),
+    "q_lateral" -> (qLateral _),
     "q_gapfill" -> (qGapfill _),
     "q_ranks" -> (qRanks _),
     "q_unpivot" -> (qUnpivot _),
@@ -773,6 +810,7 @@ object Relational {
     "q_asof" -> qAsofSql,
     "q_median" -> qMedianSql,
     "q_subquery" -> qSubquerySql,
+    "q_lateral" -> qLateralSql,
     "q_gapfill" -> qGapfillSql,
     "q_ranks" -> qRanksSql,
     "q_unpivot" -> qUnpivotSql,

@@ -237,6 +237,44 @@ object StreamingOps {
       |FROM events JOIN dim USING (user_id)
       |ORDER BY event_id""".stripMargin
 
+  // ---- stream-stream join ------------------------------------------------
+
+  /** Stream-stream inner join with watermarks on BOTH sides and an event-time
+    * range condition — the stateful join: each side buffers rows in the state
+    * store until the other side's watermark passes the range horizon, so
+    * state is bounded by (watermark delay + join window) × arrival rate
+    * regardless of stream length. Here: every `view` joined to the same
+    * user's `click`s within the following 4 hours. On the bounded one-batch
+    * input the inner join emits every match immediately, so the batch
+    * self-join is the exact oracle.
+    */
+  def stSsJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = streamEvents(spark, sfDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val joined = views.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 4 HOURS"))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+    runToTable(joined, "st_ss_join", "append", requireSingleBatch = true)
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
+  val stSsJoinSql: String =
+    """SELECT v.user_id, v.event_id view_id, c.event_id click_id
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin
+
   // ---- ST5: stateful streaming dedup -------------------------------------
 
   /** `dropDuplicatesWithinWatermark`, not plain `dropDuplicates`: the latter
@@ -298,6 +336,74 @@ object StreamingOps {
       .toDF("user_id", "event_id", "seq_no")
   }
 
+  // ---- custom state: transformWithState (Spark 4 API) --------------------
+
+  /** Per-user running value sums via `transformWithState` — the Spark-4
+    * successor to flatMapGroupsWithState (typed ValueState handles, RocksDB
+    * column families, state TTL). State per user is one long (the running
+    * cents total), bounded by |users|; the operator REQUIRES the RocksDB
+    * state-store provider, which is also the 100 TB story: state lives
+    * off-heap/on-disk per executor instead of on the JVM heap, so watermark
+    * state scales with disk, not memory. Money in exact BIGINT cents;
+    * within a batch the group sorts by (ts, event_id) like stSeq, so the
+    * batch window-sum is the exact oracle.
+    */
+  private[graft] class RunningSumProc
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+        tv: TimerValues): Iterator[(Long, Long, Long)] = {
+      var run = if (total.exists()) total.get() else 0L
+      val batch = it.toIndexedSeq.sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+      val out = batch.map { case (u, eid, _, cents) =>
+        run += cents
+        (u, eid, run)
+      }
+      total.update(run)
+      out.iterator
+    }
+  }
+
+  /** The transform itself, reusable over any (user_id, event_id, ts, cents)
+    * stream — package-visible so tests can drive it multi-microbatch and
+    * across state-store providers.
+    */
+  private[graft] def runningSums(stream: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val ss = stream.sparkSession
+    import ss.implicits._
+    stream
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningSumProc, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "event_id", "running_c")
+  }
+
+  def stTws(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = streamEvents(spark, sfDir)
+    stream.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    runToTable(runningSums(stream), "st_tws", "append",
+      requireSingleBatch = true)
+      .orderBy("user_id", "event_id")
+  }
+
+  val stTwsSql: String =
+    """SELECT user_id, event_id,
+      |       CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) running_c
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
   def stSeq(spark: SparkSession, sfDir: String): DataFrame = {
     val numbered = seqNumbered(streamEvents(spark, sfDir))
     runToTable(numbered, "st_seq", "append",
@@ -317,7 +423,9 @@ object StreamingOps {
     "st_sliding" -> (stSliding _),
     "st_session" -> (stSession _),
     "st_join" -> (stJoin _),
+    "st_ss_join" -> (stSsJoin _),
     "st_seq" -> (stSeq _),
+    "st_tws" -> (stTws _),
     "st_dedup" -> (stDedup _)
   )
 
@@ -326,7 +434,9 @@ object StreamingOps {
     "st_sliding" -> stSlidingSql,
     "st_session" -> stSessionSql,
     "st_join" -> stJoinSql,
+    "st_ss_join" -> stSsJoinSql,
     "st_seq" -> stSeqSql,
+    "st_tws" -> stTwsSql,
     "st_dedup" -> stDedupSql
   )
 }
