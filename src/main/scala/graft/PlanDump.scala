@@ -84,6 +84,16 @@ object PlanDump {
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).take(10000))
     out.println("```")
+    out.println("\n## `q_lateral` — LATERAL top-2-per-customer, decorrelated\n")
+    out.println("Catalyst rewrites the correlated ORDER BY+LIMIT subquery into a ranked")
+    out.println("window join (no per-row re-execution); the rank<=2 filter then plans as")
+    out.println("WindowGroupLimit — bounded per-key heaps on both sides of the shuffle")
+    out.println("instead of a full per-key sort (same shape ScaleSurfaceSpec pins).\n")
+    out.println("```")
+    out.println(graft.operators.Relational.qLateral(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).take(9000))
+    out.println("```")
     out.close(); spark.stop()
   }
 }

@@ -698,6 +698,35 @@ object Relational {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY event_id""".stripMargin
 
+  // ---- VARIANT (Spark 4 semi-structured type) ----------------------------
+
+  /** The props JSON parsed once into a VARIANT column, then typed paths
+    * extracted with variant_get — Spark 4's answer to schema-on-read
+    * semi-structured data (binary-encoded, so repeated path extraction skips
+    * re-parsing; the at-scale contrast to get_json_object in q_json).
+    * try_variant_get on a missing path yields NULL, matching the oracle's
+    * json_extract_string. Grouped tail proves the extracted values feed
+    * normal relational ops.
+    */
+  def qVariant(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'int')").as("m"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"),
+        count(col("m")).as("n_missing"))
+      .orderBy("event_type", "k_mod")
+
+  val qVariantSql: String =
+    """SELECT event_type,
+      |       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+      |       count(*) n,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) sum_k,
+      |       count(json_extract_string(props, '$.missing')) n_missing
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY event_type, k_mod""".stripMargin
+
   // ---- lateral join (correlated top-N subquery per row) ------------------
 
   /** LATERAL correlated subquery: each BUILDING-segment customer paired with
@@ -775,6 +804,7 @@ object Relational {
     "q_median" -> (qMedian _),
     "q_subquery" -> (qSubquery _),
     "q_lateral" -> (qLateral _),
+    "q_variant" -> (qVariant _),
     "q_gapfill" -> (qGapfill _),
     "q_ranks" -> (qRanks _),
     "q_unpivot" -> (qUnpivot _),
@@ -811,6 +841,7 @@ object Relational {
     "q_median" -> qMedianSql,
     "q_subquery" -> qSubquerySql,
     "q_lateral" -> qLateralSql,
+    "q_variant" -> qVariantSql,
     "q_gapfill" -> qGapfillSql,
     "q_ranks" -> qRanksSql,
     "q_unpivot" -> qUnpivotSql,

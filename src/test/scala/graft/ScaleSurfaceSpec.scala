@@ -121,6 +121,23 @@ class ScaleSurfaceSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  /** Spark's own bounded top-k-per-key path: a `row_number <= k` filter over
+    * a window must plan as WindowGroupLimit (per-partition k-heap inserted
+    * before AND after the shuffle), not a full per-key sort of every loser
+    * row — the built-in complement to the custom TopKPerKey operator, and
+    * the plan shape that keeps rank-filters viable at 100 TB.
+    */
+  test("rank<=k filter plans as WindowGroupLimit on both shuffle sides") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(100000).selectExpr("id % 1000 AS k", "id AS v")
+    val top = df
+      .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy(col("v").desc)))
+      .filter(col("rn") <= 3)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+    assert(top.count() == 3000)
+  }
+
   /** transformWithState continuity: the running-sum processor must carry
     * ValueState across microbatches on the RocksDB store (the only provider
     * the operator supports, and the store that scales state past the heap).
