@@ -763,6 +763,70 @@ object Relational {
       |WHERE c.c_mktsegment = 'BUILDING'
       |ORDER BY c_custkey, total_c DESC, o_orderkey""".stripMargin
 
+  // ---- recursive CTE (iterative query surface, Spark 4 WITH RECURSIVE) ---
+
+  /** Recursive CTE: each part's containment chain under the deterministic
+    * decimal hierarchy (parent = key div 10), walked to the single-digit
+    * root. The recursion is linear (one parent per node, depth ≤ ⌈log₁₀
+    * maxkey⌉ ≈ 7), so the iterative plan runs a bounded number of
+    * micro-joins regardless of corpus size — the same shape as a
+    * reachability walk over a shallow forest. Integer `div`/`//` per
+    * FIXTURES.md §3 (both truncate; keys are non-negative).
+    */
+  def qRcte(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "part").createOrReplaceTempView("v_part")
+    spark.sql(
+      """WITH RECURSIVE anc(part, node, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM v_part
+        |  UNION ALL
+        |  SELECT part, node div 10, depth + 1 FROM anc WHERE node >= 10
+        |)
+        |SELECT part, CAST(max(depth) AS BIGINT) chain_len,
+        |       CAST(min(node) AS BIGINT) root
+        |FROM anc GROUP BY part ORDER BY part""".stripMargin)
+  }
+
+  /** min(node) is the root because the walk is monotone decreasing. */
+  val qRcteSql: String =
+    """WITH RECURSIVE anc(part, node, depth) AS (
+      |  SELECT p_partkey, p_partkey, 0 FROM part
+      |  UNION ALL
+      |  SELECT part, node // 10, depth + 1 FROM anc WHERE node >= 10
+      |)
+      |SELECT part, CAST(max(depth) AS BIGINT) chain_len,
+      |       CAST(min(node) AS BIGINT) root
+      |FROM anc GROUP BY part ORDER BY part""".stripMargin
+
+  // ---- null-safe join (`<=>` / IS NOT DISTINCT FROM) ---------------------
+
+  /** Null-safe equi-join: facts keyed by a NULLABLE derived key joined to
+    * the distinct key dimension with `<=>`, so NULL-keyed rows match the
+    * NULL dimension row instead of silently dropping (a plain `===` loses
+    * them). Catalyst keeps `<=>` on the hash/sort-merge equi path (the key
+    * is compared null-safely, not degraded to a nested-loop join). Scale
+    * note: all NULL keys hash to ONE reducer — acceptable here because the
+    * dim side is distinct-tiny (broadcast); for fact-fact null-safe joins
+    * at 100 TB, split the NULL stratum out first (it can only match NULL).
+    */
+  def qNullsafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val fact = t(spark, sfDir, "events")
+      .select(col("event_id"), expr("nullif(event_type, 'click')").as("k"))
+    // dim derives from fact (a self-join lineage): alias both sides and use
+    // qualified names so the analyzer can tell the two `k`s apart.
+    val dim = fact.select(col("k")).distinct()
+    fact.as("f").join(broadcast(dim.as("d")), col("f.k") <=> col("d.k"))
+      .groupBy(coalesce(col("d.k"), lit("(null)")).as("k_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k_label")
+  }
+
+  val qNullsafeSql: String =
+    """WITH f AS (SELECT event_id, nullif(event_type, 'click') k FROM events),
+      |d AS (SELECT DISTINCT k FROM f)
+      |SELECT coalesce(d.k, '(null)') k_label, count(*) n
+      |FROM f JOIN d ON f.k IS NOT DISTINCT FROM d.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- approximate aggregates (engine-specific — rows-only check) --------
 
   def qApprox(spark: SparkSession, sfDir: String): DataFrame =
@@ -805,6 +869,8 @@ object Relational {
     "q_subquery" -> (qSubquery _),
     "q_lateral" -> (qLateral _),
     "q_variant" -> (qVariant _),
+    "q_rcte" -> (qRcte _),
+    "q_nullsafe" -> (qNullsafe _),
     "q_gapfill" -> (qGapfill _),
     "q_ranks" -> (qRanks _),
     "q_unpivot" -> (qUnpivot _),
@@ -842,6 +908,8 @@ object Relational {
     "q_subquery" -> qSubquerySql,
     "q_lateral" -> qLateralSql,
     "q_variant" -> qVariantSql,
+    "q_rcte" -> qRcteSql,
+    "q_nullsafe" -> qNullsafeSql,
     "q_gapfill" -> qGapfillSql,
     "q_ranks" -> qRanksSql,
     "q_unpivot" -> qUnpivotSql,
