@@ -827,6 +827,81 @@ object Relational {
       |FROM f JOIN d ON f.k IS NOT DISTINCT FROM d.k
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- batch sessionization (gaps-and-islands) ---------------------------
+
+  /** Gaps-and-islands sessionization: per-user event streams cut into
+    * sessions at >30-minute silences — the batch twin of the streaming
+    * session window (ST4), expressed as the classic lag-flag + running-sum
+    * pattern (the same shape W3 uses for line ids). ONE shuffle on user_id
+    * serves both windows and the session aggregate: the flag window, the
+    * running sum, and the groupBy all share the user_id partitioning
+    * (Exchange reuse), so at 100 TB this is a single repartition of the
+    * event log. Gap arithmetic in integer epoch seconds (exact both
+    * engines); tie-break on event_id makes the order total.
+    */
+  def qSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    t(spark, sfDir, "events")
+      .withColumn("es", unix_timestamp(col("ts")))
+      .withColumn("new_s",
+        when(lag(col("es"), 1).over(w).isNull ||
+          col("es") - lag(col("es"), 1).over(w) > 1800L, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(
+        min(col("es")).as("s_start"),
+        max(col("es")).as("s_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "sess")
+  }
+
+  val qSessionizeSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS es FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, es,
+      |         CASE WHEN lag(es) OVER w IS NULL
+      |                OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END flg
+      |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+      |s AS (
+      |  SELECT user_id, es,
+      |         sum(flg) OVER (PARTITION BY user_id ORDER BY es, event_id
+      |                        ROWS UNBOUNDED PRECEDING) sess
+      |  FROM f)
+      |SELECT user_id, CAST(sess AS BIGINT) sess, min(es) s_start,
+      |       max(es) s_end, count(*) n_events
+      |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
+
+  // ---- bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) ----------------
+
+  /** `exceptAll` / `intersectAll`: multiset difference and intersection over
+    * order keys that repeat (one row per lineitem), where the DISTINCT
+    * variants (O4) would collapse multiplicities. Both plan as a count-
+    * aggregate + generate (no nested loop); identical duplicate rows make
+    * the ORDER BY safely total for hashing.
+    */
+  def qBagOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val a = li.filter(col("l_quantity") < 10).select(col("l_orderkey"))
+    val b = li.filter(col("l_discount") > 0.05).select(col("l_orderkey"))
+    a.exceptAll(b).select(lit("except_all").as("tag"), col("l_orderkey"))
+      .unionByName(
+        a.intersectAll(b).select(lit("intersect_all").as("tag"), col("l_orderkey")))
+      .orderBy("tag", "l_orderkey")
+  }
+
+  val qBagOpsSql: String =
+    """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_quantity < 10),
+      |b AS (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05)
+      |SELECT * FROM (
+      |  SELECT 'except_all' tag, l_orderkey FROM (
+      |    SELECT l_orderkey FROM a EXCEPT ALL SELECT l_orderkey FROM b)
+      |  UNION ALL
+      |  SELECT 'intersect_all' tag, l_orderkey FROM (
+      |    SELECT l_orderkey FROM a INTERSECT ALL SELECT l_orderkey FROM b))
+      |ORDER BY tag, l_orderkey""".stripMargin
+
   // ---- approximate aggregates (engine-specific — rows-only check) --------
 
   def qApprox(spark: SparkSession, sfDir: String): DataFrame =
@@ -871,6 +946,8 @@ object Relational {
     "q_variant" -> (qVariant _),
     "q_rcte" -> (qRcte _),
     "q_nullsafe" -> (qNullsafe _),
+    "q_sessionize" -> (qSessionize _),
+    "q_bag_ops" -> (qBagOps _),
     "q_gapfill" -> (qGapfill _),
     "q_ranks" -> (qRanks _),
     "q_unpivot" -> (qUnpivot _),
@@ -910,6 +987,8 @@ object Relational {
     "q_variant" -> qVariantSql,
     "q_rcte" -> qRcteSql,
     "q_nullsafe" -> qNullsafeSql,
+    "q_sessionize" -> qSessionizeSql,
+    "q_bag_ops" -> qBagOpsSql,
     "q_gapfill" -> qGapfillSql,
     "q_ranks" -> qRanksSql,
     "q_unpivot" -> qUnpivotSql,

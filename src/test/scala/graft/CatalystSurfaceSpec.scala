@@ -72,6 +72,24 @@ class CatalystSurfaceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q_sessionize plan: one user_id shuffle serves both windows and the aggregate") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.Relational.qSessionize(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      // lag flag window + running-sum window + groupBy(user_id, sess) all
+      // cluster on user_id: hashpartitioning(user_id) satisfies every stage,
+      // so the whole sessionization is ONE data shuffle; the only other
+      // exchange is the presentation orderBy's rangepartitioning.
+      val hash = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+      assert(hash == 1, s"expected one user_id exchange, plan:\n$plan")
+      val all = "Exchange ".r.findAllIn(plan).length -
+        "BroadcastExchange".r.findAllIn(plan).length
+      assert(all == 2, s"one data shuffle + one presentation sort only:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("TopKPerKey custom operator equals the window formulation, no Window/sort-all plan") {
     import org.apache.spark.sql.expressions.Window
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
