@@ -307,9 +307,96 @@ object ExtractOracle {
        |SELECT url, d.host, host_docs
        |FROM d JOIN dim ON d.host = dim.host ORDER BY url""".stripMargin
 
+  // ---- URL canonicalization ----------------------------------------------
+
+  /** Web-URL canonicalizer over deterministically-dirtied corpus URLs: each
+    * url gets one of five messes keyed by its trailing page number (tracking
+    * params + fragment; interleaved tracking params; fragment only;
+    * uppercased scheme+host with an explicit default :443 port; unchanged),
+    * and the canonicalizer must undo all of them — lowercase scheme+host,
+    * strip the default port, drop the fragment, remove `utm_*` params, and
+    * sort the surviving query params. Pure per-row string/array work
+    * (codegen'd, no shuffle until the presentation sort): the shape that
+    * runs ahead of every URL-keyed dedup/join at 100 TB, where agreement on
+    * the canonical key decides dedup recall. The mess constructor is shared
+    * by both engines; the canonicalizer is the operator under test.
+    */
+  def exUrlNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    val selector =
+      "CAST(coalesce(nullif(regexp_extract(url, '-([0-9]+)$', 1), ''), '0') AS BIGINT) % 5"
+    OracleCorpus.docs(spark).select(col("url"))
+      .withColumn("k", expr(selector))
+      .withColumn("messy",
+        when(col("k") === 0, concat(col("url"), lit("?utm_source=feed&b=2&a=1#frag")))
+          .when(col("k") === 1, concat(col("url"), lit("?z=9&utm_campaign=x&y=8&utm_medium=rss")))
+          .when(col("k") === 2, concat(col("url"), lit("#top")))
+          .when(col("k") === 3, concat(
+            upper(substring_index(col("url"), "/", 3)), lit(":443"),
+            expr("substr(url, length(substring_index(url, '/', 3)) + 1)")))
+          .otherwise(col("url")))
+      .withColumn("pre", substring_index(col("messy"), "/", 3))
+      .withColumn("pre2", regexp_replace(lower(col("pre")), ":443$", ""))
+      .withColumn("nofrag",
+        substring_index(expr("substr(messy, length(pre) + 1)"), "#", 1))
+      .withColumn("path", substring_index(col("nofrag"), "?", 1))
+      .withColumn("qs",
+        when(col("nofrag").contains("?"), substring_index(col("nofrag"), "?", -1))
+          .otherwise(lit("")))
+      .withColumn("params", array_join(
+        array_sort(filter(split(col("qs"), "&"), p => !p.startsWith("utm_"))), "&"))
+      .select(
+        col("url"), col("k"), col("messy"),
+        concat(col("pre2"), col("path"),
+          when(col("params") =!= "", concat(lit("?"), col("params")))
+            .otherwise(lit(""))).as("canon"))
+      .orderBy("url")
+  }
+
+  val exUrlNormSql: String =
+    s"""WITH d AS (
+       |  SELECT url,
+       |         CAST(coalesce(nullif(regexp_extract(url, '-([0-9]+)$$', 1), ''), '0')
+       |              AS BIGINT) % 5 AS k
+       |  FROM $D),
+       |m AS (
+       |  SELECT url, k,
+       |    CASE k
+       |      WHEN 0 THEN url || '?utm_source=feed&b=2&a=1#frag'
+       |      WHEN 1 THEN url || '?z=9&utm_campaign=x&y=8&utm_medium=rss'
+       |      WHEN 2 THEN url || '#top'
+       |      WHEN 3 THEN upper(array_to_string(str_split(url, '/')[1:3], '/')) || ':443'
+       |                  || substr(url, length(array_to_string(str_split(url, '/')[1:3], '/')) + 1)
+       |      ELSE url END AS messy
+       |  FROM d),
+       |p1 AS (
+       |  SELECT url, k, messy,
+       |         array_to_string(str_split(messy, '/')[1:3], '/') AS pre
+       |  FROM m),
+       |p2 AS (
+       |  SELECT url, k, messy,
+       |         regexp_replace(lower(pre), ':443$$', '') AS pre2,
+       |         str_split(substr(messy, length(pre) + 1), '#')[1] AS nofrag
+       |  FROM p1),
+       |p3 AS (
+       |  SELECT url, k, messy, pre2,
+       |         str_split(nofrag, '?')[1] AS path,
+       |         CASE WHEN contains(nofrag, '?') THEN str_split(nofrag, '?')[2]
+       |              ELSE '' END AS qs
+       |  FROM p2),
+       |p4 AS (
+       |  SELECT url, k, messy, pre2, path,
+       |         array_to_string(list_sort(list_filter(str_split(qs, '&'),
+       |                                   x -> NOT starts_with(x, 'utm_'))), '&') AS params
+       |  FROM p3)
+       |SELECT url, k, messy,
+       |       pre2 || path ||
+       |       CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canon
+       |FROM p4 ORDER BY url""".stripMargin
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ex_urlnorm" -> (exUrlNorm _),
     "ex_classify" -> (exClassify _),
     "ex_lines" -> (exLines _),
     "ex_docs" -> (exDocs _),
@@ -321,6 +408,7 @@ object ExtractOracle {
   )
 
   def oracles: Map[String, String] = Map(
+    "ex_urlnorm" -> exUrlNormSql,
     "ex_classify" -> exClassifySql,
     "ex_lines" -> exLinesSql,
     "ex_docs" -> exDocsSql,

@@ -902,6 +902,38 @@ object Relational {
       |    SELECT l_orderkey FROM a INTERSECT ALL SELECT l_orderkey FROM b))
       |ORDER BY tag, l_orderkey""".stripMargin
 
+  // ---- fixed-width histogram (distribution profiling) --------------------
+
+  /** 16-bucket equi-width histogram of lineitem price cents with per-bucket
+    * count/min/max/sum — the distribution-profiling pass that sizes
+    * partitions and spots skew before a 100 TB run. Bucket assignment is
+    * EXACT integer arithmetic (`(v - lo) * n div (hi - lo)`, clamped), not a
+    * double-based width_bucket, so bucket edges cannot drift between
+    * engines; the aggregate is a 16-group partial-agg-friendly groupBy
+    * (map-side combine reduces each partition to ≤16 rows before the one
+    * tiny shuffle).
+    */
+  def qHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val (lo, hi, n) = (90000L, 11000000L, 16L)
+    t(spark, sfDir, "lineitem")
+      .withColumn("c", (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+      .withColumn("bucket",
+        expr(s"least(greatest(((c - ${lo}L) * ${n}L) div ${hi - lo}L, -1L), ${n}L)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min(col("c")).as("min_c"),
+        max(col("c")).as("max_c"), sum(col("c")).as("sum_c"))
+      .orderBy("bucket")
+  }
+
+  val qHistogramSql: String =
+    """WITH c AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) c
+      |  FROM lineitem)
+      |SELECT least(greatest(((c - 90000) * 16) // 10910000, -1), 16) AS bucket,
+      |       count(*) n_rows, min(c) min_c, max(c) max_c,
+      |       CAST(sum(c) AS BIGINT) sum_c
+      |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ---- approximate aggregates (engine-specific — rows-only check) --------
 
   def qApprox(spark: SparkSession, sfDir: String): DataFrame =
@@ -948,6 +980,7 @@ object Relational {
     "q_nullsafe" -> (qNullsafe _),
     "q_sessionize" -> (qSessionize _),
     "q_bag_ops" -> (qBagOps _),
+    "q_histogram" -> (qHistogram _),
     "q_gapfill" -> (qGapfill _),
     "q_ranks" -> (qRanks _),
     "q_unpivot" -> (qUnpivot _),
@@ -989,6 +1022,7 @@ object Relational {
     "q_nullsafe" -> qNullsafeSql,
     "q_sessionize" -> qSessionizeSql,
     "q_bag_ops" -> qBagOpsSql,
+    "q_histogram" -> qHistogramSql,
     "q_gapfill" -> qGapfillSql,
     "q_ranks" -> qRanksSql,
     "q_unpivot" -> qUnpivotSql,

@@ -285,9 +285,62 @@ object TextAnalysis {
        |ORDER BY doc_id, fp""".stripMargin
   }
 
+  // ---- tf-idf keyword extraction (integer-exact) -------------------------
+
+  /** Top-3 characteristic terms per document by an integer tf·idf score:
+    * `score = tf * (1_000_000 div df)` — document frequency inverted by
+    * exact integer division (Spark `div` == DuckDB `//`), so the ranking is
+    * bit-identical across engines with no transcendental log. Shape at
+    * 100 TB: a (doc_id, term) shuffle builds tf; df collapses tf to the
+    * vocabulary (≪ corpus, partial-agg combines hot terms map-side — never
+    * a term-partitioned window, which would funnel hot terms through one
+    * reducer) and its result BROADCASTS back onto tf, so the corpus-sized
+    * side joins without a term shuffle; the per-doc top-3 runs on the custom
+    * TopKPerKey operator (bounded heaps, no per-doc sort). Ties break on
+    * term ASC to keep the order total.
+    */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf rows are already DISTINCT (doc_id, term), so df is a count of tf
+    // rows per term. Spark recomputes the tf subtree for the df branch (two
+    // scans — same trade the extract pipeline measured optimum vs
+    // materializing); the alternative, a count window PARTITION BY term,
+    // would funnel every row of a hot term through one reducer, while this
+    // groupBy partial-aggregates map-side and stays skew-free.
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      // integral `div`, not `/`+cast (repo rule: double division can round
+      // across an integer boundary)
+      .withColumn("score", col("tf") * expr("1000000 div df"))
+    graft.plans.TopK.perKey(
+      scored.select(col("doc_id"), col("term"), col("tf"), col("df"), col("score")),
+      keys = Seq(col("doc_id")),
+      order = Seq(col("score").desc, col("term").asc),
+      k = 3)
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  val tfidfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+      |t AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+      |tf AS (SELECT doc_id, term, count(*) tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) df FROM (SELECT DISTINCT doc_id, term FROM t)
+      |       GROUP BY 1)
+      |SELECT doc_id, tf.term AS term, tf, df, tf * (1000000 // df) AS score
+      |FROM tf JOIN df ON tf.term = df.term
+      |QUALIFY row_number() OVER (PARTITION BY doc_id
+      |                           ORDER BY score DESC, tf.term ASC) <= 3
+      |ORDER BY doc_id, score DESC, term""".stripMargin
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tfidf" -> (tfidf _),
     "ta_quality" -> (quality _),
     "ta_tokens" -> (tokenCounts _),
     "ta_fingerprint" -> (fingerprint _),
@@ -298,6 +351,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_tfidf" -> tfidfSql,
     "ta_quality" -> qualitySql,
     "ta_tokens" -> tokenCountsSql,
     "ta_fingerprint" -> fingerprintSql,
