@@ -902,6 +902,50 @@ object Relational {
       |    SELECT l_orderkey FROM a INTERSECT ALL SELECT l_orderkey FROM b))
       |ORDER BY tag, l_orderkey""".stripMargin
 
+  // ---- bucketized interval join (pure range predicate, no equi key) ------
+
+  /** Interval-containment join with NO equi key — events counted into 100
+    * overlapping 8-hour windows — rewritten as a BUCKETIZED EQUI-JOIN, the
+    * formulation that survives two large sides. Spark plans a bare
+    * `ts BETWEEN ws AND we` join as BroadcastNestedLoopJoin (or a cartesian
+    * product when neither side broadcasts — the 100 TB killer). Instead:
+    * quantize time into 4-hour buckets, explode each interval into the 2–3
+    * buckets it spans, attach each event to its single bucket, and
+    * equi-join on the bucket with the range check as a residual filter.
+    * Each (event, interval) pair meets in EXACTLY one bucket (the event's
+    * own), so no dedup is needed. The join is now hash/merge-able and
+    * shuffles on a high-cardinality key; interval explosion is bounded by
+    * span/bucket (≤3 here). A plan test pins the no-nested-loop claim with
+    * broadcast disabled. Epoch-second integer arithmetic both engines.
+    */
+  def qIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    val wins = spark.range(100).select(
+      col("id").as("wid"),
+      (lit(base) + col("id") * 25200L).as("ws"),
+      (lit(base) + col("id") * 25200L + 28800L).as("we"))
+    val winBuckets = wins.withColumn("bkt",
+      explode(sequence(expr("ws div 14400"), expr("(we - 1) div 14400"))))
+    t(spark, sfDir, "events")
+      .withColumn("es", unix_timestamp(col("ts")))
+      .withColumn("bkt", expr("es div 14400"))
+      .join(winBuckets, Seq("bkt"))
+      .filter(col("es") >= col("ws") && col("es") < col("we"))
+      .groupBy("wid")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("wid")
+  }
+
+  val qIntervalJoinSql: String =
+    """WITH w AS (
+      |  SELECT i AS wid, 1704067200 + i * 25200 AS ws,
+      |         1704067200 + i * 25200 + 28800 AS we
+      |  FROM range(100) t(i)),
+      |e AS (SELECT epoch_us(ts) // 1000000 AS es FROM events)
+      |SELECT wid, count(*) n_events
+      |FROM e JOIN w ON es >= ws AND es < we
+      |GROUP BY 1 ORDER BY wid""".stripMargin
+
   // ---- fixed-width histogram (distribution profiling) --------------------
 
   /** 16-bucket equi-width histogram of lineitem price cents with per-bucket
@@ -981,6 +1025,7 @@ object Relational {
     "q_sessionize" -> (qSessionize _),
     "q_bag_ops" -> (qBagOps _),
     "q_histogram" -> (qHistogram _),
+    "q_interval_join" -> (qIntervalJoin _),
     "q_gapfill" -> (qGapfill _),
     "q_ranks" -> (qRanks _),
     "q_unpivot" -> (qUnpivot _),
@@ -1023,6 +1068,7 @@ object Relational {
     "q_sessionize" -> qSessionizeSql,
     "q_bag_ops" -> qBagOpsSql,
     "q_histogram" -> qHistogramSql,
+    "q_interval_join" -> qIntervalJoinSql,
     "q_gapfill" -> qGapfillSql,
     "q_ranks" -> qRanksSql,
     "q_unpivot" -> qUnpivotSql,

@@ -337,10 +337,53 @@ object TextAnalysis {
       |                           ORDER BY score DESC, tf.term ASC) <= 3
       |ORDER BY doc_id, score DESC, term""".stripMargin
 
+  // ---- column profiling (data-quality gate) ------------------------------
+
+  /** One-pass column profile of the documents table — the data-quality gate
+    * run before any 100 TB training job: per column, row/null/distinct
+    * counts and min/max (as strings, so one schema fits every column; all
+    * profiled columns are BIGINT/VARCHAR, whose string casts are
+    * format-identical across engines — doubles/timestamps would not be).
+    * ONE wide aggregate scans the table once (multi-distinct plans via
+    * Expand — a 5× row amplification into partial aggs, NOT 5 scans), then
+    * `stack` pivots the single wide row into one row per column.
+    */
+  def profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_dist"),
+        min(col(c).cast("string")).as(s"${c}_min"),
+        max(col(c).cast("string")).as(s"${c}_max"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_dist, ${c}_min, ${c}_max").mkString(", ")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_s, max_s)")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+      .orderBy("col_name")
+  }
+
+  val profileSql: String = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       min(CAST($c AS VARCHAR)) AS min_s, max(CAST($c AS VARCHAR)) AS max_s
+         |FROM documents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tfidf" -> (tfidf _),
+    "ta_profile" -> (profile _),
     "ta_quality" -> (quality _),
     "ta_tokens" -> (tokenCounts _),
     "ta_fingerprint" -> (fingerprint _),
@@ -352,6 +395,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "ta_tfidf" -> tfidfSql,
+    "ta_profile" -> profileSql,
     "ta_quality" -> qualitySql,
     "ta_tokens" -> tokenCountsSql,
     "ta_fingerprint" -> fingerprintSql,

@@ -90,6 +90,21 @@ class CatalystSurfaceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q_interval_join plan: bucketized range join is hash/merge-joinable, never a nested loop") {
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // broadcast off: a bare ts-range join would now plan as a cartesian
+    // nested loop; the bucketized rewrite must stay an equi join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Relational.qIntervalJoin(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"nested-loop join in bucketized range join plan:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi join on the bucket key:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+  }
+
   test("TopKPerKey custom operator equals the window formulation, no Window/sort-all plan") {
     import org.apache.spark.sql.expressions.Window
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
