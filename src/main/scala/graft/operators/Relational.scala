@@ -902,6 +902,41 @@ object Relational {
       |    SELECT l_orderkey FROM a INTERSECT ALL SELECT l_orderkey FROM b))
       |ORDER BY tag, l_orderkey""".stripMargin
 
+  // ---- LOCF forward fill (time-series repair) ----------------------------
+
+  /** Last-observation-carried-forward: a deterministically-punched sensor
+    * series (every 3rd event's reading NULLed) repaired per user by carrying
+    * the last non-null value forward in event-time order — `last(...,
+    * ignoreNulls)` over ROWS UNBOUNDED PRECEDING, the running-state window
+    * that complements q_gapfill's zero-fill. One user_id shuffle, same
+    * partitioning the sessionize/asof family rides; leading NULLs (no prior
+    * observation) stay NULL in both engines.
+    */
+  def qLocf(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, sfDir, "events")
+      .withColumn("es", unix_timestamp(col("ts")))
+      .withColumn("v",
+        when(col("event_id") % 3 === 0, lit(null).cast("long"))
+          .otherwise(col("event_id") % 100))
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("es"), col("v"), col("filled"))
+      .orderBy("user_id", "es", "event_id")
+  }
+
+  val qLocfSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS es,
+      |         CASE WHEN event_id % 3 = 0 THEN NULL
+      |              ELSE event_id % 100 END AS v
+      |  FROM events)
+      |SELECT user_id, event_id, es, v,
+      |       last_value(v IGNORE NULLS) OVER (
+      |         PARTITION BY user_id ORDER BY es, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM o ORDER BY user_id, es, event_id""".stripMargin
+
   // ---- bucketized interval join (pure range predicate, no equi key) ------
 
   /** Interval-containment join with NO equi key — events counted into 100
@@ -1026,6 +1061,7 @@ object Relational {
     "q_bag_ops" -> (qBagOps _),
     "q_histogram" -> (qHistogram _),
     "q_interval_join" -> (qIntervalJoin _),
+    "q_locf" -> (qLocf _),
     "q_gapfill" -> (qGapfill _),
     "q_ranks" -> (qRanks _),
     "q_unpivot" -> (qUnpivot _),
@@ -1069,6 +1105,7 @@ object Relational {
     "q_bag_ops" -> qBagOpsSql,
     "q_histogram" -> qHistogramSql,
     "q_interval_join" -> qIntervalJoinSql,
+    "q_locf" -> qLocfSql,
     "q_gapfill" -> qGapfillSql,
     "q_ranks" -> qRanksSql,
     "q_unpivot" -> qUnpivotSql,
