@@ -24,14 +24,18 @@ object Bench {
 
   /** Headline subset — big shuffly queries, one per operator family.
     * Round 3 adds the iterative connected-components clustering and the
-    * Lloyd-refined IVF (both multi-job shapes worth tracking).
+    * Lloyd-refined IVF (both multi-job shapes worth tracking), then the
+    * late-round scale stories: tf-idf (broadcast df + TopKPerKey),
+    * sessionization (single-exchange window stack), and the bucketized
+    * no-equi-key interval join.
     */
   private val HEADLINE = Seq(
     "q1_agg", "q3_join", "q_window", "q_range_join", "q_distinct",
-    "q_topk_per_key",
+    "q_topk_per_key", "q_sessionize", "q_interval_join",
     "dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_contam",
     "dd_components",
     "sim_knn", "sim_ivf", "dd_embed_cos", "ta_quality", "ta_tokens", "ta_ngrams",
+    "ta_tfidf",
     "st_session"
   )
 
