@@ -902,6 +902,67 @@ object Relational {
       |    SELECT l_orderkey FROM a INTERSECT ALL SELECT l_orderkey FROM b))
       |ORDER BY tag, l_orderkey""".stripMargin
 
+  // ---- integer PageRank (iterative link analysis) ------------------------
+
+  /** Four damped PageRank iterations over a deterministic functional link
+    * graph (each doc links to `(id*7+13) % n` and `(id*31+101) % n`; ids are
+    * dense 0..n-1, so no rank mass leaks) in EXACT parts-per-billion integer
+    * arithmetic: `r' = (15e7 div n) + (85 * Σ_in (r div outdeg)) div 100`,
+    * identical `div` truncation in both engines, so four iterations stay
+    * bit-equal — the weighted-iteration complement to dd_components'
+    * fixpoint labels. Scale shape: each iteration is ONE shuffle
+    * (contribution groupBy on dst) plus a key-partitioned join back to the
+    * node set; lineage is cut per iteration (`localCheckpoint`, as in
+    * components) so the plan never deepens; iteration count is fixed, not
+    * data-dependent. At 100 TB the edges table would be the co-partitioned
+    * big side and ranks the re-shuffled small side of each round.
+    */
+  def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).localCheckpoint()
+    val n = docs.count() // scalar graph-size parameter (teleport + modulus)
+    val edges = docs.select(col("doc_id").as("src"), explode(array(
+      (col("doc_id") * 7 + 13) % n,
+      (col("doc_id") * 31 + 101) % n)).as("dst")).localCheckpoint()
+    val tele = 150000000L / n
+    var ranks = docs.select(col("doc_id"), lit(1000000000L / n).as("r"))
+    for (_ <- 1 to 4) {
+      val contrib = ranks
+        .join(edges, ranks("doc_id") === edges("src"))
+        .groupBy("dst").agg(sum(expr("r div 2")).as("s"))
+      ranks = docs
+        .join(contrib, docs("doc_id") === contrib("dst"), "left")
+        .select(docs("doc_id"),
+          (lit(tele) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.orderBy("doc_id")
+  }
+
+  val qPagerankSql: String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT nodes.doc_id,
+         |         150000000 // (SELECT c FROM n)
+         |           + (85 * coalesce(sum(p.r // 2), 0)) // 100 AS r
+         |  FROM nodes
+         |  LEFT JOIN e ON e.dst = nodes.doc_id
+         |  LEFT JOIN $prev p ON p.doc_id = e.src
+         |  GROUP BY nodes.doc_id)""".stripMargin
+    s"""WITH n AS (SELECT count(*) c FROM documents),
+       |nodes AS (SELECT doc_id FROM documents),
+       |e AS (
+       |  SELECT doc_id src, (doc_id * 7 + 13) % (SELECT c FROM n) dst FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 31 + 101) % (SELECT c FROM n) FROM documents),
+       |r0 AS (SELECT doc_id, 1000000000 // (SELECT c FROM n) AS r FROM nodes),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")},
+       |${step("r3", "r4")}
+       |SELECT doc_id, CAST(r AS BIGINT) r FROM r4 ORDER BY doc_id""".stripMargin
+  }
+
   // ---- LOCF forward fill (time-series repair) ----------------------------
 
   /** Last-observation-carried-forward: a deterministically-punched sensor
@@ -1062,6 +1123,7 @@ object Relational {
     "q_histogram" -> (qHistogram _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_locf" -> (qLocf _),
+    "q_pagerank" -> (qPagerank _),
     "q_gapfill" -> (qGapfill _),
     "q_ranks" -> (qRanks _),
     "q_unpivot" -> (qUnpivot _),
@@ -1106,6 +1168,7 @@ object Relational {
     "q_histogram" -> qHistogramSql,
     "q_interval_join" -> qIntervalJoinSql,
     "q_locf" -> qLocfSql,
+    "q_pagerank" -> qPagerankSql,
     "q_gapfill" -> qGapfillSql,
     "q_ranks" -> qRanksSql,
     "q_unpivot" -> qUnpivotSql,
