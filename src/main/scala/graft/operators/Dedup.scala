@@ -370,14 +370,17 @@ object Dedup {
     val names = spark.read.parquet(s"$sfDir/part.parquet")
       .select(col("p_name")).distinct()
       .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    // join ONLY on the cheap prefilters, project the O(len²) levenshtein DP
+    // once, then filter — keeping the metric in the join condition would
+    // evaluate it twice per surviving pair (no CSE across join + project)
     names.as("a").join(names.as("b"),
       col("a.blk") === col("b.blk") &&
         col("a.p_name") < col("b.p_name") &&
-        abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3 &&
-        levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+        abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3)
       .select(
         col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
         levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+      .filter(col("dist") <= 3)
       .orderBy("name_a", "name_b")
   }
 

@@ -339,8 +339,11 @@ object ExtractOracle {
       .withColumn("nofrag",
         substring_index(expr("substr(messy, length(pre) + 1)"), "#", 1))
       .withColumn("path", substring_index(col("nofrag"), "?", 1))
+      // after the FIRST '?' (not substring_index(.., -1), which takes the
+      // last and diverges from the oracle if a param value embeds a '?')
       .withColumn("qs",
-        when(col("nofrag").contains("?"), substring_index(col("nofrag"), "?", -1))
+        when(col("nofrag").contains("?"),
+          expr("substring(nofrag, instr(nofrag, '?') + 1)"))
           .otherwise(lit("")))
       .withColumn("params", array_join(
         array_sort(filter(split(col("qs"), "&"), p => !p.startsWith("utm_"))), "&"))
@@ -380,7 +383,8 @@ object ExtractOracle {
        |p3 AS (
        |  SELECT url, k, messy, pre2,
        |         str_split(nofrag, '?')[1] AS path,
-       |         CASE WHEN contains(nofrag, '?') THEN str_split(nofrag, '?')[2]
+       |         CASE WHEN contains(nofrag, '?')
+       |              THEN substr(nofrag, strpos(nofrag, '?') + 1)
        |              ELSE '' END AS qs
        |  FROM p2),
        |p4 AS (

@@ -904,12 +904,17 @@ object Relational {
 
   // ---- integer PageRank (iterative link analysis) ------------------------
 
-  /** Four damped PageRank iterations over a deterministic functional link
-    * graph (each doc links to `(id*7+13) % n` and `(id*31+101) % n`; ids are
-    * dense 0..n-1, so no rank mass leaks) in EXACT parts-per-billion integer
-    * arithmetic: `r' = (15e7 div n) + (85 * Σ_in (r div outdeg)) div 100`,
-    * identical `div` truncation in both engines, so four iterations stay
-    * bit-equal — the weighted-iteration complement to dd_components'
+  /** Four damped PageRank iterations over a deterministic NON-UNIFORM link
+    * graph in EXACT parts-per-billion integer arithmetic: every doc links to
+    * `(id² + 13) % n` (quadratic — non-bijective, so quadratic residues
+    * become hubs and non-residues get zero in-links) and every third doc
+    * adds `(id*17 + 5) % n` (out-degree varies 1/2). Update rule
+    * `r' = (15e7 div n) + (85 * Σ_in (r div outdeg)) div 100` with
+    * identical `div` truncation in both engines keeps four iterations
+    * bit-equal; the graph genuinely exercises it — at sf0.01 the fixpoint
+    * has 147 distinct ranks spanning 0.3 M (teleport-only sinks) to 25 M
+    * ppb (hubs), and Σr = 999 999 833 < 1e9 shows real truncation loss the
+    * oracle must reproduce. Weighted-iteration complement to dd_components'
     * fixpoint labels. Scale shape: each iteration is ONE shuffle
     * (contribution groupBy on dst) plus a key-partitioned join back to the
     * node set; lineage is cut per iteration (`localCheckpoint`, as in
@@ -921,15 +926,19 @@ object Relational {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id")).localCheckpoint()
     val n = docs.count() // scalar graph-size parameter (teleport + modulus)
-    val edges = docs.select(col("doc_id").as("src"), explode(array(
-      (col("doc_id") * 7 + 13) % n,
-      (col("doc_id") * 31 + 101) % n)).as("dst")).localCheckpoint()
+    val odeg = when(col("doc_id") % 3 === 0, 2L).otherwise(1L)
+    val edges = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * col("doc_id") + 13) % n).as("dst"), odeg.as("odeg"))
+      .unionByName(docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 17 + 5) % n).as("dst"), lit(2L).as("odeg")))
+      .localCheckpoint()
     val tele = 150000000L / n
     var ranks = docs.select(col("doc_id"), lit(1000000000L / n).as("r"))
     for (_ <- 1 to 4) {
       val contrib = ranks
         .join(edges, ranks("doc_id") === edges("src"))
-        .groupBy("dst").agg(sum(expr("r div 2")).as("s"))
+        .groupBy("dst").agg(sum(expr("r div odeg")).as("s"))
       ranks = docs
         .join(contrib, docs("doc_id") === contrib("dst"), "left")
         .select(docs("doc_id"),
@@ -944,7 +953,7 @@ object Relational {
       s"""$cur AS (
          |  SELECT nodes.doc_id,
          |         150000000 // (SELECT c FROM n)
-         |           + (85 * coalesce(sum(p.r // 2), 0)) // 100 AS r
+         |           + (85 * coalesce(sum(p.r // e.odeg), 0)) // 100 AS r
          |  FROM nodes
          |  LEFT JOIN e ON e.dst = nodes.doc_id
          |  LEFT JOIN $prev p ON p.doc_id = e.src
@@ -952,9 +961,12 @@ object Relational {
     s"""WITH n AS (SELECT count(*) c FROM documents),
        |nodes AS (SELECT doc_id FROM documents),
        |e AS (
-       |  SELECT doc_id src, (doc_id * 7 + 13) % (SELECT c FROM n) dst FROM documents
+       |  SELECT doc_id src, (doc_id * doc_id + 13) % (SELECT c FROM n) dst,
+       |         CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END odeg
+       |  FROM documents
        |  UNION ALL
-       |  SELECT doc_id, (doc_id * 31 + 101) % (SELECT c FROM n) FROM documents),
+       |  SELECT doc_id, (doc_id * 17 + 5) % (SELECT c FROM n), 2
+       |  FROM documents WHERE doc_id % 3 = 0),
        |r0 AS (SELECT doc_id, 1000000000 // (SELECT c FROM n) AS r FROM nodes),
        |${step("r0", "r1")},
        |${step("r1", "r2")},
