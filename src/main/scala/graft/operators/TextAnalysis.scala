@@ -337,6 +337,34 @@ object TextAnalysis {
       |                           ORDER BY score DESC, tf.term ASC) <= 3
       |ORDER BY doc_id, score DESC, term""".stripMargin
 
+  // ---- deterministic per-source reservoir sample --------------------------
+
+  /** Uniform-without-replacement k-per-source sample, made deterministic and
+    * rerun-stable by ordering on the md5 of the stable key instead of an RNG
+    * (the ta_split trick): the "first k by hash order" of any key set IS a
+    * uniform reservoir, identical on every rerun and insensitive to row
+    * order/partitioning — what a 100 TB eyeball/eval sample must be. Runs on
+    * the bounded-heap TopKPerKey operator, so the shuffle carries ≤ k rows
+    * per source per map partition, never the corpus.
+    */
+  def reservoir(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+    graft.plans.TopK.perKey(
+      d,
+      keys = Seq(col("source")),
+      order = Seq(col("hk").asc, col("doc_id").asc),
+      k = 20)
+      .orderBy("source", "hk", "doc_id")
+  }
+
+  val reservoirSql: String =
+    """SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) hk FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY source
+      |                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+      |ORDER BY source, hk, doc_id""".stripMargin
+
   // ---- column profiling (data-quality gate) ------------------------------
 
   /** One-pass column profile of the documents table — the data-quality gate
@@ -384,6 +412,7 @@ object TextAnalysis {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tfidf" -> (tfidf _),
     "ta_profile" -> (profile _),
+    "ta_reservoir" -> (reservoir _),
     "ta_quality" -> (quality _),
     "ta_tokens" -> (tokenCounts _),
     "ta_fingerprint" -> (fingerprint _),
@@ -396,6 +425,7 @@ object TextAnalysis {
   def oracles: Map[String, String] = Map(
     "ta_tfidf" -> tfidfSql,
     "ta_profile" -> profileSql,
+    "ta_reservoir" -> reservoirSql,
     "ta_quality" -> qualitySql,
     "ta_tokens" -> tokenCountsSql,
     "ta_fingerprint" -> fingerprintSql,

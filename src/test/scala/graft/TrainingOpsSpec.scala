@@ -222,6 +222,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pagerank fixpoint is genuinely differentiated (hubs, sinks, truncation)") {
+    // regression guard for the vacuous-graph failure mode: with bijective
+    // link maps every node has in-degree 2 and the rank vector collapses to
+    // the constant 1e9 div n, which an oracle compare can never distinguish
+    // from a direction/damping bug. The quadratic graph must keep hubs
+    // (rank ≫ uniform), teleport-only sinks (rank = 15e7 div n), and a
+    // truncation deficit (Σr < 1e9).
+    val r = Relational.qPagerank(spark, "/root/testdata/sf0.01")
+    val n = 500L
+    val stats = r.agg(
+      countDistinct(col("r")).as("nd"),
+      min(col("r")).as("mn"), max(col("r")).as("mx"),
+      sum(col("r")).as("tot")).head()
+    assert(stats.getLong(0) > 50, s"rank vector near-constant: $stats")
+    assert(stats.getLong(1) == 150000000L / n, s"expected teleport-only sinks: $stats")
+    assert(stats.getLong(2) > 5L * (1000000000L / n), s"expected hubs: $stats")
+    assert(stats.getLong(3) < 1000000000L, s"expected truncation deficit: $stats")
+  }
+
   test("winnow SQL-oracle precondition: documents text is BMP-only") {
     // the DuckDB winnow twin hashes per-CODEPOINT (unicode()/substr) while
     // the Scala rolling hash walks UTF-16 units (charAt): they agree only
