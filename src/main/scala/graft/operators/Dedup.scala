@@ -178,13 +178,16 @@ object Dedup {
     // near-universal shingles add no discriminating signal to a min-hash and
     // their postings are the skew hazard at corpus scale
     val sh = cappedIndex(shingleIndex(docsWithDups(spark, sfDir)))
-    val minh = sh
-      .withColumn("j", explode(sequence(lit(0), lit(K - 1))))
-      .withColumn("h", md5(concat_ws(":", col("j"), col("shingle"))))
-      .groupBy("doc_id", "j")
-      .agg(min(col("h")).as("h"))
-    val minExprs = (0 until K).map(k => min(when(col("j") === k, col("h"))).as(s"s$k"))
-    val sig = minh
+    // K permutations FOLDED into one aggregate of K conditional mins (r2
+    // verdict note): no explode(0..K-1), so the shuffle carries |shingles|
+    // rows instead of K×|shingles|, and the two-level (doc,j)→doc aggregate
+    // collapses to a single doc_id groupBy whose partial agg leaves one
+    // K-column row per doc per partition. Hash inputs are unchanged
+    // (md5("j:shingle") with the same int→string cast), so signatures,
+    // bands, and the oracle output are bit-identical to the exploded form.
+    val minExprs = (0 until K).map(k =>
+      min(md5(concat_ws(":", lit(k), col("shingle")))).as(s"s$k"))
+    val sig = sh
       .groupBy("doc_id")
       .agg(minExprs.head, minExprs.tail: _*)
     val bands = sig.select(
