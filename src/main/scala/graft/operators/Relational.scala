@@ -902,6 +902,53 @@ object Relational {
       |    SELECT l_orderkey FROM a INTERSECT ALL SELECT l_orderkey FROM b))
       |ORDER BY tag, l_orderkey""".stripMargin
 
+  // ---- CDC snapshot diff (incremental processing) ------------------------
+
+  /** Change-data-capture diff between two deterministic snapshots of the
+    * orders table (yesterday = keys with k%7≠0; today = keys with k%10≠0,
+    * every 13th price bumped): one FULL OUTER join on the key classifies
+    * each row as added / removed / changed and drops unchanged rows — the
+    * recompute-avoidance primitive that turns a daily 100 TB rebuild into
+    * processing only the delta. Single key shuffle (or zero with bucketed
+    * snapshots, §2.13 O5); prices compared in exact integer cents.
+    */
+  def qCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders").select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("c"))
+    val a = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("ka"), col("c").as("old_c"))
+    val b = o.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("kb"),
+        (col("c") + when(col("o_orderkey") % 13 === 0, 100L).otherwise(0L)).as("new_c"))
+    a.join(b, col("ka") === col("kb"), "full_outer")
+      .withColumn("op",
+        when(col("ka").isNull, "added")
+          .when(col("kb").isNull, "removed")
+          .when(col("old_c") =!= col("new_c"), "changed"))
+      .filter(col("op").isNotNull)
+      .select(coalesce(col("ka"), col("kb")).as("o_orderkey"),
+        col("op"), col("old_c"), col("new_c"))
+      .orderBy("o_orderkey")
+  }
+
+  val qCdcSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) c
+      |  FROM orders),
+      |a AS (SELECT o_orderkey ka, c old_c FROM o WHERE o_orderkey % 7 <> 0),
+      |b AS (SELECT o_orderkey kb,
+      |             c + CASE WHEN o_orderkey % 13 = 0 THEN 100 ELSE 0 END new_c
+      |      FROM o WHERE o_orderkey % 10 <> 0),
+      |j AS (
+      |  SELECT ka, kb, old_c, new_c,
+      |         CASE WHEN ka IS NULL THEN 'added'
+      |              WHEN kb IS NULL THEN 'removed'
+      |              WHEN old_c <> new_c THEN 'changed' END op
+      |  FROM a FULL OUTER JOIN b ON ka = kb)
+      |SELECT coalesce(ka, kb) o_orderkey, op, old_c, new_c
+      |FROM j WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin
+
   // ---- integer PageRank (iterative link analysis) ------------------------
 
   /** Four damped PageRank iterations over a deterministic NON-UNIFORM link
@@ -1136,6 +1183,7 @@ object Relational {
     "q_interval_join" -> (qIntervalJoin _),
     "q_locf" -> (qLocf _),
     "q_pagerank" -> (qPagerank _),
+    "q_cdc" -> (qCdc _),
     "q_gapfill" -> (qGapfill _),
     "q_ranks" -> (qRanks _),
     "q_unpivot" -> (qUnpivot _),
@@ -1181,6 +1229,7 @@ object Relational {
     "q_interval_join" -> qIntervalJoinSql,
     "q_locf" -> qLocfSql,
     "q_pagerank" -> qPagerankSql,
+    "q_cdc" -> qCdcSql,
     "q_gapfill" -> qGapfillSql,
     "q_ranks" -> qRanksSql,
     "q_unpivot" -> qUnpivotSql,
