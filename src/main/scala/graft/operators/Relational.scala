@@ -902,6 +902,50 @@ object Relational {
       |    SELECT l_orderkey FROM a INTERSECT ALL SELECT l_orderkey FROM b))
       |ORDER BY tag, l_orderkey""".stripMargin
 
+  // ---- winsorization (exact order-statistic outlier clipping) ------------
+
+  /** Per-group outlier clipping to the EXACT [p5, p95] order statistics:
+    * ranks are assigned by a total order (value, event_id), the bound ranks
+    * are pure integer arithmetic (`greatest(1, (q*n) div 100)` — no
+    * interpolated percentile, so no float drift), and the two selected rows
+    * collapse to a tiny per-group bounds table that BROADCASTS back onto
+    * the events for the clamp. The standard value-cleaning pass before
+    * aggregate features at 100 TB: one event_type shuffle for the ranking
+    * window, then a broadcast map-side clamp — the big side shuffles once.
+    */
+  def qWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "events").select(col("event_id"), col("event_type"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long").as("v"))
+    val ranked = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("v", "event_id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val bounds = ranked.filter(
+        col("rn") === expr("greatest(1L, (5 * n) div 100)") ||
+          col("rn") === expr("greatest(1L, (95 * n) div 100)"))
+      .groupBy("event_type").agg(min(col("v")).as("p5"), max(col("v")).as("p95"))
+    e.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("v"),
+        least(greatest(col("v"), col("p5")), col("p95")).as("v_clip"))
+      .orderBy("event_id")
+  }
+
+  val qWinsorizeSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) v
+      |  FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) rn,
+      |         count(*) OVER (PARTITION BY event_type) n
+      |  FROM e),
+      |b AS (
+      |  SELECT event_type, min(v) p5, max(v) p95 FROM r
+      |  WHERE rn = greatest(1, (5 * n) // 100) OR rn = greatest(1, (95 * n) // 100)
+      |  GROUP BY 1)
+      |SELECT event_id, e.event_type, v, least(greatest(v, p5), p95) v_clip
+      |FROM e JOIN b ON e.event_type = b.event_type ORDER BY event_id""".stripMargin
+
   // ---- CDC snapshot diff (incremental processing) ------------------------
 
   /** Change-data-capture diff between two deterministic snapshots of the
@@ -1184,6 +1228,7 @@ object Relational {
     "q_locf" -> (qLocf _),
     "q_pagerank" -> (qPagerank _),
     "q_cdc" -> (qCdc _),
+    "q_winsorize" -> (qWinsorize _),
     "q_gapfill" -> (qGapfill _),
     "q_ranks" -> (qRanks _),
     "q_unpivot" -> (qUnpivot _),
@@ -1230,6 +1275,7 @@ object Relational {
     "q_locf" -> qLocfSql,
     "q_pagerank" -> qPagerankSql,
     "q_cdc" -> qCdcSql,
+    "q_winsorize" -> qWinsorizeSql,
     "q_gapfill" -> qGapfillSql,
     "q_ranks" -> qRanksSql,
     "q_unpivot" -> qUnpivotSql,
