@@ -373,9 +373,12 @@ object Dedup {
     val names = spark.read.parquet(s"$sfDir/part.parquet")
       .select(col("p_name")).distinct()
       .withColumn("blk", element_at(split(col("p_name"), " "), -1))
-    // join ONLY on the cheap prefilters, project the O(len²) levenshtein DP
-    // once, then filter — keeping the metric in the join condition would
-    // evaluate it twice per surviving pair (no CSE across join + project)
+    // join on the cheap prefilters with the distance as a post-join filter.
+    // Catalyst pushes the dist predicate back into the join condition (no
+    // pushdown barrier exists for a deterministic projection), so the DP
+    // runs once per candidate pair in the join plus once per SURVIVING pair
+    // in the projection — survivors are the few real matches, so the
+    // effective cost is one evaluation per candidate
     names.as("a").join(names.as("b"),
       col("a.blk") === col("b.blk") &&
         col("a.p_name") < col("b.p_name") &&

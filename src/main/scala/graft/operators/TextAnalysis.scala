@@ -350,7 +350,7 @@ object TextAnalysis {
   def reservoir(spark: SparkSession, sfDir: String): DataFrame = {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("source"),
-        md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+        md5(col("doc_id").cast("string")).as("hk"))
     graft.plans.TopK.perKey(
       d,
       keys = Seq(col("source")),

@@ -230,7 +230,7 @@ class TrainingOpsSpec extends AnyFunSuite {
     // (rank ≫ uniform), teleport-only sinks (rank = 15e7 div n), and a
     // truncation deficit (Σr < 1e9).
     val r = Relational.qPagerank(spark, "/root/testdata/sf0.01")
-    val n = 500L
+    val n = r.count() // graph size — derive, don't hardcode the SF's row count
     val stats = r.agg(
       countDistinct(col("r")).as("nd"),
       min(col("r")).as("mn"), max(col("r")).as("mx"),
