@@ -902,6 +902,55 @@ object Relational {
       |    SELECT l_orderkey FROM a INTERSECT ALL SELECT l_orderkey FROM b))
       |ORDER BY tag, l_orderkey""".stripMargin
 
+  // ---- two-table as-of join (union + LOCF, one shuffle) ------------------
+
+  /** As-of join of the event stream to a per-type quote series (latest
+    * quote with qs ≤ es), implemented as the SCALE-CORRECT union+LOCF
+    * formulation: tag quotes and events, union them, and carry the last
+    * quote forward in ONE (event_type)-partitioned time-ordered window —
+    * the big side shuffles exactly once and there is no per-row subquery or
+    * range join at all. Tie-break `pri` sorts a quote BEFORE an event at
+    * the same timestamp, giving the inclusive `es >= qs` semantics. The
+    * oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — two independent
+    * formulations of as-of semantics (window fill vs binary-search join)
+    * hash-compared row-for-row.
+    */
+  def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    val e = t(spark, sfDir, "events").select(col("event_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("es"))
+    val quotes = e.select("event_type").distinct()
+      .crossJoin(spark.range(120).select(col("id").as("i")))
+      .select(col("event_type"),
+        (lit(base) + col("i") * 21600L).as("qs"),
+        ((col("i") * 31 + length(col("event_type")) * 17) % 1000).as("qv"))
+    val uq = quotes.select(col("event_type"), col("qs").as("t"), lit(0).as("pri"),
+      lit(null).cast("long").as("event_id"), col("qs"), col("qv"))
+    val ue = e.select(col("event_type"), col("es").as("t"), lit(1).as("pri"),
+      col("event_id"), lit(null).cast("long").as("qs"), lit(null).cast("long").as("qv"))
+    val w = Window.partitionBy("event_type").orderBy("t", "pri")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    uq.unionByName(ue)
+      .withColumn("qs_f", last(col("qs"), ignoreNulls = true).over(w))
+      .withColumn("qv_f", last(col("qv"), ignoreNulls = true).over(w))
+      .filter(col("pri") === 1)
+      .select(col("event_id"), col("event_type"), col("t").as("es"),
+        col("qs_f").as("qs"), col("qv_f").as("qv"))
+      .orderBy("event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH et AS (SELECT DISTINCT event_type FROM events),
+      |q AS (
+      |  SELECT event_type, 1704067200 + i * 21600 AS qs,
+      |         (i * 31 + length(event_type) * 17) % 1000 AS qv
+      |  FROM et, range(120) t(i)),
+      |e AS (SELECT event_id, event_type, epoch_us(ts) // 1000000 AS es FROM events)
+      |SELECT e.event_id, e.event_type, e.es, q.qs, q.qv
+      |FROM e ASOF LEFT JOIN q
+      |  ON e.event_type = q.event_type AND e.es >= q.qs
+      |ORDER BY e.event_id""".stripMargin
+
   // ---- winsorization (exact order-statistic outlier clipping) ------------
 
   /** Per-group outlier clipping to the EXACT [p5, p95] order statistics:
@@ -1229,6 +1278,7 @@ object Relational {
     "q_pagerank" -> (qPagerank _),
     "q_cdc" -> (qCdc _),
     "q_winsorize" -> (qWinsorize _),
+    "q_asof_join" -> (qAsofJoin _),
     "q_gapfill" -> (qGapfill _),
     "q_ranks" -> (qRanks _),
     "q_unpivot" -> (qUnpivot _),
@@ -1276,6 +1326,7 @@ object Relational {
     "q_pagerank" -> qPagerankSql,
     "q_cdc" -> qCdcSql,
     "q_winsorize" -> qWinsorizeSql,
+    "q_asof_join" -> qAsofJoinSql,
     "q_gapfill" -> qGapfillSql,
     "q_ranks" -> qRanksSql,
     "q_unpivot" -> qUnpivotSql,
