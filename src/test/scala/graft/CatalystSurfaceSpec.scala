@@ -105,6 +105,28 @@ class CatalystSurfaceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
   }
 
+  test("q_asof_join plan: union + LOCF runs on one event_type shuffle, no range join") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.Relational.qAsofJoin(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      // the as-of itself is JOIN-FREE: the event stream unions with the
+      // quote spine and one carry-forward window resolves every lookup —
+      // no equi/merge/range join of the events table exists in the plan.
+      // The only join anywhere is the quote-spine synthesis cross join,
+      // whose build side is the literal 120-row Range.
+      assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin")
+        && !plan.contains("BroadcastHashJoin"), s"unexpected join of events:\n$plan")
+      val bnlj = plan.indexOf("BroadcastNestedLoopJoin")
+      assert(bnlj < 0 || plan.substring(bnlj).contains("Range (0, 120"),
+        s"nested loop is not the 120-row quote spine:\n$plan")
+      assert("Window ".r.findAllIn(plan).length == 1,
+        s"expected exactly one carry-forward window:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("TopKPerKey custom operator equals the window formulation, no Window/sort-all plan") {
     import org.apache.spark.sql.expressions.Window
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
