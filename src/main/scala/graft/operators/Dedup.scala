@@ -272,16 +272,17 @@ object Dedup {
       val prop = sym.join(labels, sym("d") === labels("id"))
         .groupBy(col("s").as("pid"))
         .agg(min(col("comp")).as("ncomp"))
-      val next = labels
+      // carry the old label through the checkpointed step so convergence
+      // detection is a scan of the materialized result, not a second
+      // labels-vs-labels join per round
+      val step = labels
         .join(prop, labels("id") === prop("pid"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("ncomp"),
+          col("comp").as("ocomp"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
-      labels = next
+      changed = step.filter(col("ncomp") =!= col("ocomp")).count()
+      labels = step.select(col("id"), col("ncomp").as("comp"))
       iter += 1
     }
     require(changed == 0,
