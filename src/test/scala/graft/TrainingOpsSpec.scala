@@ -230,7 +230,10 @@ class TrainingOpsSpec extends AnyFunSuite {
     // (rank ≫ uniform), teleport-only sinks (rank = 15e7 div n), and a
     // truncation deficit (Σr < 1e9).
     val r = Relational.qPagerank(spark, "/root/testdata/sf0.01")
-    val n = r.count() // graph size — derive, don't hardcode the SF's row count
+    // pin the sf0.01 graph size explicitly — deriving n silently would let a
+    // row-count regression (dropped sinks, duplicated vertices) self-adapt
+    val n = r.count()
+    assert(n == 500L, s"sf0.01 pagerank must emit one row per doc, got $n")
     val stats = r.agg(
       countDistinct(col("r")).as("nd"),
       min(col("r")).as("mn"), max(col("r")).as("mx"),
@@ -239,6 +242,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(stats.getLong(1) == 150000000L / n, s"expected teleport-only sinks: $stats")
     assert(stats.getLong(2) > 5L * (1000000000L / n), s"expected hubs: $stats")
     assert(stats.getLong(3) < 1000000000L, s"expected truncation deficit: $stats")
+  }
+
+  test("asof/sessionize oracle precondition: events keys are never NULL") {
+    // qAsofJoin's LOCF window treats NULL event_type as a matchable
+    // partition key while DuckDB's ASOF equality never matches NULL — and
+    // the user_id/event_id window family assumes the same. Fail at the
+    // assumption, not at a far-away hash diff after a data regeneration.
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val bad = spark.read.parquet(s"$sf/events.parquet")
+        .filter(col("event_type").isNull || col("user_id").isNull ||
+          col("event_id").isNull || col("ts").isNull)
+        .count()
+      assert(bad == 0, s"$bad events in $sf carry NULL keys — the asof/window " +
+        "oracles assume non-null event_type/user_id/event_id/ts")
+    }
   }
 
   test("winnow SQL-oracle precondition: documents text is BMP-only") {
