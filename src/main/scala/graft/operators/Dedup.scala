@@ -402,9 +402,96 @@ object Dedup {
       | AND levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY name_a, name_b""".stripMargin
 
+  // ---- corpus-level line dedup (C4-style boilerplate line removal) -------
+
+  /** Corpus-wide duplicate-LINE removal (the C4 / CCNet line-dedup stage,
+    * Raffel et al. 2020 §2.2): any non-empty line occurring more than once
+    * across the whole corpus keeps only its FIRST occurrence (first = min
+    * (url, pos), a total order), and every document is reassembled from its
+    * surviving lines in original order. This is the sub-document complement
+    * of [[exact]]: it strips the shared template boilerplate ("all rights
+    * reserved" navs/footers) that whole-document hashing can never catch.
+    *
+    * Scale shape (verified on the executed plan): the keeper per line is
+    * `min(struct(url, pos))` — a PARTIAL-AGG-friendly aggregate, so the
+    * hottest boilerplate line combines map-side and the line-key exchange
+    * carries at most one row per distinct line per map partition. For the
+    * join back, Catalyst folds the `struct(url,pos) === first_occ` keep
+    * filter INTO the join as a second equi key, so the physical join keys
+    * are ((url,pos), line) — unique on BOTH sides: the probe-side shuffle
+    * of a line occurring millions of times spreads uniformly over reducers
+    * by its (url,pos), i.e. the hot-line skew a
+    * `row_number() OVER (PARTITION BY line)` formulation would pile onto
+    * one reducer never exists in this plan. Reassembly is one url shuffle.
+    */
+  def lineDedup(spark: SparkSession, sfDir: String): DataFrame =
+    lineDedupOver(graft.sources.OracleCorpus.docs(spark).select("url", "text"))
+
+  /** Core of [[lineDedup]] over any (url, text) frame — unit-testable. */
+  private[graft] def lineDedupOver(d: DataFrame): DataFrame = {
+    val lines = d
+      .select(col("url"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .filter(col("line") =!= "")
+    val keeper = lines
+      .groupBy("line")
+      .agg(min(struct(col("url"), col("pos"))).as("first_occ"))
+    val kept = lines
+      .join(keeper, "line")
+      .filter(struct(col("url"), col("pos")) === col("first_occ"))
+    val agg = kept
+      .groupBy("url")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s("line"))).as("text_dedup"))
+    d.select(
+      col("url"),
+      size(filter(split(col("text"), "\n"), l => l =!= lit(""))).cast("long")
+        .as("n_lines"))
+      .join(agg, Seq("url"), "left")
+      .select(
+        col("url"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .orderBy("url")
+  }
+
+  val lineDedupSql: String = {
+    val D = graft.sources.OracleCorpus.DOCS_PQ
+    s"""WITH l0 AS (
+       |  SELECT url, string_split(text, chr(10)) lines FROM $D),
+       |l AS (
+       |  SELECT url, unnest(generate_series(1, len(lines))) AS pos, lines FROM l0),
+       |occ AS (
+       |  SELECT url, pos, lines[pos] AS line FROM l WHERE lines[pos] <> ''),
+       |r AS (
+       |  SELECT url, pos, line,
+       |         row_number() OVER (PARTITION BY line ORDER BY url, pos) rn
+       |  FROM occ),
+       |kept AS (SELECT * FROM r WHERE rn = 1),
+       |a AS (
+       |  SELECT url, count(*) n_kept,
+       |         string_agg(line, chr(10) ORDER BY pos) text_dedup
+       |  FROM kept GROUP BY url),
+       |n AS (
+       |  SELECT url,
+       |         len(list_filter(string_split(text, chr(10)), x -> x <> '')) n_lines
+       |  FROM $D)
+       |SELECT n.url,
+       |       CAST(n_lines AS BIGINT) n_lines,
+       |       CAST(coalesce(n_kept, 0) AS BIGINT) n_kept,
+       |       CAST(n_lines - coalesce(n_kept, 0) AS BIGINT) n_dropped,
+       |       coalesce(text_dedup, '') text_dedup
+       |FROM n LEFT JOIN a USING (url) ORDER BY url""".stripMargin
+  }
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_lines" -> (lineDedup _),
     "dd_fuzzy" -> (fuzzy _),
     "dd_exact" -> (exact _),
     "dd_contam" -> (contam _),
@@ -415,6 +502,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "dd_lines" -> lineDedupSql,
     "dd_fuzzy" -> fuzzySql,
     "dd_exact" -> exactSql,
     "dd_contam" -> contamSql,

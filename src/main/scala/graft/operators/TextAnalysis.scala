@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Toks
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: quality scoring,
@@ -407,9 +407,160 @@ object TextAnalysis {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ---- Gopher-style repetition signals (per-doc, shuffle-free) -----------
+
+  /** Per-document repetition quality signals (the Gopher / MassiveText
+    * repetition filters, Rae et al. 2021 §A1.1): duplicate-line fraction,
+    * duplicate-line character fraction, and top-bigram character coverage.
+    *
+    * Scale shape: the ENTIRE operator is per-row column expressions over the
+    * line/token arrays — no exchange at any size; it composes with the scan
+    * into one WholeStageCodegen map stage, the ideal 100 TB quality-scorer
+    * plan. The distinct-bigram count scan is O(distinct·total) per doc,
+    * bounded by document length (docs here ≤ tens of lines; for multi-MB
+    * outliers the block/line caps upstream in Extract bound it already).
+    *
+    * All fractions are integer x1000 (`div`), so the DuckDB twin is
+    * bit-exact. Runs over the extracted corpus docs (multi-line text);
+    * `top.c/top.bg` tie-breaks are the (count, bigram) struct order, which
+    * Spark `array_max` and DuckDB `list_max` share (field-order lexicographic).
+    */
+  def gopher(spark: SparkSession, sfDir: String): DataFrame =
+    gopherSignals(graft.sources.OracleCorpus.docs(spark)).orderBy("url")
+
+  /** Core of [[gopher]] over any (url, text) frame, WITHOUT the final total
+    * order — the signal computation itself is exchange-free (pinned by test);
+    * the public query adds `orderBy(url)` for the deterministic dump.
+    */
+  private[graft] def gopherSignals(d: DataFrame): DataFrame = {
+    // NB: explicit `functions.split` — the local `split` method (ta_split)
+    // shadows the SQL function inside this object
+    val fsplit = org.apache.spark.sql.functions.split(_: Column, _: String)
+    val toksOf = (l: Column) => filter(fsplit(l, " "), t => t =!= lit(""))
+    val bigramsOf = (l: Column) => {
+      val t = toksOf(l)
+      when(
+        size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+      ).otherwise(array().cast("array<string>"))
+    }
+    d.select(
+      col("url"),
+      filter(fsplit(col("text"), "\n"), l => l =!= lit("")).as("lines"))
+      .select(
+        col("url"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(array_distinct(col("lines"))).cast("long").as("uniq_lines"),
+        aggregate(col("lines"), lit(0L), (a, x) => a + length(x)).as("line_chars"),
+        aggregate(array_distinct(col("lines")), lit(0L), (a, x) => a + length(x))
+          .as("uniq_chars"),
+        flatten(transform(col("lines"), bigramsOf)).as("bgs"))
+      .withColumn(
+        "top",
+        array_max(transform(
+          array_distinct(col("bgs")),
+          b => struct(
+            size(filter(col("bgs"), x => x === b)).cast("long").as("c"),
+            b.as("bg")))))
+      .selectExpr(
+        "url",
+        "n_lines",
+        "(1000 * (n_lines - uniq_lines)) div greatest(n_lines, 1) AS dup_line_frac_x1000",
+        "(1000 * (line_chars - uniq_chars)) div greatest(line_chars, 1) AS dup_char_frac_x1000",
+        "coalesce(top.c, 0L) AS top_bigram_n",
+        "(1000 * coalesce(top.c, 0L) * coalesce(length(top.bg), 0)) div greatest(line_chars, 1) AS top_bigram_frac_x1000")
+  }
+
+  val gopherSql: String = {
+    val D = graft.sources.OracleCorpus.DOCS_PQ
+    s"""WITH base AS (
+       |  SELECT url,
+       |         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+       |  FROM $D),
+       |f AS (
+       |  SELECT url, lines,
+       |         CAST(len(lines) AS BIGINT) AS n_lines,
+       |         CAST(len(list_distinct(lines)) AS BIGINT) AS uniq_lines,
+       |         CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS line_chars,
+       |         CAST(coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS BIGINT) AS uniq_chars,
+       |         flatten(list_transform(lines, l ->
+       |            [string_split(l, ' ')[i] || ' ' || string_split(l, ' ')[i+1]
+       |             for i in generate_series(1, len(string_split(l, ' ')) - 1)])) AS bgs
+       |  FROM base),
+       |t AS (
+       |  SELECT url, n_lines, uniq_lines, line_chars, uniq_chars,
+       |         CASE WHEN len(bgs) = 0 THEN NULL
+       |              ELSE list_max(list_transform(list_distinct(bgs),
+       |                     b -> {c: CAST(len(list_filter(bgs, x -> x = b)) AS BIGINT), bg: b}))
+       |         END AS top
+       |  FROM f)
+       |SELECT url, n_lines,
+       |       (1000 * (n_lines - uniq_lines)) // greatest(n_lines, 1) AS dup_line_frac_x1000,
+       |       (1000 * (line_chars - uniq_chars)) // greatest(line_chars, 1) AS dup_char_frac_x1000,
+       |       CAST(coalesce(top.c, 0) AS BIGINT) AS top_bigram_n,
+       |       (1000 * coalesce(top.c, 0) * coalesce(length(top.bg), 0)) // greatest(line_chars, 1) AS top_bigram_frac_x1000
+       |FROM t ORDER BY url""".stripMargin
+  }
+
+  // ---- quality-filter gate (keep/reject with reasons) ---------------------
+
+  /** The pipeline's FILTER stage (C4 / Gopher style): every document gets a
+    * keep/reject verdict plus the ordered, comma-joined list of rules it
+    * tripped — the audit trail a curation run ships alongside the kept set.
+    * Thresholds are integers over the same signals as [[quality]]; reasons
+    * order is fixed (too_short, too_long, low_stopword, bad_tok_len) so the
+    * string is deterministic. Pure map-side column expressions — the filter
+    * gate adds zero shuffles at any corpus size; `concat_ws` skips NULLs in
+    * both engines, which is what makes the reason string one expression.
+    */
+  def filterGate(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), Toks.tokens(col("text")).as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("nonspace", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("stop_cnt",
+        size(filter(col("t"), x => x.isin(STOPS: _*))).cast("long"))
+      .withColumn("atl", expr("(100 * nonspace) div greatest(n_tok, 1)"))
+      .withColumn(
+        "reasons",
+        concat_ws(",",
+          when(col("n_tok") < 40, lit("too_short")),
+          when(col("n_tok") > 55, lit("too_long")),
+          when(col("stop_cnt") * 10 < col("n_tok"), lit("low_stopword")),
+          when(!col("atl").between(380, 470), lit("bad_tok_len"))))
+      .select(
+        col("doc_id"), col("n_tok"), col("stop_cnt"), col("atl"),
+        (col("reasons") === "").as("kept"), col("reasons"))
+      .orderBy("doc_id")
+
+  val filterGateSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ${Toks.SQL_TOKENS} t FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |         CAST(len(t) AS BIGINT) n_tok,
+       |         CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) nonspace,
+       |         CAST(len(list_filter(t, x -> x IN ($STOPS_SQL))) AS BIGINT) stop_cnt
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, n_tok, stop_cnt,
+       |         (100 * nonspace) // greatest(n_tok, 1) AS atl,
+       |         concat_ws(',',
+       |           CASE WHEN n_tok < 40 THEN 'too_short' END,
+       |           CASE WHEN n_tok > 55 THEN 'too_long' END,
+       |           CASE WHEN stop_cnt * 10 < n_tok THEN 'low_stopword' END,
+       |           CASE WHEN (100 * nonspace) // greatest(n_tok, 1) NOT BETWEEN 380 AND 470
+       |                THEN 'bad_tok_len' END) reasons
+       |  FROM f)
+       |SELECT doc_id, n_tok, stop_cnt, atl, (reasons = '') AS kept, reasons
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_gopher" -> (gopher _),
+    "ta_filter" -> (filterGate _),
     "ta_tfidf" -> (tfidf _),
     "ta_profile" -> (profile _),
     "ta_reservoir" -> (reservoir _),
@@ -423,6 +574,8 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_gopher" -> gopherSql,
+    "ta_filter" -> filterGateSql,
     "ta_tfidf" -> tfidfSql,
     "ta_profile" -> profileSql,
     "ta_reservoir" -> reservoirSql,

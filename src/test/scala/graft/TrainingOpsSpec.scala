@@ -327,4 +327,57 @@ class TrainingOpsSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(streamed == batch)
   }
+
+  test("line dedup: first occurrence wins, docs reassemble in order, empties survive as rows") {
+    import spark.implicits._
+    // 'y' appears in a(pos 2), b(pos 1), c(pos 1): keeper = (a,2) (min url/pos)
+    val d = Seq(("a", "x\ny\nz"), ("b", "y\nw"), ("c", "y")).toDF("url", "text")
+    val r = Dedup.lineDedupOver(d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+    assert(r.toSeq == Seq(
+      ("a", 3L, 3L, 0L, "x\ny\nz"),
+      ("b", 2L, 1L, 1L, "w"),
+      ("c", 1L, 0L, 1L, "")))
+    // determinism under repartition (keeper min is a total order)
+    val r7 = Dedup.lineDedupOver(d.repartition(7)).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+    assert(r7.toSeq == r.toSeq)
+  }
+
+  test("gopher repetition signals: exact values on a crafted doc; signal core is exchange-free") {
+    import spark.implicits._
+    // lines [p q, p q, r]: dup_line 1/3, line_chars 7, uniq_chars 4,
+    // top bigram ("p q", n=2) covering 2*3 of 7 chars
+    val g = TextAnalysis.gopherSignals(Seq(("a", "p q\np q\nr")).toDF("url", "text"))
+      .collect().head
+    assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4), g.getLong(5)) ==
+      ((3L, 333L, 428L, 2L, 857L)))
+    // the claim in the scaladoc: a pure map-side scorer — no Exchange of any
+    // kind in the physical plan over a real (non-local-relation) scan
+    val onParquet = TextAnalysis.gopherSignals(
+      spark.read.parquet(s"$SF/documents.parquet")
+        .selectExpr("CAST(doc_id AS STRING) AS url", "text"))
+    assert(!onParquet.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("filter gate: reasons are deterministic, kept iff no reason fired") {
+    val r = TextAnalysis.filterGate(spark, SF).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val kept = row.getBoolean(4); val reasons = row.getString(5)
+      assert(kept == reasons.isEmpty)
+      val nTok = row.getLong(1); val stop = row.getLong(2); val atl = row.getLong(3)
+      val expected = Seq(
+        if (nTok < 40) Some("too_short") else None,
+        if (nTok > 55) Some("too_long") else None,
+        if (stop * 10 < nTok) Some("low_stopword") else None,
+        if (atl < 380 || atl > 470) Some("bad_tok_len") else None
+      ).flatten.mkString(",")
+      assert(reasons == expected, s"doc ${row.getLong(0)}")
+    }
+    // both verdicts are populated at the gate's corpus size (sf0.01 —
+    // thresholds are calibrated there; sf0.001 docs are all rejected)
+    val r01 = TextAnalysis.filterGate(spark, "/root/testdata/sf0.01").collect()
+    assert(r01.exists(_.getBoolean(4)) && r01.exists(!_.getBoolean(4)))
+  }
 }
