@@ -1239,7 +1239,137 @@ object Relational {
 
   // ---- contract surface --------------------------------------------------
 
+  // ---- ordered funnel analysis (view → click → purchase) -------------------
+
+  /** Funnel: of the users who ever viewed, how many clicked within 24 h of
+    * their FIRST view, then purchased within 24 h of that qualifying click —
+    * the order-sensitive conversion query every product-analytics stack
+    * ships. Output is one row per stage with users reached and conversion
+    * permille vs stage 1.
+    *
+    * Spark formulation: three chained conditional-min windows over the SAME
+    * `user_id` partitioning (each references the previous stage's timestamp),
+    * then a per-user collapse and a single global count — events shuffle
+    * ONCE on user_id; the window chain and the per-user groupBy all ride
+    * that one exchange, and the final aggregate is partial-agg'd to 3 longs
+    * per task. The DuckDB oracle is an INDEPENDENT formulation (three
+    * self-join hops), so agreement cross-checks the semantics, not the plan.
+    */
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val perUser = t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("vt", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("ct", min(when(col("event_type") === "click" &&
+        col("ts") > col("vt") &&
+        col("ts") <= col("vt") + expr("INTERVAL 24 HOURS"), col("ts"))).over(w))
+      .withColumn("pt", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("ct") &&
+        col("ts") <= col("ct") + expr("INTERVAL 24 HOURS"), col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(max("vt").as("vt"), max("ct").as("ct"), max("pt").as("pt"))
+    perUser
+      .agg(count(col("vt")).as("nv"), count(col("ct")).as("nc"), count(col("pt")).as("np"))
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("view").as("name"), col("nv").as("n_users")),
+        struct(lit(2L).as("stage"), lit("click").as("name"), col("nc").as("n_users")),
+        struct(lit(3L).as("stage"), lit("purchase").as("name"), col("np").as("n_users"))
+      )).as("s"), col("nv"))
+      .select(col("s.stage").as("stage"), col("s.name").as("name"),
+        col("s.n_users").as("n_users"),
+        expr("(1000 * s.n_users) div greatest(nv, 1)").as("conv_x1000"))
+      .orderBy("stage")
+  }
+
+  val qFunnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) vt FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) ct FROM events e JOIN v ON e.user_id = v.user_id
+      |        AND e.ts > v.vt AND e.ts <= v.vt + INTERVAL 24 HOUR
+      |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) pt FROM events e JOIN c ON e.user_id = c.user_id
+      |        AND e.ts > c.ct AND e.ts <= c.ct + INTERVAL 24 HOUR
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      |n AS (SELECT CAST((SELECT count(*) FROM v) AS BIGINT) nv,
+      |             CAST((SELECT count(*) FROM c) AS BIGINT) nc,
+      |             CAST((SELECT count(*) FROM p) AS BIGINT) np)
+      |SELECT s.stage, s.name, s.n_users,
+      |       (1000 * s.n_users) // greatest((SELECT nv FROM n), 1) AS conv_x1000
+      |FROM (SELECT CAST(1 AS BIGINT) AS stage, 'view' AS name, nv AS n_users FROM n
+      |      UNION ALL SELECT CAST(2 AS BIGINT), 'click', nc FROM n
+      |      UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', np FROM n) s
+      |ORDER BY s.stage""".stripMargin
+
+  // ---- cohort retention matrix ---------------------------------------------
+
+  /** Retention: users cohorted by their first-purchase day; for each cohort ×
+    * day-offset (0..7), how many distinct cohort members were active that
+    * day. The classic triangle matrix behind every retention dashboard.
+    *
+    * Scale shape: the cohort table is a per-user aggregate (one user_id
+    * shuffle, partial-agg'd); the activity join is user_id-equi on two sides
+    * already partitioned by user_id, then the countDistinct re-aggregates on
+    * the (cohort, offset) key — cardinality ≤ cohorts × 8, so the second
+    * shuffle is tiny. No window over the full event stream is needed.
+    */
+  def qRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val firstDay = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("d0"))
+    ev.join(firstDay, "user_id")
+      .withColumn("day_offset", datediff(to_date(col("ts")), col("d0")).cast("long"))
+      .filter(col("day_offset").between(0, 7))
+      .groupBy(col("d0").as("cohort_day"), col("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val qRetentionSql: String =
+    """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) d0 FROM events
+      |           WHERE event_type = 'purchase' GROUP BY user_id),
+      |a AS (SELECT e.user_id, f.d0, date_diff('day', f.d0, CAST(e.ts AS DATE)) day_off
+      |      FROM events e JOIN f ON e.user_id = f.user_id)
+      |SELECT d0 AS cohort_day, CAST(day_off AS BIGINT) AS day_offset,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) n_users
+      |FROM a WHERE day_off BETWEEN 0 AND 7 GROUP BY d0, day_off
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  // ---- SCD type-2 dimension build ------------------------------------------
+
+  /** Slowly-changing-dimension type 2: each user's 'signup' events become
+    * versioned dimension rows — valid_from = event ts, valid_to = next
+    * version's ts (NULL ⇒ current), attribute from the event's JSON props.
+    * The warehouse-dimension complement to q_cdc's snapshot diff.
+    *
+    * Scale shape: one user_id exchange serves both the version numbering
+    * and the valid_to lead — a single window sort per user; no join at all.
+    */
+  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(spark, sfDir, "events")
+      .filter(col("event_type") === "signup")
+      .withColumn("attr", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .select(col("user_id"), col("version"), col("attr"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val qScd2Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, ts, CAST(json_extract(props, '$.k') AS BIGINT) attr,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn,
+      |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) valid_to
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT user_id, CAST(rn AS BIGINT) AS "version", attr, ts AS valid_from, valid_to,
+      |       (valid_to IS NULL) AS is_current
+      |FROM s ORDER BY user_id, rn""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _),
+    "q_scd2" -> (qScd2 _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "q5_join" -> (q5Join _),
@@ -1288,6 +1418,9 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_funnel" -> qFunnelSql,
+    "q_retention" -> qRetentionSql,
+    "q_scd2" -> qScd2Sql,
     "q1_agg" -> q1AggSql,
     "q3_join" -> q3JoinSql,
     "q5_join" -> q5JoinSql,

@@ -556,9 +556,247 @@ object TextAnalysis {
        |SELECT doc_id, n_tok, stop_cnt, atl, (reasons = '') AS kept, reasons
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---- PII scrub (redaction with audit counts) ----------------------------
+
+  /** Regexes shared verbatim by the Spark pipeline and the DuckDB oracle —
+    * kept to the Java-regex ∩ RE2 common subset (character classes, bounded
+    * repetition, `\b`; no lookaround), so both engines match the exact same
+    * spans.
+    */
+  private val EMAIL_RE = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PHONE_RE = """\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"""
+  private val IP_RE    = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
+  /** PII scrub: redact emails / NANP phone numbers / IPv4 literals to typed
+    * placeholders and keep per-document match counts as the audit trail — the
+    * compliance stage every corpus release runs before publication.
+    *
+    * The synthetic documents table is PII-free word salad, so the query first
+    * PLANTS deterministic PII (email on doc_id%3=0, phone on %4=1, IP on
+    * %5=2 — all derived from doc_id, identically in both engines) and then
+    * scrubs it; the oracle proves counts and redacted bytes agree exactly.
+    *
+    * Scale shape: entirely per-row codegen'd string expressions — zero
+    * exchanges at any corpus size (the trailing orderBy exists only for the
+    * deterministic oracle dump). Regex cost is linear in corpus bytes and
+    * embarrassingly parallel; at 100 TB this runs at scan speed.
+    */
+  def pii(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" mail user"), col("doc_id").cast("string"),
+              lit("@ex"), (col("doc_id") % 10).cast("string"),
+              lit(".example.org for details"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 1,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit("-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" today"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 2,
+            concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+              lit("."), expr("(doc_id div 7) % 256").cast("string"),
+              lit("."), (col("doc_id") % 250).cast("string"),
+              lit(" logged"))).otherwise(lit(""))
+        ).as("t"))
+    aug
+      .withColumn("n_email", size(regexp_extract_all(col("t"), lit(EMAIL_RE), lit(0))).cast("long"))
+      .withColumn("n_phone", size(regexp_extract_all(col("t"), lit(PHONE_RE), lit(0))).cast("long"))
+      .withColumn("n_ip", size(regexp_extract_all(col("t"), lit(IP_RE), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>"),
+          IP_RE, "<IP>"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        (col("n_email") + col("n_phone") + col("n_ip") > 0).as("has_pii"),
+        col("redacted"))
+      .orderBy("doc_id")
+  }
+
+  val piiSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         text ||
+       |         CASE WHEN doc_id % 3 = 0 THEN ' mail user' || doc_id || '@ex' || (doc_id % 10) || '.example.org for details' ELSE '' END ||
+       |         CASE WHEN doc_id % 4 = 1 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END ||
+       |         CASE WHEN doc_id % 5 = 2 THEN ' host 10.' || (doc_id % 256) || '.' || ((doc_id // 7) % 256) || '.' || (doc_id % 250) || ' logged' ELSE '' END
+       |         AS t
+       |  FROM documents),
+       |red AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(t, '$EMAIL_RE')) AS BIGINT) n_email,
+       |         CAST(len(regexp_extract_all(t, '$PHONE_RE')) AS BIGINT) n_phone,
+       |         CAST(len(regexp_extract_all(t, '$IP_RE')) AS BIGINT) n_ip,
+       |         regexp_replace(regexp_replace(regexp_replace(t,
+       |           '$EMAIL_RE', '<EMAIL>', 'g'),
+       |           '$PHONE_RE', '<PHONE>', 'g'),
+       |           '$IP_RE', '<IP>', 'g') redacted
+       |  FROM aug)
+       |SELECT doc_id, n_email, n_phone, n_ip,
+       |       (n_email + n_phone + n_ip > 0) AS has_pii, redacted
+       |FROM red ORDER BY doc_id""".stripMargin
+
+  // ---- sequence packing (token-budget shard assignment) --------------------
+
+  /** Greedy contiguous sequence packing: per source, docs in doc_id order
+    * fill training shards of a fixed token budget; a doc that crosses the
+    * boundary opens the next shard (shard = prefix-sum-before-doc div
+    * budget). The report gives per-shard doc counts, token fill, doc-id
+    * range, and fill ratio — the shape a pretraining run uses to cut a
+    * corpus into ~equal context-window batches deterministically.
+    *
+    * Scale shape: ONE exchange on source serves both the running-sum window
+    * and the final groupBy (same partitioning, exchange reuse — the
+    * sessionize pattern). The prefix sum is inherently sequential per
+    * source; at 100 TB with few huge sources you'd sub-partition sources
+    * into fixed doc_id ranges first (two-level prefix sum: per-range local
+    * cumsum + broadcast range offsets) — same algebra, documented here
+    * because a per-source window alone would put one source on one task.
+    */
+  private val PACK_BUDGET = 256L
+
+  def pack(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(Toks.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("shard", expr(s"(cum - n_tok) div $PACK_BUDGET"))
+      .groupBy("source", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tok_sum"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .withColumn("fill_x1000", expr(s"(1000 * tok_sum) div $PACK_BUDGET"))
+      .orderBy("source", "shard")
+  }
+
+  val packSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(${Toks.SQL_TOKENS}) AS BIGINT) n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tok,
+       |         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum
+       |  FROM t),
+       |s AS (
+       |  SELECT source, (cum - n_tok) // $PACK_BUDGET AS shard, doc_id, n_tok FROM c)
+       |SELECT source, shard,
+       |       CAST(count(*) AS BIGINT) n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) tok_sum,
+       |       min(doc_id) first_doc, max(doc_id) last_doc,
+       |       (1000 * CAST(sum(n_tok) AS BIGINT)) // $PACK_BUDGET AS fill_x1000
+       |FROM s GROUP BY source, shard ORDER BY source, shard""".stripMargin
+
+  // ---- mixture allocation (largest-remainder token budget) -----------------
+
+  /** Domain-mixture allocation: a global token budget split across sources
+    * proportionally to their token mass, with the rounding shortfall
+    * distributed by largest remainder (ties broken by source name) — the
+    * exact-integer form of "sample X tokens per domain" that a pretraining
+    * mixture config needs, reproducible to the token.
+    *
+    * Scale shape: the ONLY heavy work is the per-source token sum
+    * (partial-agg'd map-side); every window after that runs over the
+    * aggregated frame whose cardinality is the number of sources (tens), so
+    * the single-partition windows are deliberate and safe at any corpus
+    * size.
+    */
+  private val MIX_BUDGET = 100000L
+
+  def mix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy(lit(1))
+    val byRem = Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("source"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), size(Toks.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("tok"))
+      .withColumn("tot", sum("tok").over(whole))
+      .withColumn("base", expr(s"($MIX_BUDGET * tok) div tot"))
+      .withColumn("rem", expr(s"($MIX_BUDGET * tok) % tot"))
+      .withColumn("rk", row_number().over(byRem).cast("long"))
+      .withColumn("short", lit(MIX_BUDGET) - sum("base").over(whole))
+      .select(col("source"), col("tok"),
+        (col("base") + when(col("rk") <= col("short"), lit(1L)).otherwise(lit(0L))).as("alloc"),
+        expr("(1000 * tok) div tot").as("share_x1000"))
+      .orderBy("source")
+  }
+
+  val mixSql: String =
+    s"""WITH s AS (SELECT source, CAST(sum(len(${Toks.SQL_TOKENS})) AS BIGINT) tok
+       |           FROM documents GROUP BY source),
+       |t AS (SELECT source, tok, CAST(sum(tok) OVER () AS BIGINT) tot FROM s),
+       |a AS (SELECT source, tok, tot, ($MIX_BUDGET * tok) // tot AS base,
+       |             ($MIX_BUDGET * tok) % tot AS rem FROM t),
+       |r AS (SELECT source, tok, tot, base, rem,
+       |             CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) rk,
+       |             CAST($MIX_BUDGET - sum(base) OVER () AS BIGINT) short FROM a)
+       |SELECT source, tok, base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS alloc,
+       |       (1000 * tok) // tot AS share_x1000
+       |FROM r ORDER BY source""".stripMargin
+
+  // ---- fixed-window chunking with overlap ----------------------------------
+
+  /** Context-window chunking: each document's token sequence is cut into
+    * CHUNK-token windows advancing by STRIDE (CHUNK−STRIDE tokens of
+    * overlap) — the retrieval/embedding prep stage. Emits one row per chunk
+    * with its exact token count and an md5 fingerprint of the joined text
+    * (both engines hash the identical bytes).
+    *
+    * Scale shape: per-row explode of a bounded arithmetic sequence — no
+    * exchange at all (the orderBy is oracle-only); chunk count per doc is
+    * ⌈(n−1)/STRIDE⌉+… bounded linear in doc length, so output bytes ≈
+    * input bytes × (CHUNK/STRIDE) with no skew possible.
+    */
+  private val CHUNK = 32
+  private val STRIDE = 24
+
+  def chunks(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), Toks.tokens(col("text")).as("tok"))
+      .withColumn("n", size(col("tok")).cast("long"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("tok"), col("n"),
+        explode(sequence(lit(0L), expr(s"(n - 1) div $STRIDE"))).as("chunk_id"))
+      .withColumn("sl",
+        slice(col("tok"), (col("chunk_id") * STRIDE + 1).cast("int"),
+          least(lit(CHUNK), (col("n") - col("chunk_id") * STRIDE).cast("int"))))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        size(col("sl")).cast("long").as("chunk_tok"),
+        md5(array_join(col("sl"), " ").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  val chunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Toks.SQL_TOKENS} tok FROM documents),
+       |k AS (
+       |  SELECT doc_id, tok, CAST(len(tok) AS BIGINT) n,
+       |         unnest(generate_series(0, (len(tok)-1)//$STRIDE)) AS ck
+       |  FROM t WHERE len(tok) >= 1)
+       |SELECT doc_id, CAST(ck AS BIGINT) chunk_id,
+       |       CAST(len(tok[1+$STRIDE*ck : least($STRIDE*ck+$CHUNK, n)]) AS BIGINT) chunk_tok,
+       |       md5(array_to_string(tok[1+$STRIDE*ck : least($STRIDE*ck+$CHUNK, n)], ' ')) chunk_md5
+       |FROM k ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_pii" -> (pii _),
+    "ta_pack" -> (pack _),
+    "ta_chunks" -> (chunks _),
+    "ta_mix" -> (mix _),
     "ta_gopher" -> (gopher _),
     "ta_filter" -> (filterGate _),
     "ta_tfidf" -> (tfidf _),
@@ -574,6 +812,10 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_pii" -> piiSql,
+    "ta_pack" -> packSql,
+    "ta_chunks" -> chunksSql,
+    "ta_mix" -> mixSql,
     "ta_gopher" -> gopherSql,
     "ta_filter" -> filterGateSql,
     "ta_tfidf" -> tfidfSql,
