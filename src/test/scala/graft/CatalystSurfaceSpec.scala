@@ -378,4 +378,44 @@ class CatalystSurfaceSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet.diff(qs)
     assert(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
   }
+
+  test("q_funnel plan: the window chain and per-user collapse ride one user_id shuffle") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.Relational.qFunnel(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      // three chained conditional-min windows + groupBy(user_id) all cluster
+      // on user_id -> ONE data shuffle; the global 3-long aggregate adds a
+      // SinglePartition exchange and the presentation orderBy a range one.
+      val hash = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+      assert(hash == 1, s"expected one user_id exchange, plan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("ta_pack plan: prefix-sum window and shard aggregate share one source shuffle") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.TextAnalysis.pack(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      val hash = "Exchange hashpartitioning\\(source".r.findAllIn(plan).length
+      assert(hash == 1, s"expected one source exchange, plan:\n$plan")
+      val all = "Exchange ".r.findAllIn(plan).length -
+        "BroadcastExchange".r.findAllIn(plan).length
+      assert(all == 2, s"one data shuffle + one presentation sort only:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("ta_pii plan: redaction is map-side only (no exchange before the presentation sort)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.TextAnalysis.pii(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      val all = "Exchange ".r.findAllIn(plan).length -
+        "BroadcastExchange".r.findAllIn(plan).length
+      assert(all == 1, s"only the presentation orderBy may shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
