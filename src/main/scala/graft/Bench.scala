@@ -35,7 +35,7 @@ object Bench {
     "dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_contam",
     "dd_components", "dd_lines", "ta_gopher",
     "sim_knn", "sim_ivf", "dd_embed_cos", "ta_quality", "ta_tokens", "ta_ngrams",
-    "ta_tfidf",
+    "ta_tfidf", "ta_pii", "q_funnel",
     "st_session"
   )
 

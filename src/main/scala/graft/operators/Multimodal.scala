@@ -14,11 +14,18 @@ import org.apache.spark.sql.functions._
   * bytes encoded and decoded with the JDK's own `javax.imageio` (ships in
   * `java.desktop`, headless-safe; PNG is lossless so decoded pixels are a
   * pure deterministic function of the generation pattern, never of encoder
-  * byte choices). The `image`/`audio`/`video` kinds remain header-stub
-  * payloads (`[magic|width|height|nframes]` + md5-derived body — no
-  * video/audio codec exists in the JDK). Spark-side contracts — schema,
-  * binary encoding, partition-local batching, explode of per-frame rows,
-  * determinism under repartition — are real and tested for all kinds.
+  * byte choices). The `audio` kind is likewise REAL — canonical RIFF/WAVE
+  * files with 16-bit mono PCM, decoded with the JDK's own
+  * `javax.sound.sampled` reader (PCM is uncompressed, so decoded samples
+  * are a pure function of the integer waveform generator). The
+  * `image`/`video` kinds remain header-stub payloads
+  * (`[magic|width|height|nframes]` + md5-derived body — no image-container
+  * /video codec beyond PNG/WAV exists in the JDK). Spark-side contracts —
+  * schema, binary encoding, partition-local batching, explode of per-frame
+  * rows, determinism under repartition — are real and tested for all kinds.
+  *
+  * MediaMeta field mapping for audio: width = sample rate (Hz), height =
+  * channel count, nframes = sample count, n_bytes = PCM payload bytes.
   */
 object Multimodal {
 
@@ -52,6 +59,69 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic 16-bit mono PCM samples for audio `id` — a two-square-
+    * wave mix in exact integer math (no floats, no trig: reproducible to
+    * the sample on any JVM).
+    */
+  def wavSamples(seed: Long, id: Long): Array[Short] = {
+    val n = 400 + Rng.nextInt(seed, 21L, id, 1600)
+    val p1 = 20 + Rng.nextInt(seed, 22L, id, 60)
+    val p2 = 7 + Rng.nextInt(seed, 23L, id, 23)
+    val a1 = 2000 + Rng.nextInt(seed, 24L, id, 6000)
+    val a2 = 500 + Rng.nextInt(seed, 25L, id, 1500)
+    Array.tabulate(n) { i =>
+      val s1 = if ((i / p1) % 2 == 0) a1 else -a1
+      val s2 = if ((i / p2) % 2 == 0) a2 else -a2
+      (s1 + s2).toShort
+    }
+  }
+
+  val WAV_RATE = 8000
+
+  /** Real RIFF/WAVE bytes: canonical 44-byte header + 16-bit LE mono PCM —
+    * readable by any WAV decoder (the JDK's own `javax.sound.sampled`
+    * parses these in decode below and in the round-trip test).
+    */
+  def wavBytes(seed: Long, id: Long): Array[Byte] = {
+    val s = wavSamples(seed, id)
+    val dataLen = s.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(WAV_RATE).putInt(WAV_RATE * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    s.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL audio decode via the JDK's WAV reader: returns (sampleRate,
+    * channels, nSamples, sumAbs, peak) — integer-exact signal statistics.
+    */
+  def wavDecode(payload: Array[Byte]): (Int, Int, Int, Long, Int) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    val data = ais.readAllBytes()
+    ais.close()
+    val bb = java.nio.ByteBuffer.wrap(data).order(
+      if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ns = data.length / 2
+    var i = 0
+    var sumAbs = 0L
+    var peak = 0
+    while (i < ns) {
+      val v = math.abs(bb.getShort(2 * i).toInt)
+      sumAbs += v
+      if (v > peak) peak = v
+      i += 1
+    }
+    (fmt.getSampleRate.toInt, fmt.getChannels, ns, sumAbs, peak)
+  }
+
   /** Deterministic synthetic media corpus — pure function of (seed, id). */
   def mediaRow(seed: Long, id: Long): MediaRow = {
     val kind = kinds(Rng.nextInt(seed, 11L, id, kinds.length))
@@ -60,11 +130,11 @@ object Multimodal {
       val h = 16 + Rng.nextInt(seed, 13L, id, 48)
       return MediaRow(id, kind, pngBytes(seed, id, w, h))
     }
+    if (kind == "audio") return MediaRow(id, kind, wavBytes(seed, id))
     val w = 16 + Rng.nextInt(seed, 12L, id, 4080)
     val h = 16 + Rng.nextInt(seed, 13L, id, 2144)
     val nf = kind match {
       case "image" => 1
-      case "audio" => 0
       case _       => 8 + Rng.nextInt(seed, 14L, id, 240)
     }
     val bodyLen = 64 + Rng.nextInt(seed, 15L, id, 448)
@@ -97,6 +167,10 @@ object Multimodal {
           require(img != null, s"png decode failed for ${r.media_id}")
           MediaMeta(r.media_id, r.kind, img.getWidth, img.getHeight, 1,
             img.getWidth * img.getHeight * 3)
+        } else if (r.kind == "audio") {
+          // REAL decode: the JDK WAV reader parses the RIFF container.
+          val (rate, ch, ns, _, _) = wavDecode(r.payload)
+          MediaMeta(r.media_id, r.kind, rate, ch, ns, ns * 2)
         } else {
           val bb = java.nio.ByteBuffer.wrap(r.payload)
           val magic = bb.getInt()
@@ -138,6 +212,26 @@ object Multimodal {
           }
           (r.media_id,
             acc.indices.map(b => acc(b).toFloat / (cnt(b) * 765).toFloat).toSeq)
+        } else if (r.kind == "audio") {
+          // REAL feature: mean |amplitude| over 8 time buckets of the
+          // decoded PCM (the audio analog of the luminance profile)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val data = ais.readAllBytes(); ais.close()
+          val bb = java.nio.ByteBuffer.wrap(data)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val ns = data.length / 2
+          val acc = new Array[Long](8)
+          val cnt = new Array[Long](8)
+          var i = 0
+          while (i < ns) {
+            val b = i * 8 / ns
+            acc(b) += math.abs(bb.getShort(2 * i).toInt)
+            cnt(b) += 1
+            i += 1
+          }
+          (r.media_id,
+            acc.indices.map(b => acc(b).toFloat / (math.max(cnt(b), 1L) * 32768f)).toSeq)
         } else {
           val acc = new Array[Long](8)
           var i = 16
@@ -182,9 +276,11 @@ object Multimodal {
   val META = s"$ORACLE_DIR/media-meta"
   val FRAMES = s"$ORACLE_DIR/media-frames"
   val PNGSTATS = s"$ORACLE_DIR/media-png"
+  val WAVSTATS = s"$ORACLE_DIR/media-wav"
   val META_PQ = s"read_parquet('$META/*.parquet')"
   val FRAMES_PQ = s"read_parquet('$FRAMES/*.parquet')"
   val PNG_PQ = s"read_parquet('$PNGSTATS/*.parquet')"
+  val WAV_PQ = s"read_parquet('$WAVSTATS/*.parquet')"
   val N_MEDIA = 500L
 
   /** Per-image REAL pixel statistics from the decoded PNG (integer sums —
@@ -213,6 +309,19 @@ object Multimodal {
     }.toDF("media_id", "width", "height", "sum_lum", "n_pix")
   }
 
+  /** Per-clip REAL signal statistics from the decoded PCM (integer-exact):
+    * (media_id, rate, n_samples, dur_ms, sum_abs, peak).
+    */
+  def wavStats(rows: Dataset[MediaRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.filter(_.kind == "audio").mapPartitions { it =>
+      it.map { r =>
+        val (rate, _, ns, sumAbs, peak) = wavDecode(r.payload)
+        (r.media_id, rate, ns.toLong, 1000L * ns / rate, sumAbs, peak)
+      }
+    }.toDF("media_id", "rate", "n_samples", "dur_ms", "sum_abs", "peak")
+  }
+
   @volatile private var done = false
 
   private def ensure(spark: SparkSession): Unit = synchronized {
@@ -225,6 +334,7 @@ object Multimodal {
       decodeMeta(m).write.mode("overwrite").parquet(META)
       sampleFrames(m).write.mode("overwrite").parquet(FRAMES)
       pngStats(m).write.mode("overwrite").parquet(PNGSTATS)
+      wavStats(m).write.mode("overwrite").parquet(WAVSTATS)
       graft.sources.OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -283,15 +393,40 @@ object Multimodal {
        |       CAST((10000 * sum(sum_lum)) // (765 * sum(n_pix)) AS BIGINT) mean_lum_e4
        |FROM $PNG_PQ GROUP BY 1 ORDER BY wb""".stripMargin
 
+  /** Real-codec audio aggregation: duration-bucketed counts and EXACT mean
+    * |amplitude| (integer e4, /32768 full scale) over the decoded PCM; the
+    * Spark side re-runs the production JDK WAV decode, DuckDB recomputes
+    * the tail over the materialized per-clip stats.
+    */
+  def mmWav(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark)
+    wavStats(media(spark, N_MEDIA))
+      .groupBy(expr("CAST(dur_ms div 50 AS BIGINT)").as("db"))
+      .agg(count(lit(1)).as("n"), sum(col("sum_abs")).as("amp"),
+        sum(col("n_samples")).as("ns"), max(col("peak")).as("max_peak"))
+      .selectExpr("db", "n", "amp", "max_peak",
+        "(10000 * amp) div (32768 * ns) AS mean_amp_e4")
+      .orderBy("db")
+  }
+
+  val mmWavSql: String =
+    s"""SELECT CAST(dur_ms // 50 AS BIGINT) db, count(*) n,
+       |       CAST(sum(sum_abs) AS BIGINT) amp,
+       |       max(peak) max_peak,
+       |       CAST((10000 * sum(sum_abs)) // (32768 * sum(n_samples)) AS BIGINT) mean_amp_e4
+       |FROM $WAV_PQ GROUP BY 1 ORDER BY db""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
     "mm_frames" -> (mmFrames _),
-    "mm_png" -> (mmPng _)
+    "mm_png" -> (mmPng _),
+    "mm_wav" -> (mmWav _)
   )
 
   def oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
     "mm_frames" -> mmFramesSql,
-    "mm_png" -> mmPngSql
+    "mm_png" -> mmPngSql,
+    "mm_wav" -> mmWavSql
   )
 }

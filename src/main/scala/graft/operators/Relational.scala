@@ -1366,7 +1366,164 @@ object Relational {
       |       (valid_to IS NULL) AS is_current
       |FROM s ORDER BY user_id, rn""".stripMargin
 
+  // ---- triangle counting (degree-ordered orientation) ----------------------
+
+  /** Triangle enumeration over a deterministic undirected graph on part
+    * keys (3 arithmetic edge rules, canonicalized + dedup'd). The Spark
+    * side uses DEGREE-ORDERED ORIENTATION: every edge points from its
+    * lower-(degree,id) endpoint to the higher one, so out-degree is bounded
+    * by O(√m) and the wedge self-join — the quadratic step in naive
+    * triangle counting — touches Σ outdeg² ≈ m^1.5 pairs instead of
+    * Σ deg² (which a hub node makes quadratic). Each triangle is found
+    * exactly once (its lowest-ordered vertex pivots), then re-sorted to
+    * canonical (u<v<w) rows.
+    *
+    * The DuckDB oracle is the INDEPENDENT naive formulation (canonical
+    * 3-way self-join) — same set, different algorithm, so agreement checks
+    * the orientation logic end to end.
+    */
+  def qTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = t(spark, sfDir, "part").select(col("p_partkey").as("k")).localCheckpoint()
+    val n = parts.count() // scalar modulus for the edge rules
+    val raw = parts.select(col("k"), ((col("k") * col("k") + 1) % n).as("t"))
+      .unionByName(parts.select(col("k"), ((col("k") + 1) % n).as("t")))
+      .unionByName(parts.select(col("k"), ((col("k") * 2 + 3) % n).as("t")))
+      .filter(col("k") =!= col("t"))
+    val e = raw.select(least(col("k"), col("t")).as("u"),
+      greatest(col("k"), col("t")).as("v")).distinct()
+    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(fwd, col("u")).otherwise(col("v")).as("a"),
+      when(fwd, col("v")).otherwise(col("u")).as("b"),
+      when(fwd, col("dv")).otherwise(col("du")).as("db")).localCheckpoint()
+    val o1 = oriented.select(col("a"), col("b").as("b1"), col("db").as("d1"))
+    val o2 = oriented.select(col("a"), col("b").as("b2"), col("db").as("d2"))
+    val wedges = o1.join(o2, "a")
+      .filter(col("d1") < col("d2") || (col("d1") === col("d2") && col("b1") < col("b2")))
+    wedges
+      .join(oriented.select(col("a").as("ca"), col("b").as("cb")),
+        col("b1") === col("ca") && col("b2") === col("cb"))
+      .select(array_sort(array(col("a"), col("b1"), col("b2"))).as("tn"))
+      .select(element_at(col("tn"), 1).as("u"),
+        element_at(col("tn"), 2).as("v"),
+        element_at(col("tn"), 3).as("w"))
+      .orderBy("u", "v", "w")
+  }
+
+  val qTrianglesSql: String =
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) c FROM part),
+      |raw AS (
+      |  SELECT p_partkey k, (p_partkey * p_partkey + 1) % (SELECT c FROM n) t FROM part
+      |  UNION ALL SELECT p_partkey, (p_partkey + 1) % (SELECT c FROM n) FROM part
+      |  UNION ALL SELECT p_partkey, (2 * p_partkey + 3) % (SELECT c FROM n) FROM part),
+      |e AS (SELECT DISTINCT least(k, t) u, greatest(k, t) v FROM raw WHERE k <> t)
+      |SELECT e1.u u, e1.v v, e2.v w
+      |FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      |ORDER BY u, v, w""".stripMargin
+
+  // ---- Pareto skyline (two-level prefix max) -------------------------------
+
+  /** Per-group Pareto frontier over distinct (price, quantity) points —
+    * cheapest-for-their-quantity lineitems (minimize price, maximize
+    * quantity). A point survives iff its quantity strictly beats every
+    * lower-priced point's and ties at its own price resolve to the max.
+    *
+    * Scale shape — the naive skyline is a quadratic NOT EXISTS self-join;
+    * this plans as a TWO-LEVEL PREFIX MAX instead: prices are cut into
+    * fixed integer buckets, the within-bucket prefix max and same-price max
+    * ride ONE (g, bucket) exchange (both windows range-frame the same
+    * sort), and the cross-bucket prefix comes from a per-bucket max table
+    * (cardinality = groups × buckets) that broadcasts back. No global sort,
+    * no quadratic join, hub-proof at any row count. The DuckDB oracle is
+    * the single-sort window formulation (cross-validated once against the
+    * quadratic NOT EXISTS form at sf0.01 — identical 17 rows).
+    */
+  def qSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = 1000000L
+    val d = t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("price_c"),
+        (col("l_quantity").cast("decimal(12,2)") * 100).cast("long").as("qty_c"))
+      .distinct()
+      .withColumn("bk", expr(s"price_c div $bucket"))
+    val wLt = Window.partitionBy("g", "bk").orderBy("price_c")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy("g", "bk").orderBy("price_c").rangeBetween(0, 0)
+    val wPrev = Window.partitionBy("g").orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prev = d.groupBy("g", "bk").agg(max("qty_c").as("bmax"))
+      .withColumn("pmax", max("bmax").over(wPrev))
+      .select(col("g"), col("bk"), col("pmax"))
+    d.join(broadcast(prev), Seq("g", "bk"))
+      .withColumn("mlt",
+        greatest(coalesce(max("qty_c").over(wLt), lit(-1L)),
+          coalesce(col("pmax"), lit(-1L))))
+      .withColumn("meq", max("qty_c").over(wEq))
+      .filter(col("qty_c") > col("mlt") && col("qty_c") === col("meq"))
+      .select(col("g"), col("price_c"), col("qty_c"))
+      .orderBy("g", "price_c", "qty_c")
+  }
+
+  val qSkylineSql: String =
+    """WITH p AS (
+      |  SELECT l_returnflag g,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) price_c,
+      |         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) qty_c
+      |  FROM lineitem),
+      |d AS (SELECT DISTINCT g, price_c, qty_c FROM p),
+      |w AS (SELECT g, price_c, qty_c,
+      |        max(qty_c) OVER (PARTITION BY g ORDER BY price_c
+      |                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) mlt,
+      |        max(qty_c) OVER (PARTITION BY g, price_c) meq
+      |      FROM d)
+      |SELECT g, price_c, qty_c FROM w
+      |WHERE qty_c > coalesce(mlt, CAST(-1 AS BIGINT)) AND qty_c = meq
+      |ORDER BY g, price_c, qty_c""".stripMargin
+
+  // ---- map higher-order functions ------------------------------------------
+
+  /** Map-column pipeline: per-user event-type counts built into a MapType
+    * column, then transform_keys (upper-case), transform_values (×2) and
+    * map_filter (≥6) applied before exploding back to rows — the §2.8 map
+    * family's higher-order half. The DuckDB oracle never builds a map: it
+    * is the flat GROUP BY / HAVING equivalent, so agreement proves the map
+    * HOF chain preserves exactly the relational semantics.
+    *
+    * Scale shape: one user_id×type partial-agg'd shuffle + a per-user
+    * collect of ≤5 entries (bounded by the event-type vocabulary, not the
+    * stream length) — map columns stay small regardless of corpus size.
+    */
+  def qMapHof(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(map_from_entries(array_sort(collect_list(struct(col("event_type"), col("c"))))).as("m"))
+      .select(col("user_id"),
+        map_filter(
+          transform_values(
+            transform_keys(col("m"), (k, _) => upper(k)),
+            (_, v) => v * 2),
+          (_, v) => v >= 6).as("m2"))
+      .select(col("user_id"), explode(col("m2")).as(Seq("event_type", "n2")))
+      .orderBy("user_id", "event_type")
+
+  val qMapHofSql: String =
+    """SELECT user_id, upper(event_type) AS event_type,
+      |       2 * CAST(count(*) AS BIGINT) AS n2
+      |FROM events GROUP BY user_id, event_type
+      |HAVING 2 * count(*) >= 6
+      |ORDER BY user_id, upper(event_type)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_triangles" -> (qTriangles _),
+    "q_maphof" -> (qMapHof _),
+    "q_skyline" -> (qSkyline _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
@@ -1418,6 +1575,9 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_triangles" -> qTrianglesSql,
+    "q_maphof" -> qMapHofSql,
+    "q_skyline" -> qSkylineSql,
     "q_funnel" -> qFunnelSql,
     "q_retention" -> qRetentionSql,
     "q_scd2" -> qScd2Sql,

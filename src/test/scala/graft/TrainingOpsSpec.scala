@@ -278,9 +278,14 @@ class TrainingOpsSpec extends AnyFunSuite {
     val m = Multimodal.media(spark, 100)
     val meta = Multimodal.decodeMeta(m).collect().sortBy(_.media_id)
     assert(meta.length == 100)
-    assert(meta.forall(x => x.width >= 16 && x.height >= 16 && x.n_bytes >= 64))
+    assert(meta.filter(_.kind != "audio")
+      .forall(x => x.width >= 16 && x.height >= 16 && x.n_bytes >= 64))
     assert(meta.filter(_.kind == "image").forall(_.nframes == 1))
-    assert(meta.filter(_.kind == "audio").forall(_.nframes == 0))
+    // audio is real WAV: width = sample rate, height = channels,
+    // nframes = decoded sample count
+    assert(meta.filter(_.kind == "audio")
+      .forall(x => x.width == Multimodal.WAV_RATE && x.height == 1 &&
+        x.nframes >= 400 && x.n_bytes == x.nframes * 2))
     val meta2 = Multimodal.decodeMeta(m.repartition(7)).collect().sortBy(_.media_id)
     assert(meta.toSeq == meta2.toSeq)
 
@@ -312,6 +317,39 @@ class TrainingOpsSpec extends AnyFunSuite {
     val m = Multimodal.media(spark, 100)
     val a = Multimodal.pngStats(m).collect().map(_.toString).sorted.toSeq
     val b = Multimodal.pngStats(m.repartition(7)).collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("audio payloads are real WAV files: JDK decode recovers the exact samples") {
+    val wavIds = (0L until 200L)
+      .filter(id => Multimodal.mediaRow(7L, id).kind == "audio")
+    assert(wavIds.size > 20, s"audio kind underrepresented: ${wavIds.size}")
+    wavIds.take(5).foreach { id =>
+      val row = Multimodal.mediaRow(7L, id)
+      // the payload must be an actual RIFF/WAVE container
+      assert(new String(row.payload, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(row.payload, 8, 4, "US-ASCII") == "WAVE")
+      // independent JDK decoder recovers format + every PCM sample
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(row.payload))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate.toInt == Multimodal.WAV_RATE &&
+        fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16)
+      val data = ais.readAllBytes(); ais.close()
+      val bb = java.nio.ByteBuffer.wrap(data).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val expected = Multimodal.wavSamples(7L, id)
+      assert(data.length / 2 == expected.length, s"sample count of clip $id")
+      expected.indices.foreach { i =>
+        assert(bb.getShort(2 * i) == expected(i), s"sample $i of clip $id")
+      }
+    }
+    // wavStats is deterministic under repartition (real decode on executors)
+    import spark.implicits._
+    val m = Multimodal.media(spark, 100)
+    val a = Multimodal.wavStats(m).collect().map(_.toString).sorted.toSeq
+    val b = Multimodal.wavStats(m.repartition(7)).collect().map(_.toString).sorted.toSeq
     assert(a == b && a.nonEmpty)
   }
 
