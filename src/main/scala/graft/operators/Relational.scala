@@ -1486,6 +1486,84 @@ object Relational {
       |WHERE qty_c > coalesce(mlt, CAST(-1 AS BIGINT)) AND qty_c = meq
       |ORDER BY g, price_c, qty_c""".stripMargin
 
+  // ---- try_* fault-tolerance semantics ---------------------------------------
+
+  /** ANSI-mode fault tolerance: Spark 4 runs ANSI SQL by default, where a
+    * single bad cast / overflow / div-by-zero KILLS the job — at 100 TB a
+    * one-in-a-billion malformed row must null out instead, which is exactly
+    * the `try_*` family. Four legs over deterministically-planted bad rows:
+    * try_cast (non-numeric string), try_add (LONG overflow), try_divide
+    * (zero divisor), try_to_timestamp (malformed date). The DuckDB oracle
+    * reproduces each null via its own guards (CASE / try_cast /
+    * try_strptime) — so the hash pins WHICH rows null out, not just counts.
+    */
+  def qTry(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        when(col("event_id") % 5 === 0, concat(lit("x"), col("event_id").cast("string")))
+          .otherwise(col("event_id").cast("string")).as("s"),
+        when(col("event_id") % 7 === 0, lit(9223372036854775800L))
+          .otherwise(col("event_id")).as("x"),
+        (col("event_id") % 4).as("nz"),
+        when(col("event_id") % 3 === 0, lit("not-a-date"))
+          .otherwise(concat(lit("2024-01-0"), (col("event_id") % 9 + 1).cast("string"))).as("ds"))
+      .select(col("event_id"),
+        expr("try_cast(s AS BIGINT)").as("c_bad"),
+        expr("try_add(x, CAST(100 AS BIGINT))").as("a_ovf"),
+        expr("CAST(try_divide(cents, nz) AS BIGINT)").as("d_div"),
+        // NTZ cast: the UTC session makes this an identity on wall time,
+        // aligning with the parquet-sourced NTZ columns the oracle compares
+        expr("CAST(try_to_timestamp(ds, 'yyyy-MM-dd') AS TIMESTAMP_NTZ)").as("t_ts"))
+      .orderBy("event_id")
+
+  val qTrySql: String =
+    """WITH b AS (
+      |  SELECT event_id,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) cents,
+      |         CASE WHEN event_id % 5 = 0 THEN 'x' || event_id ELSE CAST(event_id AS VARCHAR) END s,
+      |         CASE WHEN event_id % 7 = 0 THEN CAST(9223372036854775800 AS BIGINT) ELSE event_id END x,
+      |         event_id % 4 nz,
+      |         CASE WHEN event_id % 3 = 0 THEN 'not-a-date'
+      |              ELSE '2024-01-0' || (1 + event_id % 9) END ds
+      |  FROM events WHERE event_id < 2000)
+      |SELECT event_id,
+      |       try_cast(s AS BIGINT) c_bad,
+      |       CASE WHEN event_id % 7 = 0 THEN NULL ELSE x + 100 END a_ovf,
+      |       CASE WHEN nz = 0 THEN NULL ELSE CAST(trunc(cents / nz) AS BIGINT) END d_div,
+      |       try_strptime(ds, '%Y-%m-%d') t_ts
+      |FROM b ORDER BY event_id""".stripMargin
+
+  // ---- XML round trip (Spark 4 to_xml / from_xml) ---------------------------
+
+  /** XML expression coverage: each event is serialized to a REAL XML
+    * fragment with `to_xml` and parsed back with `from_xml` (typed schema),
+    * proving the encode→parse loop is lossless for strings and longs. The
+    * DuckDB oracle NEVER touches XML — it recomputes the expected fields
+    * straight from the base columns, so any escaping/typing defect in the
+    * XML round trip breaks the hash. Entirely per-row expressions; the only
+    * exchange is the presentation sort.
+    */
+  def qXml(spark: SparkSession, sfDir: String): DataFrame = {
+    val parsedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType)))
+    t(spark, sfDir, "events")
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"),
+        to_xml(struct(col("event_type").as("t"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))).as("x"))
+      .select(col("event_id"), from_xml(col("x"), parsedSchema).as("p"))
+      .select(col("event_id"), col("p.t").as("t"), col("p.cents").as("cents"))
+      .orderBy("event_id")
+  }
+
+  val qXmlSql: String =
+    """SELECT event_id, event_type AS t,
+      |       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
+
   // ---- map higher-order functions ------------------------------------------
 
   /** Map-column pipeline: per-user event-type counts built into a MapType
@@ -1524,6 +1602,8 @@ object Relational {
     "q_triangles" -> (qTriangles _),
     "q_maphof" -> (qMapHof _),
     "q_skyline" -> (qSkyline _),
+    "q_xml" -> (qXml _),
+    "q_try" -> (qTry _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
@@ -1578,6 +1658,8 @@ object Relational {
     "q_triangles" -> qTrianglesSql,
     "q_maphof" -> qMapHofSql,
     "q_skyline" -> qSkylineSql,
+    "q_xml" -> qXmlSql,
+    "q_try" -> qTrySql,
     "q_funnel" -> qFunnelSql,
     "q_retention" -> qRetentionSql,
     "q_scd2" -> qScd2Sql,

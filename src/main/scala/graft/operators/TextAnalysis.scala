@@ -746,6 +746,47 @@ object TextAnalysis {
        |       (1000 * tok) // tot AS share_x1000
        |FROM r ORDER BY source""".stripMargin
 
+  // ---- linear quality classifier (model-based filtering) -------------------
+
+  /** Model-based quality filtering (the DCLM / FineWeb-Edu stage shape): a
+    * linear bag-of-words classifier scores every document and the gate
+    * keeps positive-mean docs. The "weights" here are hash-derived integers
+    * (md5(token) first 16 bits − 32768 ∈ [−32768, 32767]) — a deterministic
+    * stand-in for trained weights; the DATAFLOW is the real thing: per-token
+    * weight lookup, integer dot product, per-doc mean, threshold.
+    *
+    * Scale shape: the entire scorer is ONE per-row `aggregate` lambda over
+    * the token array — zero exchanges, no weight-table join (the hash IS
+    * the lookup), no groupBy. With a real trained vocabulary the hash
+    * lookup becomes a broadcast map; the plan shape is unchanged. At 100 TB
+    * this runs at scan speed like [[gopher]].
+    */
+  def classify(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), Toks.tokens(col("text")).as("tok"))
+      .select(col("doc_id"),
+        aggregate(col("tok"), lit(0L),
+          (acc, x) => acc + (conv(substring(md5(x), 1, 4), 16, 10).cast("long") - 32768))
+          .as("score"),
+        size(col("tok")).cast("long").as("n_tok"))
+      .withColumn("mean_wt", expr("score div n_tok"))
+      .select(col("doc_id"), col("score"), col("n_tok"), col("mean_wt"),
+        (col("mean_wt") > 0).as("kept"))
+      .orderBy("doc_id")
+
+  val classifySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Toks.SQL_TOKENS} tok FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(tok,
+       |           x -> CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT) - 32768)) AS BIGINT) score,
+       |         CAST(len(tok) AS BIGINT) n_tok
+       |  FROM t)
+       |SELECT doc_id, score, n_tok, score // n_tok AS mean_wt,
+       |       (score // n_tok > 0) AS kept
+       |FROM s ORDER BY doc_id""".stripMargin
+
   // ---- fixed-window chunking with overlap ----------------------------------
 
   /** Context-window chunking: each document's token sequence is cut into
@@ -797,6 +838,7 @@ object TextAnalysis {
     "ta_pack" -> (pack _),
     "ta_chunks" -> (chunks _),
     "ta_mix" -> (mix _),
+    "ta_classify" -> (classify _),
     "ta_gopher" -> (gopher _),
     "ta_filter" -> (filterGate _),
     "ta_tfidf" -> (tfidf _),
@@ -816,6 +858,7 @@ object TextAnalysis {
     "ta_pack" -> packSql,
     "ta_chunks" -> chunksSql,
     "ta_mix" -> mixSql,
+    "ta_classify" -> classifySql,
     "ta_gopher" -> gopherSql,
     "ta_filter" -> filterGateSql,
     "ta_tfidf" -> tfidfSql,
