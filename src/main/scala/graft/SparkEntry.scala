@@ -29,7 +29,8 @@ object SparkEntry {
       ExtractOracle.queries ++
       graft.streaming.StreamingOps.queries ++
       Multimodal.queries ++
-      graft.sources.Formats.queries
+      graft.sources.Formats.queries ++
+      graft.sources.Warc.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (winnowing,
@@ -43,5 +44,6 @@ object SparkEntry {
       ExtractOracle.oracles ++
       graft.streaming.StreamingOps.oracles ++
       Multimodal.oracles ++
-      graft.sources.Formats.oracles
+      graft.sources.Formats.oracles ++
+      graft.sources.Warc.oracles
 }

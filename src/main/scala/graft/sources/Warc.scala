@@ -1,0 +1,168 @@
+package graft.sources
+
+import graft.Page
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC container support — the native wire format of Common-Crawl dumps
+  * (ISO 28500). The writer emits canonical WARC/1.0 `response` records
+  * (CRLF header block, `Content-Length` framing, double-CRLF record
+  * separator); the reader walks the framing — never a regex over payload
+  * bytes — so binary payloads (PDF, garbage-byte pages) pass through
+  * untouched. Record fidelity is total: `(url, warc_ts µs, payload bytes,
+  * lang)` survive a write→read loop bit-exactly (pinned by test, including
+  * the extraction-equivalence corollary: extracting WARC-read pages equals
+  * extracting the original Dataset).
+  *
+  * Scale shape: one `.warc` file per partition, written executor-side with
+  * no driver involvement; reads go through `binaryFile` rows → per-record
+  * flatMap. A single multi-GB WARC would land on one task under
+  * `binaryFile` (2 GB array bound) — at crawl scale you shard WARCs at
+  * write time (as Common Crawl itself does: ~1 GB segment files) or, for
+  * foreign archives, split on record offsets behind a DSv2 table; the
+  * framing walk below is already offset-restartable since records are
+  * self-delimiting.
+  */
+object Warc {
+
+  private val CRLF = "\r\n"
+  private val ISO = java.time.format.DateTimeFormatter.ISO_INSTANT
+
+  /** One canonical WARC/1.0 response record for a page. `warc_ts` is
+    * carried at full microsecond precision (WARC 1.1 allows fractional
+    * seconds); `lang` rides a documented extension header.
+    */
+  def record(p: Page): Array[Byte] = {
+    val payload = if (p.html == null) Array.empty[Byte] else p.html
+    val date = ISO.format(p.warc_ts.toInstant)
+    val sb = new StringBuilder
+    sb.append("WARC/1.0").append(CRLF)
+    sb.append("WARC-Type: response").append(CRLF)
+    sb.append("WARC-Target-URI: ").append(p.url).append(CRLF)
+    sb.append("WARC-Date: ").append(date).append(CRLF)
+    if (p.lang != null) sb.append("X-Graft-Lang: ").append(p.lang).append(CRLF)
+    sb.append("Content-Length: ").append(payload.length).append(CRLF)
+    sb.append(CRLF)
+    val head = sb.toString.getBytes("UTF-8")
+    val out = new Array[Byte](head.length + payload.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(payload, 0, out, head.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** Write pages as `nFiles` WARC files under `dir` (executor-side, one
+    * file per partition task — no driver collect). Partitioning is by
+    * url-hash so the layout is deterministic for any input partitioning.
+    */
+  def write(pages: Dataset[Page], dir: String, nFiles: Int): Unit = {
+    new java.io.File(dir).mkdirs()
+    pages
+      .repartition(nFiles, pmod(xxhash64(col("url")), lit(nFiles)))
+      .foreachPartition { (it: Iterator[Page]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.File(dir, f"part-$pid%05d.warc")
+        val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+        try it.foreach(p => os.write(record(p)))
+        finally os.close()
+      }
+  }
+
+  /** Parse one WARC file's bytes into pages by walking the record framing. */
+  def parse(bytes: Array[Byte]): Iterator[Page] = new Iterator[Page] {
+    private var pos = 0
+    private def headerEnd(from: Int): Int = {
+      var i = from
+      while (i + 3 < bytes.length &&
+        !(bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+          bytes(i + 2) == '\r' && bytes(i + 3) == '\n')) i += 1
+      if (i + 3 < bytes.length) i + 4 else -1
+    }
+    def hasNext: Boolean = pos + 4 < bytes.length
+    def next(): Page = {
+      val he = headerEnd(pos)
+      require(he > 0, s"unterminated WARC header block at offset $pos")
+      val head = new String(bytes, pos, he - pos, "UTF-8")
+      val lines = head.split("\r\n")
+      require(lines.head.startsWith("WARC/"), s"not a WARC record at offset $pos")
+      val hs = lines.tail.flatMap { l =>
+        val c = l.indexOf(':')
+        if (c > 0) Some(l.substring(0, c).trim -> l.substring(c + 1).trim) else None
+      }.toMap
+      val len = hs("Content-Length").toInt
+      val payload = java.util.Arrays.copyOfRange(bytes, he, he + len)
+      require(bytes(he + len) == '\r' && bytes(he + len + 1) == '\n' &&
+        bytes(he + len + 2) == '\r' && bytes(he + len + 3) == '\n',
+        s"missing record separator at offset ${he + len}")
+      pos = he + len + 4
+      Page(
+        hs("WARC-Target-URI"),
+        java.sql.Timestamp.from(java.time.Instant.from(ISO.parse(hs("WARC-Date")))),
+        payload,
+        null,
+        hs.getOrElse("X-Graft-Lang", null))
+    }
+  }
+
+  /** Read a WARC directory back into a typed page Dataset. */
+  def read(spark: SparkSession, dir: String): Dataset[Page] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.warc")
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(parse _)
+  }
+
+  // ---- driver-contract query (materialized-oracle pattern) -----------------
+
+  val WARC_DIR = s"${OracleCorpus.DIR}/warc"
+  val WARC_RECS = s"${OracleCorpus.DIR}/warc-records"
+  val WARC_PQ = s"read_parquet('$WARC_RECS/*.parquet')"
+  val N_WARC = 1500L
+
+  @volatile private var done = false
+
+  private def ensure(spark: SparkSession): Unit = synchronized {
+    if (done) return
+    val marker = new java.io.File(s"${OracleCorpus.DIR}/_WARC_READY")
+    val stamp = s"$N_WARC:${OracleCorpus.codeStamp()}"
+    if (!OracleCorpus.markerFresh(marker, stamp)) {
+      write(Corpus.pages(spark, N_WARC), WARC_DIR, 4)
+      perRecord(spark).write.mode("overwrite").parquet(WARC_RECS)
+      OracleCorpus.writeMarker(marker, stamp)
+    }
+    done = true
+  }
+
+  /** Per-record parse output: url, payload kind (sniffed), bytes, lang. */
+  private def perRecord(spark: SparkSession): DataFrame =
+    read(spark, WARC_DIR).toDF()
+      .select(col("url"), col("lang"),
+        graft.functions.exprs.sniffKind(col("html")).as("kind"),
+        length(col("html")).cast("long").as("n_bytes"))
+
+  /** WARC ingest rollup: the production read+parse path re-runs on the
+    * staged WARC files and aggregates per (kind, lang); DuckDB recomputes
+    * the tail over the materialized per-record parse (same pattern as the
+    * multimodal oracles — the container parse itself is not SQL-expressible).
+    */
+  def fmtWarc(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark)
+    perRecord(spark)
+      .groupBy("kind", "lang")
+      .agg(count(lit(1)).as("n"), sum("n_bytes").as("bytes"))
+      .orderBy("kind", "lang")
+  }
+
+  val fmtWarcSql: String =
+    s"""SELECT kind, lang, count(*) n, CAST(sum(n_bytes) AS BIGINT) bytes
+       |FROM $WARC_PQ GROUP BY kind, lang
+       |ORDER BY kind, lang NULLS FIRST""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_warc" -> (fmtWarc _))
+
+  def oracles: Map[String, String] = Map(
+    "fmt_warc" -> fmtWarcSql)
+}

@@ -161,4 +161,28 @@ class PageTableSpec extends AnyFunSuite {
     assert(totals.getLong(1) ==
       a.values.map(t => t.codePointCount(0, t.length).toLong).sum)
   }
+
+  test("WARC write-read round-trips pages bit-exactly; extraction is equivalent") {
+    import graft.sources.Warc
+    val n = 300L
+    val pages = Corpus.pages(spark, n)
+    val dir = Files.createTempDirectory("warc-rt").toString
+    Warc.write(pages, dir, 3)
+    def key(p: graft.Page): (String, String, String, String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val payload = if (p.html == null) Array.empty[Byte] else p.html
+      (p.url, p.warc_ts.toInstant.toString,
+        md.digest(payload).map(b => f"$b%02x").mkString, String.valueOf(p.lang))
+    }
+    val a = pages.collect().map(key).sortBy(_._1).toSeq
+    val b = Warc.read(spark, dir).collect().map(key).sortBy(_._1).toSeq
+    assert(a == b)
+    // extraction equivalence: the WARC-ingested corpus extracts to the
+    // exact same documents as the native Dataset
+    val e1 = graft.operators.Extract.extract(pages)
+      .collect().map(_.toString).sorted.toSeq
+    val e2 = graft.operators.Extract.extract(Warc.read(spark, dir))
+      .collect().map(_.toString).sorted.toSeq
+    assert(e1 == e2 && e1.size == n)
+  }
 }
