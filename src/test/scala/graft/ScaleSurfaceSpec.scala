@@ -194,4 +194,57 @@ class ScaleSurfaceSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** AQE skew-join: the runtime complement to the salt-folded join
+    * (ex_skewjoin). A Zipf-hot key would pin one reducer in a shuffled
+    * join; with skew-join enabled AQE splits the oversized partition into
+    * sub-partitions at runtime (the dimension side is replicated per
+    * split). Thresholds are shrunk so the local corpus trips the same code
+    * path a 100 TB job relies on; the final adaptive plan must carry the
+    * skew=true marker and the result must equal the non-AQE join.
+    */
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    // key 0 carries 150k rows; 100 other keys carry ~200 each
+    s.range(170000)
+      .selectExpr("CASE WHEN id < 150000 THEN 0 ELSE id % 100 + 1 END AS k",
+        "repeat('x', 64) AS pad", "id AS v")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    s.range(200000, 240000)
+      .selectExpr("CASE WHEN id < 230000 THEN 0 ELSE id % 100 + 1 END AS k", "id AS w")
+      .write.mode("overwrite").parquet(s"$dir/probe")
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "200k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // both SMJ sides must be bare shuffle stages for AQE to split/duplicate
+      // partitions (an agg between shuffle and join blocks the rewrite), and
+      // the downstream agg must be global (a groupBy(k) would re-require the
+      // join's hashpartitioning and AQE declines rather than add a shuffle)
+      s.read.parquet(s"$dir/probe").groupBy("k").count()
+        .write.mode("overwrite").parquet(s"$dir/probe_cnt")
+      def agg() = s.read.parquet(s"$dir/fact")
+        .join(s.read.parquet(s"$dir/probe_cnt"), "k")
+        .agg(sum(expr("v * count")).as("sv"), count(lit(1)).as("n"))
+      val df = agg()
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a runtime skew-split join in the adaptive plan:\n$plan")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val base = agg().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == base && rows.nonEmpty)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
 }
