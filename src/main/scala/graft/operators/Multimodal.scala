@@ -97,10 +97,12 @@ object Multimodal {
     bb.array()
   }
 
-  /** REAL audio decode via the JDK's WAV reader: returns (sampleRate,
-    * channels, nSamples, sumAbs, peak) — integer-exact signal statistics.
+  /** Decoded PCM of a WAV payload via the JDK reader, with the byte order
+    * the format declares — the ONE place stream-decode boilerplate lives
+    * (wavDecode and the audio feature branch both call it; endianness can't
+    * drift between them).
     */
-  def wavDecode(payload: Array[Byte]): (Int, Int, Int, Long, Int) = {
+  def wavPcm(payload: Array[Byte]): (javax.sound.sampled.AudioFormat, java.nio.ByteBuffer) = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     val fmt = ais.getFormat
@@ -109,7 +111,15 @@ object Multimodal {
     val bb = java.nio.ByteBuffer.wrap(data).order(
       if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
       else java.nio.ByteOrder.LITTLE_ENDIAN)
-    val ns = data.length / 2
+    (fmt, bb)
+  }
+
+  /** REAL audio decode via the JDK's WAV reader: returns (sampleRate,
+    * channels, nSamples, sumAbs, peak) — integer-exact signal statistics.
+    */
+  def wavDecode(payload: Array[Byte]): (Int, Int, Int, Long, Int) = {
+    val (fmt, bb) = wavPcm(payload)
+    val ns = bb.capacity() / 2
     var i = 0
     var sumAbs = 0L
     var peak = 0
@@ -215,12 +225,8 @@ object Multimodal {
         } else if (r.kind == "audio") {
           // REAL feature: mean |amplitude| over 8 time buckets of the
           // decoded PCM (the audio analog of the luminance profile)
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.payload))
-          val data = ais.readAllBytes(); ais.close()
-          val bb = java.nio.ByteBuffer.wrap(data)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val ns = data.length / 2
+          val (_, bb) = wavPcm(r.payload)
+          val ns = bb.capacity() / 2
           val acc = new Array[Long](8)
           val cnt = new Array[Long](8)
           var i = 0

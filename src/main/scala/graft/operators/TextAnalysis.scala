@@ -769,7 +769,7 @@ object TextAnalysis {
           (acc, x) => acc + (conv(substring(md5(x), 1, 4), 16, 10).cast("long") - 32768))
           .as("score"),
         size(col("tok")).cast("long").as("n_tok"))
-      .withColumn("mean_wt", expr("score div n_tok"))
+      .withColumn("mean_wt", expr("score div greatest(n_tok, 1)"))
       .select(col("doc_id"), col("score"), col("n_tok"), col("mean_wt"),
         (col("mean_wt") > 0).as("kept"))
       .orderBy("doc_id")
@@ -779,12 +779,12 @@ object TextAnalysis {
        |  SELECT doc_id, ${Toks.SQL_TOKENS} tok FROM documents),
        |s AS (
        |  SELECT doc_id,
-       |         CAST(list_sum(list_transform(tok,
-       |           x -> CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT) - 32768)) AS BIGINT) score,
+       |         CAST(coalesce(list_sum(list_transform(tok,
+       |           x -> CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT) - 32768)), 0) AS BIGINT) score,
        |         CAST(len(tok) AS BIGINT) n_tok
        |  FROM t)
-       |SELECT doc_id, score, n_tok, score // n_tok AS mean_wt,
-       |       (score // n_tok > 0) AS kept
+       |SELECT doc_id, score, n_tok, score // greatest(n_tok, 1) AS mean_wt,
+       |       (score // greatest(n_tok, 1) > 0) AS kept
        |FROM s ORDER BY doc_id""".stripMargin
 
   // ---- fixed-window chunking with overlap ----------------------------------

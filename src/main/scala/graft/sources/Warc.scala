@@ -33,6 +33,13 @@ object Warc {
     * seconds); `lang` rides a documented extension header.
     */
   def record(p: Page): Array[Byte] = {
+    // header values are interpolated into the CRLF-framed header block; a
+    // control character would terminate the block early and mis-frame the
+    // payload — fail loudly instead of corrupting the archive
+    require(p.url != null && !p.url.exists(c => c == '\r' || c == '\n'),
+      s"CR/LF in WARC-Target-URI: ${p.url}")
+    require(p.lang == null || !p.lang.exists(c => c == '\r' || c == '\n'),
+      s"CR/LF in lang for ${p.url}")
     val payload = if (p.html == null) Array.empty[Byte] else p.html
     val date = ISO.format(p.warc_ts.toInstant)
     val sb = new StringBuilder
@@ -57,7 +64,12 @@ object Warc {
     * url-hash so the layout is deterministic for any input partitioning.
     */
   def write(pages: Dataset[Page], dir: String, nFiles: Int): Unit = {
-    new java.io.File(dir).mkdirs()
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    // overwrite semantics like every other sink: stale part files from a
+    // previous (wider or partial) run must not survive into read()'s glob
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".warc")).foreach(_.delete())
     pages
       .repartition(nFiles, pmod(xxhash64(col("url")), lit(nFiles)))
       .foreachPartition { (it: Iterator[Page]) =>
@@ -91,6 +103,10 @@ object Warc {
         if (c > 0) Some(l.substring(0, c).trim -> l.substring(c + 1).trim) else None
       }.toMap
       val len = hs("Content-Length").toInt
+      // bounds BEFORE the copy: copyOfRange zero-pads past the end, which
+      // would fabricate payload bytes for a truncated archive
+      require(he + len + 4 <= bytes.length,
+        s"truncated WARC record at offset $pos (need ${he + len + 4} of ${bytes.length} bytes)")
       val payload = java.util.Arrays.copyOfRange(bytes, he, he + len)
       require(bytes(he + len) == '\r' && bytes(he + len + 1) == '\n' &&
         bytes(he + len + 2) == '\r' && bytes(he + len + 3) == '\n',
