@@ -1486,6 +1486,134 @@ object Relational {
       |WHERE qty_c > coalesce(mlt, CAST(-1 AS BIGINT)) AND qty_c = meq
       |ORDER BY g, price_c, qty_c""".stripMargin
 
+  // ---- typed cogroup (two-stream per-key merge) -----------------------------
+
+  /** Typed `cogroup` coverage: per user, the view stream and the purchase
+    * stream meet in one function call — purchases strictly after the user's
+    * FIRST view are counted by a sequential scan over the two group
+    * iterators (the API for per-key merge logic SQL can't express row-by-
+    * row). The DuckDB oracle is the relational formulation (first-view agg
+    * + conditional join), so agreement proves the typed path computes the
+    * same answer as the declarative one.
+    *
+    * Scale shape: cogroup shuffles each side ONCE on the key and streams
+    * both iterators per group — no materialized join product; memory is
+    * bounded by the larger single group, not the corpus.
+    */
+  def qCogroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, sfDir, "events")
+    def side(kind: String) = ev.filter(col("event_type") === kind)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    val tsOrd = Ordering.fromLessThan[java.sql.Timestamp]((a, b) => a.before(b))
+    side("view").groupByKey(_._1)
+      .cogroup(side("purchase").groupByKey(_._1)) { (uid, vs, ps) =>
+        val views = vs.map(_._2).toArray
+        if (views.isEmpty) Iterator.empty
+        else {
+          val vt = views.min(tsOrd)
+          Iterator((uid, ps.count(_._2.after(vt)).toLong))
+        }
+      }
+      .toDF("user_id", "n_after")
+      .orderBy("user_id")
+  }
+
+  val qCogroupSql: String =
+    """WITH v AS (SELECT user_id, min(ts) vt FROM events WHERE event_type='view' GROUP BY user_id),
+      |p AS (SELECT e.user_id, CAST(count(*) AS BIGINT) np
+      |      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.vt
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT v.user_id, CAST(coalesce(p.np, 0) AS BIGINT) n_after
+      |FROM v LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  // ---- CDC changelog apply (the upsert half of q_cdc) -----------------------
+
+  /** MERGE-shaped changelog apply: a deterministic changelog (updates on
+    * k%7=0, deletes on k%11=3, 50 fresh inserts) is applied to the part
+    * snapshot in ONE full-outer join — coalesce picks the surviving value,
+    * delete rows drop. This is the recompute-avoidance APPLY complementing
+    * q_cdc's DIFF: together they form the daily incremental-maintenance
+    * loop (diff yesterday→today, apply to the serving copy). One key
+    * shuffle; zero with bucketed tables (O5).
+    */
+  def qApplyCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val snap = t(spark, sfDir, "part")
+      .select(col("p_partkey").as("k"),
+        (col("p_retailprice").cast("decimal(12,2)") * 100).cast("long").as("price_c"))
+    val m = snap.agg(max("k")).head.getLong(0) // scalar key horizon for inserts
+    val chg = snap.filter(col("k") % 7 === 0)
+      .select(col("k"), lit("U").as("op"), (col("price_c") + 500).as("new_price"))
+      .unionByName(snap.filter(col("k") % 7 =!= 0 && col("k") % 11 === 3)
+        .select(col("k"), lit("D").as("op"), lit(null).cast("long").as("new_price")))
+      .unionByName(spark.range(1, 51)
+        .select((lit(m) + col("id")).as("k"), lit("I").as("op"),
+          (lit(100000L) + col("id") * 7).as("new_price")))
+    snap.join(chg, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("op") === "D", lit(null).cast("long"))
+          .when(col("op").isNull, col("price_c"))
+          .otherwise(col("new_price")).as("price_c"),
+        coalesce(col("op"), lit("kept")).as("src"))
+      .filter(col("price_c").isNotNull)
+      .orderBy("k")
+  }
+
+  val qApplyCdcSql: String =
+    """WITH snap AS (
+      |  SELECT p_partkey k, CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) price_c
+      |  FROM part),
+      |mx AS (SELECT max(k) m FROM snap),
+      |chg AS (
+      |  SELECT k, 'U' op, price_c + 500 new_price FROM snap WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT k, 'D', NULL FROM snap WHERE k % 7 <> 0 AND k % 11 = 3
+      |  UNION ALL
+      |  SELECT (SELECT m FROM mx) + i, 'I', 100000 + 7 * i
+      |  FROM (SELECT unnest(generate_series(1, 50)) i)),
+      |app AS (
+      |  SELECT coalesce(s.k, c.k) k,
+      |         CASE WHEN c.op = 'D' THEN NULL
+      |              WHEN c.op IS NULL THEN s.price_c
+      |              ELSE c.new_price END price_c,
+      |         CASE WHEN c.op IS NULL THEN 'kept' ELSE c.op END src
+      |  FROM snap s FULL OUTER JOIN chg c ON s.k = c.k)
+      |SELECT k, price_c, src FROM app WHERE price_c IS NOT NULL ORDER BY k""".stripMargin
+
+  // ---- equi-depth histogram (rank-based bucketing) --------------------------
+
+  /** Equi-depth complement to q_histogram's fixed-width buckets: ntile(8)
+    * over a TOTAL order (price, orderkey, linenumber — ties broken so both
+    * engines assign identical tiles) gives per-group buckets of equal row
+    * count with their exact value ranges — the distribution profile that
+    * sizes range partitions before a big sort/join.
+    */
+  def qEqdepth(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("g").orderBy("price_c", "ok", "ln")
+    t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("price_c"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+      .withColumn("tile", ntile(8).over(w).cast("long"))
+      .groupBy("g", "tile")
+      .agg(count(lit(1)).as("n"), min("price_c").as("lo"), max("price_c").as("hi"))
+      .orderBy("g", "tile")
+  }
+
+  val qEqdepthSql: String =
+    """WITH p AS (
+      |  SELECT l_returnflag g,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) price_c,
+      |         l_orderkey ok, l_linenumber ln
+      |  FROM lineitem),
+      |t AS (SELECT g, price_c,
+      |        CAST(ntile(8) OVER (PARTITION BY g ORDER BY price_c, ok, ln) AS BIGINT) tile
+      |      FROM p)
+      |SELECT g, tile, CAST(count(*) AS BIGINT) n, min(price_c) lo, max(price_c) hi
+      |FROM t GROUP BY g, tile ORDER BY g, tile""".stripMargin
+
   // ---- try_* fault-tolerance semantics ---------------------------------------
 
   /** ANSI-mode fault tolerance: Spark 4 runs ANSI SQL by default, where a
@@ -1604,6 +1732,9 @@ object Relational {
     "q_skyline" -> (qSkyline _),
     "q_xml" -> (qXml _),
     "q_try" -> (qTry _),
+    "q_cogroup" -> (qCogroup _),
+    "q_apply_cdc" -> (qApplyCdc _),
+    "q_eqdepth" -> (qEqdepth _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
@@ -1660,6 +1791,9 @@ object Relational {
     "q_skyline" -> qSkylineSql,
     "q_xml" -> qXmlSql,
     "q_try" -> qTrySql,
+    "q_cogroup" -> qCogroupSql,
+    "q_apply_cdc" -> qApplyCdcSql,
+    "q_eqdepth" -> qEqdepthSql,
     "q_funnel" -> qFunnelSql,
     "q_retention" -> qRetentionSql,
     "q_scd2" -> qScd2Sql,
