@@ -654,10 +654,11 @@ object TextAnalysis {
     * Scale shape: ONE exchange on source serves both the running-sum window
     * and the final groupBy (same partitioning, exchange reuse — the
     * sessionize pattern). The prefix sum is inherently sequential per
-    * source; at 100 TB with few huge sources you'd sub-partition sources
-    * into fixed doc_id ranges first (two-level prefix sum: per-range local
-    * cumsum + broadcast range offsets) — same algebra, documented here
-    * because a per-source window alone would put one source on one task.
+    * source; at 100 TB with few huge sources a per-source window alone
+    * would put one source on one task — [[packScalable]] implements the
+    * two-level prefix sum (per-range local cumsum + broadcast range
+    * offsets) that removes the bottleneck, equivalence-tested against this
+    * formulation.
     */
   private val PACK_BUDGET = 256L
 
@@ -698,6 +699,44 @@ object TextAnalysis {
        |       min(doc_id) first_doc, max(doc_id) last_doc,
        |       (1000 * CAST(sum(n_tok) AS BIGINT)) // $PACK_BUDGET AS fill_x1000
        |FROM s GROUP BY source, shard ORDER BY source, shard""".stripMargin
+
+  /** Scale variant of [[pack]]: the TWO-LEVEL prefix sum the pack docstring
+    * promises for giant sources, implemented. Docs are cut into fixed
+    * doc_id ranges; the within-range running sum is a (source, range)
+    * window — many parallel tasks per source instead of one — and the
+    * cross-range offsets come from a per-range total table (cardinality =
+    * sources × ranges, partial-agg'd) prefix-summed over the tiny range
+    * axis and broadcast back. Bit-identical to [[pack]] at any rangeWidth
+    * and input partitioning (equivalence pinned by test); registered as
+    * `ta_pack2` against the SAME oracle SQL.
+    */
+  def packScalable(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rangeWidth = 50L
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(Toks.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("rb", expr(s"doc_id div $rangeWidth"))
+    val wLocal = Window.partitionBy("source", "rb").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy("source").orderBy("rb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("source", "rb").agg(sum("n_tok").as("bsum"))
+      .withColumn("off", coalesce(sum("bsum").over(wPrev), lit(0L)))
+      .select(col("source"), col("rb"), col("off"))
+    d.withColumn("lcum", sum("n_tok").over(wLocal))
+      .join(broadcast(offsets), Seq("source", "rb"))
+      .withColumn("cum", col("lcum") + col("off"))
+      .withColumn("shard", expr(s"(cum - n_tok) div $PACK_BUDGET"))
+      .groupBy("source", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tok_sum"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .withColumn("fill_x1000", expr(s"(1000 * tok_sum) div $PACK_BUDGET"))
+      .orderBy("source", "shard")
+  }
 
   // ---- mixture allocation (largest-remainder token budget) -----------------
 
@@ -836,6 +875,7 @@ object TextAnalysis {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_pii" -> (pii _),
     "ta_pack" -> (pack _),
+    "ta_pack2" -> (packScalable _),
     "ta_chunks" -> (chunks _),
     "ta_mix" -> (mix _),
     "ta_classify" -> (classify _),
@@ -856,6 +896,7 @@ object TextAnalysis {
   def oracles: Map[String, String] = Map(
     "ta_pii" -> piiSql,
     "ta_pack" -> packSql,
+    "ta_pack2" -> packSql,
     "ta_chunks" -> chunksSql,
     "ta_mix" -> mixSql,
     "ta_classify" -> classifySql,

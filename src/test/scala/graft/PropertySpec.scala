@@ -135,4 +135,41 @@ class PropertySpec extends AnyFunSuite {
       custom.zip(window).foreach { case (a, b) => assert(a == b, s"trial=$trial k=$k") }
     }
   }
+
+  test("WARC record framing round-trips arbitrary payload bytes; truncation fails cleanly") {
+    import graft.sources.Warc
+    val rnd = new scala.util.Random(4242)
+    val pages = (0 until 60).map { i =>
+      val payload = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(payload) // arbitrary bytes incl. CRLFCRLF sequences
+      graft.Page(
+        s"https://ex$i.example.org/p$i",
+        new java.sql.Timestamp(1700000000000L + i * 1337L),
+        payload,
+        null,
+        if (i % 5 == 0) null else s"l${i % 7}")
+    }
+    val bytes = pages.flatMap(p => Warc.record(p).toSeq).toArray
+    val back = Warc.parse(bytes).toSeq
+    assert(back.size == pages.size)
+    pages.zip(back).foreach { case (a, b) =>
+      assert(a.url == b.url && a.warc_ts == b.warc_ts && a.lang == b.lang)
+      assert(java.util.Arrays.equals(a.html, b.html), a.url)
+    }
+    // every truncation point fails with the framing require, never
+    // zero-padded payloads or a raw ArrayIndexOutOfBoundsException
+    Seq(1, 2, 3, 5, 17, 101).foreach { cut =>
+      val trunc = bytes.dropRight(cut)
+      val r = try { Warc.parse(trunc).toSeq; "ok" }
+      catch {
+        case _: IllegalArgumentException => "framing"
+        case e: Throwable                => e.getClass.getSimpleName
+      }
+      assert(r == "framing", s"cut=$cut -> $r")
+    }
+    // CRLF in a header value must be rejected at write time
+    intercept[IllegalArgumentException] {
+      Warc.record(pages.head.copy(url = "https://x/\r\nWARC-Type: evil"))
+    }
+  }
 }

@@ -418,4 +418,12 @@ class TrainingOpsSpec extends AnyFunSuite {
     val r01 = TextAnalysis.filterGate(spark, "/root/testdata/sf0.01").collect()
     assert(r01.exists(_.getBoolean(4)) && r01.exists(!_.getBoolean(4)))
   }
+
+  test("two-level prefix-sum packing equals the single-window formulation") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+      val a = TextAnalysis.pack(spark, sf).collect().map(_.toString).toSeq
+      val b = TextAnalysis.packScalable(spark, sf).collect().map(_.toString).toSeq
+      assert(a == b && a.nonEmpty, sf)
+    }
+  }
 }
