@@ -17,12 +17,17 @@ import org.apache.spark.sql.functions._
   * byte choices). The `audio` kind is likewise REAL — canonical RIFF/WAVE
   * files with 16-bit mono PCM, decoded with the JDK's own
   * `javax.sound.sampled` reader (PCM is uncompressed, so decoded samples
-  * are a pure function of the integer waveform generator). The
-  * `image`/`video` kinds remain header-stub payloads
-  * (`[magic|width|height|nframes]` + md5-derived body — no image-container
-  * /video codec beyond PNG/WAV exists in the JDK). Spark-side contracts —
-  * schema, binary encoding, partition-local batching, explode of per-frame
-  * rows, determinism under repartition — are real and tested for all kinds.
+  * are a pure function of the integer waveform generator). The `video`
+  * kind is REAL too — multi-frame GIF89a (the JDK's one multi-frame image
+  * format), grayscale so every frame fits one palette and decode is
+  * lossless; frame sampling and temporal features decode actual frames.
+  * Only the `image` kind remains a header-stub payload
+  * (`[magic|width|height|nframes]` + md5-derived body), kept deliberately
+  * as the pattern for formats whose codecs don't ship in the JDK (JPEG is
+  * present but lossy — decoded pixels would depend on encoder version).
+  * Spark-side contracts — schema, binary encoding, partition-local
+  * batching, explode of per-frame rows, determinism under repartition —
+  * are real and tested for all kinds.
   *
   * MediaMeta field mapping for audio: width = sample rate (Hz), height =
   * channel count, nframes = sample count, n_bytes = PCM payload bytes.
@@ -57,6 +62,53 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** The deterministic 8-bit gray value of pixel (x, y) in frame f of
+    * video `id`. Grayscale keeps every frame inside one 256-entry GIF
+    * palette, so the GIF encode→decode loop is LOSSLESS and decoded pixels
+    * are a pure function of this generator.
+    */
+  def gifPixel(seed: Long, id: Long, f: Int, x: Int, y: Int): Int =
+    (Rng.draw(seed, 19L + x * 131L + y + f * 7919L, id) & 0xff).toInt
+
+  /** Real multi-frame GIF89a bytes (JDK ImageIO sequence writer) — the
+    * `video` kind's actual container format.
+    */
+  def gifBytes(seed: Long, id: Long, w: Int, h: Int, nf: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0, gifPixel(seed, id, f, x, y)); x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL video decode: a GIF frame reader over the payload. Returns the
+    * reader plus frame count; callers read frames by index.
+    */
+  def gifReader(payload: Array[Byte]): (javax.imageio.ImageReader, Int) = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload)))
+    (reader, reader.getNumImages(true))
   }
 
   /** Deterministic 16-bit mono PCM samples for audio `id` — a two-square-
@@ -141,12 +193,15 @@ object Multimodal {
       return MediaRow(id, kind, pngBytes(seed, id, w, h))
     }
     if (kind == "audio") return MediaRow(id, kind, wavBytes(seed, id))
+    if (kind == "video") {
+      val w = 16 + Rng.nextInt(seed, 12L, id, 32)
+      val h = 16 + Rng.nextInt(seed, 13L, id, 32)
+      val nf = 3 + Rng.nextInt(seed, 14L, id, 7)
+      return MediaRow(id, kind, gifBytes(seed, id, w, h, nf))
+    }
     val w = 16 + Rng.nextInt(seed, 12L, id, 4080)
     val h = 16 + Rng.nextInt(seed, 13L, id, 2144)
-    val nf = kind match {
-      case "image" => 1
-      case _       => 8 + Rng.nextInt(seed, 14L, id, 240)
-    }
+    val nf = 1 // only the stub "image" kind reaches here
     val bodyLen = 64 + Rng.nextInt(seed, 15L, id, 448)
     val bb = java.nio.ByteBuffer.allocate(16 + bodyLen)
     bb.putInt(MAGIC).putInt(w).putInt(h).putInt(nf)
@@ -181,6 +236,13 @@ object Multimodal {
           // REAL decode: the JDK WAV reader parses the RIFF container.
           val (rate, ch, ns, _, _) = wavDecode(r.payload)
           MediaMeta(r.media_id, r.kind, rate, ch, ns, ns * 2)
+        } else if (r.kind == "video") {
+          // REAL decode: the JDK GIF reader parses the container; n_bytes
+          // is the decoded content size (w*h*frames), never encoder bytes
+          val (reader, nf) = gifReader(r.payload)
+          val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+          reader.dispose()
+          MediaMeta(r.media_id, r.kind, w, h, nf, w * h * nf)
         } else {
           val bb = java.nio.ByteBuffer.wrap(r.payload)
           val magic = bb.getInt()
@@ -222,6 +284,29 @@ object Multimodal {
           }
           (r.media_id,
             acc.indices.map(b => acc(b).toFloat / (cnt(b) * 765).toFloat).toSeq)
+        } else if (r.kind == "video") {
+          // REAL feature: mean gray over 8 temporal buckets of decoded
+          // frames (the per-frame brightness profile)
+          val (reader, nf) = gifReader(r.payload)
+          val acc = new Array[Long](8)
+          val cnt = new Array[Long](8)
+          var f = 0
+          while (f < nf) {
+            val img = reader.read(f)
+            val b = f * 8 / nf
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                acc(b) += img.getRaster.getSample(x, y, 0); cnt(b) += 1; x += 1
+              }
+              y += 1
+            }
+            f += 1
+          }
+          reader.dispose()
+          (r.media_id,
+            acc.indices.map(b => acc(b).toFloat / (math.max(cnt(b), 1L) * 255f)).toSeq)
         } else if (r.kind == "audio") {
           // REAL feature: mean |amplitude| over 8 time buckets of the
           // decoded PCM (the audio analog of the luminance profile)
@@ -251,21 +336,32 @@ object Multimodal {
     }.toDF("media_id", "feature")
   }
 
-  /** Frame sampling for video payloads: first / middle / last frame indices,
-    * one output row per sampled frame (the explode shape). Frame "content"
-    * is a deterministic fingerprint of (payload, frame_idx) — STUB for a real
-    * frame decoder.
+  /** Frame sampling for video payloads: first / middle / last frames are
+    * REALLY DECODED from the GIF container (frame-indexed reads — no full-
+    * clip materialization), one output row per sampled frame (the explode
+    * shape). The fingerprint hashes the decoded gray raster, so it is a
+    * pure function of the frame generator, not of encoder byte choices.
     */
   def sampleFrames(rows: Dataset[MediaRow]): Dataset[FrameRow] = {
     import rows.sparkSession.implicits._
     rows.filter(_.kind == "video").flatMap { r =>
-      val nf = java.nio.ByteBuffer.wrap(r.payload, 12, 4).getInt()
+      val (reader, nf) = gifReader(r.payload)
       val idxs = Seq(0, nf / 2, nf - 1).distinct
-      val base = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
-      idxs.map { fi =>
-        val fp = (base(fi % 16) & 0xff) * 256 + (base((fi + 1) % 16) & 0xff)
-        FrameRow(r.media_id, fi, f"$fp%04x")
+      val out = idxs.map { fi =>
+        val img = reader.read(fi)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = img.getRaster.getSample(x, y, 0).toByte; x += 1 }
+          y += 1
+        }
+        val d = java.security.MessageDigest.getInstance("MD5").digest(px)
+        FrameRow(r.media_id, fi, f"${(d(0) & 0xff) * 256 + (d(1) & 0xff)}%04x")
       }
+      reader.dispose()
+      out
     }
   }
 

@@ -281,6 +281,10 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(meta.filter(_.kind != "audio")
       .forall(x => x.width >= 16 && x.height >= 16 && x.n_bytes >= 64))
     assert(meta.filter(_.kind == "image").forall(_.nframes == 1))
+    // video is real GIF: nframes from the decoded container, content size
+    assert(meta.filter(_.kind == "video")
+      .forall(x => x.nframes >= 3 && x.nframes <= 9 &&
+        x.n_bytes == x.width * x.height * x.nframes))
     // audio is real WAV: width = sample rate, height = channels,
     // nframes = decoded sample count
     assert(meta.filter(_.kind == "audio")
@@ -350,6 +354,31 @@ class TrainingOpsSpec extends AnyFunSuite {
     val m = Multimodal.media(spark, 100)
     val a = Multimodal.wavStats(m).collect().map(_.toString).sorted.toSeq
     val b = Multimodal.wavStats(m.repartition(7)).collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("video payloads are real GIFs: JDK decode recovers every frame's pixels") {
+    val vidIds = (0L until 200L)
+      .filter(id => Multimodal.mediaRow(7L, id).kind == "video")
+    assert(vidIds.size > 20, s"video kind underrepresented: ${vidIds.size}")
+    vidIds.take(4).foreach { id =>
+      val row = Multimodal.mediaRow(7L, id)
+      assert(new String(row.payload, 0, 6, "US-ASCII") == "GIF89a")
+      val (reader, nf) = Multimodal.gifReader(row.payload)
+      assert(nf >= 3 && nf <= 9)
+      (0 until nf).foreach { f =>
+        val img = reader.read(f)
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+          assert(img.getRaster.getSample(x, y, 0) ==
+            Multimodal.gifPixel(7L, id, f, x, y), s"clip $id frame $f pixel ($x,$y)")
+      }
+      reader.dispose()
+    }
+    // sampled-frame fingerprints are deterministic under repartition
+    import spark.implicits._
+    val m = Multimodal.media(spark, 100)
+    val a = Multimodal.sampleFrames(m).collect().map(_.toString).sorted.toSeq
+    val b = Multimodal.sampleFrames(m.repartition(7)).collect().map(_.toString).sorted.toSeq
     assert(a == b && a.nonEmpty)
   }
 
