@@ -490,7 +490,59 @@ object Dedup {
 
   // ---- contract surface --------------------------------------------------
 
+  // ---- incremental dedup (new batch vs historical fingerprints) ------------
+
+  /** The daily-ingest dedup shape: yesterday's corpus is already deduped
+    * and summarized as a FINGERPRINT table; only the new batch is checked —
+    * against history (left join on fp) and within itself (first-occurrence
+    * window per fp) — so the daily cost scales with the batch, never the
+    * accumulated corpus. Recrawled copies are planted deterministically
+    * (doc_id % 50 = 0 re-arrives as doc_id + 10000 with identical text) to
+    * exercise both dup paths.
+    *
+    * Scale shape: history is a distinct-fp table (bucketed/sorted at rest
+    * in production → the probe join is shuffle-free with O5 layouts; here
+    * one fp shuffle); the in-batch window rides the same fp partitioning
+    * as the join — one exchange for the batch side.
+    */
+  def incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hist = docs.filter(col("doc_id") < 400)
+      .select(md5(col("text")).as("fp")).distinct()
+      .withColumn("seen", lit(true))
+    val batch = docs.filter(col("doc_id") >= 400)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), md5(col("text")).as("fp")))
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    batch.join(hist, Seq("fp"), "left")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("seen"), lit(false)).as("dup_of_history"),
+        (col("rn") > 1).as("dup_in_batch"),
+        (coalesce(col("seen"), lit(false)) === false && col("rn") === 1).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val incrementalSql: String =
+    """WITH hist AS (
+      |  SELECT DISTINCT md5(text) fp FROM documents WHERE doc_id < 400),
+      |batch AS (
+      |  SELECT doc_id, md5(text) fp FROM documents WHERE doc_id >= 400
+      |  UNION ALL
+      |  SELECT doc_id + 10000, md5(text) FROM documents WHERE doc_id % 50 = 0),
+      |keep AS (
+      |  SELECT b.doc_id, b.fp,
+      |         row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) rn,
+      |         (h.fp IS NOT NULL) seen
+      |  FROM batch b LEFT JOIN hist h ON b.fp = h.fp)
+      |SELECT doc_id, fp, seen AS dup_of_history, (rn > 1) AS dup_in_batch,
+      |       (NOT seen AND rn = 1) AS kept
+      |FROM keep ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_incr" -> (incremental _),
     "dd_lines" -> (lineDedup _),
     "dd_fuzzy" -> (fuzzy _),
     "dd_exact" -> (exact _),
@@ -502,6 +554,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "dd_incr" -> incrementalSql,
     "dd_lines" -> lineDedupSql,
     "dd_fuzzy" -> fuzzySql,
     "dd_exact" -> exactSql,
