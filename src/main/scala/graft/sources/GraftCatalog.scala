@@ -4,8 +4,11 @@ import graft.Model
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -126,6 +129,61 @@ object PagesTable {
   val FULL: StructType = Model.PAGES.add("bucket", "int").add("day", "string")
 }
 
+/** One input split per storage bucket, keyed for Spark's storage-partitioned
+  * join: `partitionKey` is the bucket value, so two pages tables with the
+  * same bucket count join with ZERO exchange (each task reads matching
+  * bucket directories from both sides).
+  */
+case class BucketInputPartition(key: InternalRow, filePart: FilePartition)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = filePart.preferredLocations
+}
+
+/** Storage-partitioned-join scan over the bucket/day layout: the delegate
+  * parquet scan's file splits are regrouped into ONE input partition per
+  * bucket (carrying the bucket as its partition key) and the scan reports
+  * `KeyGroupedPartitioning(identity(bucket))` — with
+  * `spark.sql.sources.v2.bucketing.enabled`, a bucket-keyed join of two
+  * such scans plans with no Exchange on either side (pinned by test). This
+  * is the DSv2 answer to Hive bucketing: layout cost paid once at write,
+  * every co-keyed join free thereafter.
+  */
+class BucketedPagesScan(delegate: Scan) extends Scan with SupportsReportPartitioning {
+  override def readSchema(): StructType = delegate.readSchema()
+  override def description(): String = s"bucketed(${delegate.description()})"
+
+  private lazy val delegateBatch: Batch = delegate.toBatch
+  private lazy val planned: Array[InputPartition] = {
+    val files = delegateBatch.planInputPartitions()
+      .flatMap(_.asInstanceOf[FilePartition].files)
+    // partition schema is (bucket INT, day STRING): group splits per bucket
+    files.groupBy(_.partitionValues.getInt(0)).toArray.sortBy(_._1)
+      .zipWithIndex.map { case ((b, fs), i) =>
+        BucketInputPartition(InternalRow(b), FilePartition(i, fs))
+      }
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = planned
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val inner = delegateBatch.createReaderFactory()
+      new PartitionReaderFactory {
+        private def unwrap(p: InputPartition) =
+          p.asInstanceOf[BucketInputPartition].filePart
+        override def createReader(p: InputPartition) = inner.createReader(unwrap(p))
+        override def createColumnarReader(p: InputPartition) =
+          inner.createColumnarReader(unwrap(p))
+        override def supportColumnarReads(p: InputPartition) =
+          inner.supportColumnarReads(unwrap(p))
+      }
+    }
+  }
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), planned.length)
+}
+
 /** One pages table: `SupportsRead` via the built-in v2 Parquet scan over the
   * partitioned layout, `SupportsWrite` via a V1 fallback write that computes
   * `bucket`/`day` from `url`/`warc_ts` when the incoming frame carries only
@@ -168,8 +226,17 @@ class PagesTable(tableName: String, dir: String,
       // the same code path by pointing at the (existing, empty) table dir
       new java.io.File(dataDir).mkdirs()
     }
-    ParquetTable(tableName, spark, options, Seq(dataDir),
+    val delegate = ParquetTable(tableName, spark, options, Seq(dataDir),
       Some(PagesTable.FULL), classOf[ParquetFileFormat]).newScanBuilder(options)
+    if (!options.getBoolean("bucketedScan", false)) delegate
+    else new ScanBuilder {
+      // opt-in storage-partitioned-join scan (see BucketedPagesScan). The
+      // bare wrapper intentionally exposes no pushdown traits: the SPJ use
+      // case is a co-located full-bucket join, where partition grouping —
+      // not filter pushdown — is the lever. The default path above keeps
+      // the full pushdown/pruning surface (pinned by PageTableSpec).
+      override def build(): Scan = new BucketedPagesScan(delegate.build())
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -185,4 +185,40 @@ class PageTableSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(e1 == e2 && e1.size == n)
   }
+
+  test("storage-partitioned join: bucket-keyed catalog join plans with zero exchange") {
+    val wh = s"$tmp/warehouse-spj"
+    PageTable.write(Corpus.pages(spark, 400), s"$wh/pa", numBuckets = 8)
+    PageTable.write(Corpus.pages(spark, 400), s"$wh/pb", numBuckets = 8)
+    PageTable.register(spark, "spjcat", wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // join keys (bucket, url) are a SUPERSET of the partition key
+      // (bucket); same-bucket co-location already clusters them, but the
+      // co-partition check demands all cluster keys unless relaxed
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def side(name: String) = spark.read.option("bucketedScan", "true")
+        .table(s"spjcat.$name").select("bucket", "url", "lang")
+      val j = side("pa").as("a")
+        .join(side("pb").as("b"), Seq("bucket", "url"))
+        .select(col("bucket"), col("url"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected a zero-exchange storage-partitioned join:\n$plan")
+      // same rows as the plain (shuffled) join over the default scans
+      val exp = spark.read.table("spjcat.pa").select("bucket", "url").as("a")
+        .join(spark.read.table("spjcat.pb").select("bucket", "url").as("b"),
+          Seq("bucket", "url"))
+        .count()
+      assert(j.count() == exp && exp == 400)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
