@@ -497,7 +497,9 @@ object Dedup {
     * against history (left join on fp) and within itself (first-occurrence
     * window per fp) — so the daily cost scales with the batch, never the
     * accumulated corpus. Recrawled copies are planted deterministically
-    * (doc_id % 50 = 0 re-arrives as doc_id + 10000 with identical text) to
+    * (doc_id % 50 = 0 re-arrives as doc_id + 100000000 with identical
+    * text — the offset is far above any scale factor's id range, so planted
+    * ids never collide with real ones and ORDER BY doc_id stays total) to
     * exercise both dup paths.
     *
     * Scale shape: history is a distinct-fp table (bucketed/sorted at rest
@@ -514,7 +516,7 @@ object Dedup {
     val batch = docs.filter(col("doc_id") >= 400)
       .select(col("doc_id"), md5(col("text")).as("fp"))
       .unionByName(docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), md5(col("text")).as("fp")))
+        .select((col("doc_id") + 100000000L).as("doc_id"), md5(col("text")).as("fp")))
     val w = Window.partitionBy("fp").orderBy("doc_id")
     batch.join(hist, Seq("fp"), "left")
       .withColumn("rn", row_number().over(w))
@@ -531,7 +533,7 @@ object Dedup {
       |batch AS (
       |  SELECT doc_id, md5(text) fp FROM documents WHERE doc_id >= 400
       |  UNION ALL
-      |  SELECT doc_id + 10000, md5(text) FROM documents WHERE doc_id % 50 = 0),
+      |  SELECT doc_id + 100000000, md5(text) FROM documents WHERE doc_id % 50 = 0),
       |keep AS (
       |  SELECT b.doc_id, b.fp,
       |         row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) rn,

@@ -97,18 +97,32 @@ object Multimodal {
       f += 1
     }
     writer.endWriteSequence()
+    writer.dispose()
     ios.close()
     bos.toByteArray
   }
 
   /** REAL video decode: a GIF frame reader over the payload. Returns the
-    * reader plus frame count; callers read frames by index.
+    * reader plus frame count; callers read frames by index inside
+    * [[withGif]] (which guarantees disposal). The input stream is a
+    * MemoryCacheImageInputStream — NEVER the default file-cache stream,
+    * which backs every decode with an imageio*.tmp file + open descriptor
+    * that `reader.dispose()` does not release (a per-row leak on executors).
     */
   def gifReader(payload: Array[Byte]): (javax.imageio.ImageReader, Int) = {
     val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+    reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload)))
     (reader, reader.getNumImages(true))
+  }
+
+  /** Decode scope: disposes the reader on every path (incl. malformed
+    * payloads throwing mid-read).
+    */
+  def withGif[T](payload: Array[Byte])(f: (javax.imageio.ImageReader, Int) => T): T = {
+    val (reader, nf) = gifReader(payload)
+    try f(reader, nf)
+    finally reader.dispose()
   }
 
   /** Deterministic 16-bit mono PCM samples for audio `id` — a two-square-
@@ -239,10 +253,10 @@ object Multimodal {
         } else if (r.kind == "video") {
           // REAL decode: the JDK GIF reader parses the container; n_bytes
           // is the decoded content size (w*h*frames), never encoder bytes
-          val (reader, nf) = gifReader(r.payload)
-          val (w, h) = (reader.getWidth(0), reader.getHeight(0))
-          reader.dispose()
-          MediaMeta(r.media_id, r.kind, w, h, nf, w * h * nf)
+          withGif(r.payload) { (reader, nf) =>
+            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+            MediaMeta(r.media_id, r.kind, w, h, nf, w * h * nf)
+          }
         } else {
           val bb = java.nio.ByteBuffer.wrap(r.payload)
           val magic = bb.getInt()
@@ -287,24 +301,25 @@ object Multimodal {
         } else if (r.kind == "video") {
           // REAL feature: mean gray over 8 temporal buckets of decoded
           // frames (the per-frame brightness profile)
-          val (reader, nf) = gifReader(r.payload)
-          val acc = new Array[Long](8)
-          val cnt = new Array[Long](8)
-          var f = 0
-          while (f < nf) {
-            val img = reader.read(f)
-            val b = f * 8 / nf
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                acc(b) += img.getRaster.getSample(x, y, 0); cnt(b) += 1; x += 1
+          val (acc, cnt) = withGif(r.payload) { (reader, nf) =>
+            val acc = new Array[Long](8)
+            val cnt = new Array[Long](8)
+            var f = 0
+            while (f < nf) {
+              val img = reader.read(f)
+              val b = f * 8 / nf
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  acc(b) += img.getRaster.getSample(x, y, 0); cnt(b) += 1; x += 1
+                }
+                y += 1
               }
-              y += 1
+              f += 1
             }
-            f += 1
+            (acc, cnt)
           }
-          reader.dispose()
           (r.media_id,
             acc.indices.map(b => acc(b).toFloat / (math.max(cnt(b), 1L) * 255f)).toSeq)
         } else if (r.kind == "audio") {
@@ -345,23 +360,21 @@ object Multimodal {
   def sampleFrames(rows: Dataset[MediaRow]): Dataset[FrameRow] = {
     import rows.sparkSession.implicits._
     rows.filter(_.kind == "video").flatMap { r =>
-      val (reader, nf) = gifReader(r.payload)
-      val idxs = Seq(0, nf / 2, nf - 1).distinct
-      val out = idxs.map { fi =>
-        val img = reader.read(fi)
-        val (w, h) = (img.getWidth, img.getHeight)
-        val px = new Array[Byte](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { px(y * w + x) = img.getRaster.getSample(x, y, 0).toByte; x += 1 }
-          y += 1
+      withGif(r.payload) { (reader, nf) =>
+        Seq(0, nf / 2, nf - 1).distinct.map { fi =>
+          val img = reader.read(fi)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(y * w + x) = img.getRaster.getSample(x, y, 0).toByte; x += 1 }
+            y += 1
+          }
+          val d = java.security.MessageDigest.getInstance("MD5").digest(px)
+          FrameRow(r.media_id, fi, f"${(d(0) & 0xff) * 256 + (d(1) & 0xff)}%04x")
         }
-        val d = java.security.MessageDigest.getInstance("MD5").digest(px)
-        FrameRow(r.media_id, fi, f"${(d(0) & 0xff) * 256 + (d(1) & 0xff)}%04x")
       }
-      reader.dispose()
-      out
     }
   }
 

@@ -1506,15 +1506,13 @@ object Relational {
     def side(kind: String) = ev.filter(col("event_type") === kind)
       .select(col("user_id"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
-    val tsOrd = Ordering.fromLessThan[java.sql.Timestamp]((a, b) => a.before(b))
     side("view").groupByKey(_._1)
       .cogroup(side("purchase").groupByKey(_._1)) { (uid, vs, ps) =>
-        val views = vs.map(_._2).toArray
-        if (views.isEmpty) Iterator.empty
-        else {
-          val vt = views.min(tsOrd)
-          Iterator((uid, ps.count(_._2.after(vt)).toLong))
-        }
+        // streaming min: constant memory per group regardless of view count
+        var vt: java.sql.Timestamp = null
+        vs.foreach { v => if (vt == null || v._2.before(vt)) vt = v._2 }
+        if (vt == null) Iterator.empty
+        else Iterator((uid, ps.count(_._2.after(vt)).toLong))
       }
       .toDF("user_id", "n_after")
       .orderBy("user_id")

@@ -662,6 +662,20 @@ object TextAnalysis {
     */
   private val PACK_BUDGET = 256L
 
+  /** Shared shard rollup for both packing formulations (one source of truth
+    * for the summary columns).
+    */
+  private def packTail(withShard: DataFrame): DataFrame =
+    withShard
+      .groupBy("source", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tok_sum"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .withColumn("fill_x1000", expr(s"(1000 * tok_sum) div $PACK_BUDGET"))
+      .orderBy("source", "shard")
+
   def pack(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("doc_id")
@@ -671,14 +685,7 @@ object TextAnalysis {
         size(Toks.tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("cum", sum("n_tok").over(w))
       .withColumn("shard", expr(s"(cum - n_tok) div $PACK_BUDGET"))
-      .groupBy("source", "shard")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tok").as("tok_sum"),
-        min("doc_id").as("first_doc"),
-        max("doc_id").as("last_doc"))
-      .withColumn("fill_x1000", expr(s"(1000 * tok_sum) div $PACK_BUDGET"))
-      .orderBy("source", "shard")
+      .transform(packTail)
   }
 
   val packSql: String =
@@ -728,14 +735,7 @@ object TextAnalysis {
       .join(broadcast(offsets), Seq("source", "rb"))
       .withColumn("cum", col("lcum") + col("off"))
       .withColumn("shard", expr(s"(cum - n_tok) div $PACK_BUDGET"))
-      .groupBy("source", "shard")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tok").as("tok_sum"),
-        min("doc_id").as("first_doc"),
-        max("doc_id").as("last_doc"))
-      .withColumn("fill_x1000", expr(s"(1000 * tok_sum) div $PACK_BUDGET"))
-      .orderBy("source", "shard")
+      .transform(packTail)
   }
 
   // ---- mixture allocation (largest-remainder token budget) -----------------

@@ -149,7 +149,8 @@ case class BucketInputPartition(key: InternalRow, filePart: FilePartition)
   * is the DSv2 answer to Hive bucketing: layout cost paid once at write,
   * every co-keyed join free thereafter.
   */
-class BucketedPagesScan(delegate: Scan) extends Scan with SupportsReportPartitioning {
+class BucketedPagesScan(delegate: Scan, numBuckets: Int)
+    extends Scan with SupportsReportPartitioning {
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = s"bucketed(${delegate.description()})"
 
@@ -157,11 +158,17 @@ class BucketedPagesScan(delegate: Scan) extends Scan with SupportsReportPartitio
   private lazy val planned: Array[InputPartition] = {
     val files = delegateBatch.planInputPartitions()
       .flatMap(_.asInstanceOf[FilePartition].files)
-    // partition schema is (bucket INT, day STRING): group splits per bucket
-    files.groupBy(_.partitionValues.getInt(0)).toArray.sortBy(_._1)
-      .zipWithIndex.map { case ((b, fs), i) =>
-        BucketInputPartition(InternalRow(b), FilePartition(i, fs))
-      }
+    // partition schema is (bucket INT, day STRING): group splits per bucket.
+    // Every DECLARED bucket gets a partition — a bucket with no files yet
+    // (or an empty table) still reports its key, so two tables with the
+    // same bucket count always present identical partition-value sets and
+    // the zero-exchange join contract cannot silently degrade to a shuffle
+    // when one side is missing a bucket directory.
+    val byBucket = files.groupBy(_.partitionValues.getInt(0))
+    (0 until numBuckets).toArray.map { b =>
+      BucketInputPartition(InternalRow(b),
+        FilePartition(b, byBucket.getOrElse(b, Array.empty)))
+    }
   }
 
   override def toBatch: Batch = new Batch {
@@ -235,7 +242,7 @@ class PagesTable(tableName: String, dir: String,
       // case is a co-located full-bucket join, where partition grouping —
       // not filter pushdown — is the lever. The default path above keeps
       // the full pushdown/pruning surface (pinned by PageTableSpec).
-      override def build(): Scan = new BucketedPagesScan(delegate.build())
+      override def build(): Scan = new BucketedPagesScan(delegate.build(), numBuckets)
     }
   }
 
