@@ -147,6 +147,21 @@ object Main {
           println(s"run $runId: processed buckets ${rep.bucketsDone.mkString(",")} " +
             s"(${rep.nDocs} docs); ${rep.skipped} buckets already done")
           return
+        case "curate" =>
+          // the full curation pipeline over a synthetic corpus:
+          //   curate <nPages> <outDir> [seed]
+          val n = args(1).toLong
+          val seed = if (args.length > 3) args(3).toLong else Corpus.DEFAULT_SEED
+          val t0 = System.nanoTime()
+          val rep = graft.operators.Curate.run(spark, Corpus.pages(spark, n, seed), args(2))
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"  extracted        ${rep.extracted}%8d")
+          println(f"  non-empty        ${rep.nonEmpty}%8d")
+          println(f"  quality kept     ${rep.qualityKept}%8d")
+          println(f"  unique kept      ${rep.uniqueKept}%8d")
+          println(f"  train/val/test   ${rep.train}%d/${rep.`val`}%d/${rep.test}%d")
+          println(f"curated ${rep.uniqueKept}%d docs in $dt%.2f s -> ${args(2)}")
+          return
         case _ => ()
       }
       val (pages, outDir) = args(0) match {

@@ -455,4 +455,28 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(a == b && a.nonEmpty, sf)
     }
   }
+
+  test("curate pipeline: gates enforced, splits partition the unique set, deterministic") {
+    val out = java.nio.file.Files.createTempDirectory("curate").toString
+    val rep = Curate.run(spark, graft.sources.Corpus.pages(spark, 300), out)
+    assert(rep.extracted == 300)
+    assert(rep.nonEmpty <= rep.extracted && rep.qualityKept <= rep.nonEmpty)
+    assert(rep.uniqueKept <= rep.qualityKept && rep.uniqueKept > 0)
+    assert(rep.train + rep.`val` + rep.test == rep.uniqueKept)
+    val back = spark.read.parquet(out)
+    assert(back.count() == rep.uniqueKept)
+    assert(back.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+    // every gate holds on the written corpus
+    assert(back.filter(col("n_tok") < Curate.MIN_TOKENS).count() == 0)
+    assert(back.groupBy(md5(col("text"))).count().filter(col("count") > 1).count() == 0)
+    // deterministic: a rerun produces the identical corpus
+    val out2 = java.nio.file.Files.createTempDirectory("curate2").toString
+    val rep2 = Curate.run(spark, graft.sources.Corpus.pages(spark, 300), out2)
+    assert(rep == rep2)
+    val a = back.select("url", "split", "text").collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(out2).select("url", "split", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }
