@@ -147,13 +147,18 @@ object Main {
           println(s"run $runId: processed buckets ${rep.bucketsDone.mkString(",")} " +
             s"(${rep.nDocs} docs); ${rep.skipped} buckets already done")
           return
-        case "curate" =>
-          // the full curation pipeline over a synthetic corpus:
-          //   curate <nPages> <outDir> [seed]
-          val n = args(1).toLong
-          val seed = if (args.length > 3) args(3).toLong else Corpus.DEFAULT_SEED
+        case "curate" | "curate-dir" =>
+          // the full curation pipeline:
+          //   curate <nPages> <outDir> [seed]      (synthetic corpus)
+          //   curate-dir <pagesDir> <outDir>        (staged pages table)
+          import spark.implicits._
+          val input =
+            if (args(0) == "curate") {
+              val seed = if (args.length > 3) args(3).toLong else Corpus.DEFAULT_SEED
+              Corpus.pages(spark, args(1).toLong, seed)
+            } else spark.read.schema(Model.PAGES).parquet(args(1)).as[Page]
           val t0 = System.nanoTime()
-          val rep = graft.operators.Curate.run(spark, Corpus.pages(spark, n, seed), args(2))
+          val rep = graft.operators.Curate.run(spark, input, args(2))
           val dt = (System.nanoTime() - t0) / 1e9
           println(f"  extracted        ${rep.extracted}%8d")
           println(f"  non-empty        ${rep.nonEmpty}%8d")

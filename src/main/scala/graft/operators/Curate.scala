@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Page
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end curation pipeline — the operators of this library composed
@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   *   extract → C4 line dedup → quality gate (length + Gopher repetition) →
   *   exact dedup → deterministic split → partitioned write
   *
-  * Every stage is the library's own operator (lineDedupOver, gopherSignals,
-  * md5 split) over the extracted documents; stage verdicts are carried as
-  * BOOLEAN COLUMNS on one DataFrame so the whole audit report comes from a
-  * single aggregate pass — no per-stage recount jobs. Scale shape: the
-  * extraction output is checkpointed once, the line-dedup join and the
-  * signals are the only exchanges, and the final write partitions by split.
+  * Two actions total. The extraction lands as a parquet artifact
+  * (`<out>-extracted`) — cheaper than block-manager checkpointing at corpus
+  * scale, resumable, and column-pruned by every downstream consumer. The
+  * whole verdict chain (line dedup join, Gopher signals, dedup window,
+  * split) then runs in ONE pass fused with the final partitioned write; the
+  * audit funnel is collected DURING that pass via `observe` (the A3 metrics
+  * pattern), so no per-stage recount jobs and no second materialization.
   */
 object Curate {
 
@@ -33,10 +34,18 @@ object Curate {
 
   def run(spark: SparkSession, pages: Dataset[Page], outDir: String): Report = {
     import org.apache.spark.sql.expressions.Window
+    def timed[T](stage: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[curate] $stage%-12s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
 
-    val docs = Extract.extract(pages).toDF()
+    val exDir = s"$outDir-extracted"
+    timed("extract")(Extract.extract(pages).toDF()
       .select(col("url"), col("warc_ts"), col("lang"), col("text"), col("contentKind"))
-      .localCheckpoint() // extraction runs once; three consumers below
+      .write.mode("overwrite").parquet(exDir))
+    val docs = spark.read.parquet(exDir)
 
     val nonEmpty = docs.filter(col("contentKind") =!= "empty" && length(col("text")) > 0)
 
@@ -73,22 +82,26 @@ object Curate {
           val h = conv(substring(md5(col("url")), 1, 4), 16, 10).cast("long") % 100
           when(h < 80, "train").when(h < 90, "val").otherwise("test")
         })
-      .localCheckpoint() // verdicts computed once; report + write below
 
-    val r = flagged.agg(
-      count(lit(1)).as("nonEmpty"),
-      count(when(col("quality_ok"), 1)).as("qualityKept"),
-      count(when(col("unique_ok"), 1)).as("uniqueKept"),
-      count(when(col("split") === "train", 1)).as("train"),
-      count(when(col("split") === "val", 1)).as("val"),
-      count(when(col("split") === "test", 1)).as("test")).head()
-
-    flagged.filter(col("unique_ok"))
+    // one fused pass: verdicts + audit counts (observe) + partitioned write
+    val obs = Observation("curate")
+    timed("curate+write")(flagged
+      .observe(obs,
+        count(lit(1)).as("nonEmpty"),
+        count(when(col("quality_ok"), 1)).as("qualityKept"),
+        count(when(col("unique_ok"), 1)).as("uniqueKept"),
+        count(when(col("split") === "train", 1)).as("train"),
+        count(when(col("split") === "val", 1)).as("val"),
+        count(when(col("split") === "test", 1)).as("test"))
+      .filter(col("unique_ok"))
       .select(col("split"), col("url"), col("warc_ts"), col("lang"),
         col("contentKind"), col("n_tok"), col("text"))
-      .write.mode("overwrite").partitionBy("split").parquet(outDir)
+      .write.mode("overwrite").partitionBy("split").parquet(outDir))
 
-    Report(docs.count(), r.getLong(0), r.getLong(1), r.getLong(2),
-      r.getLong(3), r.getLong(4), r.getLong(5))
+    val m = obs.get
+    Report(docs.count(), m("nonEmpty").asInstanceOf[Long],
+      m("qualityKept").asInstanceOf[Long], m("uniqueKept").asInstanceOf[Long],
+      m("train").asInstanceOf[Long], m("val").asInstanceOf[Long],
+      m("test").asInstanceOf[Long])
   }
 }

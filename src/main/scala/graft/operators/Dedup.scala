@@ -425,7 +425,11 @@ object Dedup {
     * one reducer never exists in this plan. Reassembly is one url shuffle.
     */
   def lineDedup(spark: SparkSession, sfDir: String): DataFrame =
+    // the oracle dump needs a deterministic total order; the pipeline form
+    // (lineDedupOver) deliberately omits it — a global range sort of the
+    // full text corpus is pure waste mid-pipeline (Curate consumes unordered)
     lineDedupOver(graft.sources.OracleCorpus.docs(spark).select("url", "text"))
+      .orderBy("url")
 
   /** Core of [[lineDedup]] over any (url, text) frame — unit-testable. */
   private[graft] def lineDedupOver(d: DataFrame): DataFrame = {
@@ -456,7 +460,6 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
-      .orderBy("url")
   }
 
   val lineDedupSql: String = {

@@ -457,12 +457,38 @@ object TextAnalysis {
           .as("uniq_chars"),
         flatten(transform(col("lines"), bigramsOf)).as("bgs"))
       .withColumn(
-        "top",
-        array_max(transform(
-          array_distinct(col("bgs")),
-          b => struct(
-            size(filter(col("bgs"), x => x === b)).cast("long").as("c"),
-            b.as("bg")))))
+        "top", {
+          // top bigram via sort + linear run-length fold — O(B log B) per
+          // doc. (The transparent array_distinct × filter formulation is
+          // O(B²): at ~150 bigrams/extracted doc it dominated the curate
+          // pipeline.) Ascending iteration + `>=`-style close condition
+          // reproduces array_max's (count, then bigram) tie-break exactly;
+          // an empty bigram list yields (0, "") which the consumers below
+          // treat identically to the old NULL (coalesce/length-0).
+          val sorted = array_sort(col("bgs"))
+          aggregate(
+            sorted,
+            struct(lit(0L).as("bc"), lit("").as("bb"),
+              lit(0L).as("cc"), lit("").as("cb")),
+            (acc, x) => {
+              val same = acc("cb") === x && acc("cc") > 0
+              val close = !same &&
+                (acc("cc") > acc("bc") ||
+                  (acc("cc") === acc("bc") && acc("cb") > acc("bb")))
+              struct(
+                when(close, acc("cc")).otherwise(acc("bc")).as("bc"),
+                when(close, acc("cb")).otherwise(acc("bb")).as("bb"),
+                when(same, acc("cc") + 1).otherwise(lit(1L)).as("cc"),
+                x.as("cb"))
+            },
+            acc => {
+              val close = acc("cc") > acc("bc") ||
+                (acc("cc") === acc("bc") && acc("cb") > acc("bb"))
+              struct(
+                when(close, acc("cc")).otherwise(acc("bc")).as("c"),
+                when(close, acc("cb")).otherwise(acc("bb")).as("bg"))
+            })
+        })
       .selectExpr(
         "url",
         "n_lines",

@@ -399,8 +399,10 @@ class TrainingOpsSpec extends AnyFunSuite {
     import spark.implicits._
     // 'y' appears in a(pos 2), b(pos 1), c(pos 1): keeper = (a,2) (min url/pos)
     val d = Seq(("a", "x\ny\nz"), ("b", "y\nw"), ("c", "y")).toDF("url", "text")
+    // lineDedupOver is deliberately unordered (pipeline form); sort here
     val r = Dedup.lineDedupOver(d).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+      .sortBy(_._1)
     assert(r.toSeq == Seq(
       ("a", 3L, 3L, 0L, "x\ny\nz"),
       ("b", 2L, 1L, 1L, "w"),
@@ -408,6 +410,7 @@ class TrainingOpsSpec extends AnyFunSuite {
     // determinism under repartition (keeper min is a total order)
     val r7 = Dedup.lineDedupOver(d.repartition(7)).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+      .sortBy(_._1)
     assert(r7.toSeq == r.toSeq)
   }
 
