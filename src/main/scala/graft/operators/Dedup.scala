@@ -546,7 +546,107 @@ object Dedup {
       |       (NOT seen AND rn = 1) AS kept
       |FROM keep ORDER BY doc_id""".stripMargin
 
+  // ---- exact duplicated-substring spans (suffix-dedup shape) --------------
+
+  /** Token-gram length for duplicated-span detection: a span counts as
+    * duplicated when an [[SUB_L]]-token window of it appears at more than one
+    * (doc, pos) location corpus-wide. 8 is small enough to find real template
+    * repetition in the word-salad corpus (≈2 k duplicated positions at
+    * sf0.01) and large enough that random collisions are absent.
+    */
+  private val SUB_L = 8
+
+  /** Exact duplicated-substring spans — the "deduplicating training data"
+    * operator (Lee et al. 2022, EXACTSUBSTR): instead of dropping whole
+    * near-dup documents, find every maximal token span whose content appears
+    * elsewhere in the corpus, so a curation pass can cut the span and keep
+    * the rest of the document. The distributed recast of the paper's suffix
+    * array: every [[SUB_L]]-token window is keyed by md5 of its joined
+    * tokens; windows whose key occurs at >1 (doc,pos) location are
+    * duplicated; per document, overlapping-or-adjacent duplicated windows
+    * (start gap <= L) merge into maximal spans (gaps-and-islands).
+    *
+    * Scale shape (100 TB): exactly TWO exchanges of the gram table — one on
+    * the md5 gram key (the corpus-frequency count window; partition = one
+    * gram's postings, counting only, no pairwise join so a hot boilerplate
+    * gram costs O(df) not O(df²)), then one on doc_id (island merge + span
+    * aggregation ride the same exchange). No join back to the documents
+    * table; gram payload is (doc_id, pos, 16-byte key). The suffix-array
+    * formulation this replaces needs a global sort of every suffix — the
+    * gram-hash form shuffles fixed-size records and never materializes
+    * suffixes.
+    */
+  def substr(spark: SparkSession, sfDir: String): DataFrame =
+    substrOver(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .orderBy("doc_id", "span_start")
+
+  /** Core of [[substr]] over any (doc_id, text) frame — unit-testable; the
+    * pipeline form omits the global sort (a curation pass consumes spans
+    * unordered).
+    */
+  private[graft] def substrOver(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = SUB_L
+    val grams = d
+      .select(col("doc_id"), Toks.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= L)
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), size(col("t")) - L),
+            i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(L)))))).as(Seq("pos", "h")))
+    val dup = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("c") > 1)
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(wd) <= L, lit(0L)).otherwise(lit(1L)))
+      .withColumn("span_id", sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + L).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .withColumn("span_toks", col("span_end") - col("span_start"))
+      .select("doc_id", "span_id", "span_start", "span_end", "span_toks", "n_dup_grams")
+  }
+
+  val substrSql: String = {
+    val L = SUB_L
+    s"""WITH t0 AS (
+       |  SELECT doc_id, ${Toks.SQL_TOKENS} t FROM documents),
+       |t AS (SELECT doc_id, t FROM t0 WHERE len(t) >= $L),
+       |g AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
+       |         md5(array_to_string(t[i:i+${L - 1}], ' ')) h
+       |  FROM t, unnest(generate_series(1, len(t) - ${L - 1})) AS u(i)),
+       |d AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) c FROM g)
+       |  WHERE c > 1),
+       |i AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $L
+       |              THEN 0 ELSE 1 END brk
+       |  FROM d),
+       |s AS (
+       |  SELECT doc_id, pos,
+       |         CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) span_id
+       |  FROM i)
+       |SELECT doc_id, span_id,
+       |       CAST(min(pos) AS BIGINT) span_start,
+       |       CAST(max(pos) + $L AS BIGINT) span_end,
+       |       CAST(max(pos) + $L - min(pos) AS BIGINT) span_toks,
+       |       count(*) n_dup_grams
+       |FROM s GROUP BY doc_id, span_id
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_substr" -> (substr _),
     "dd_incr" -> (incremental _),
     "dd_lines" -> (lineDedup _),
     "dd_fuzzy" -> (fuzzy _),
@@ -559,6 +659,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "dd_substr" -> substrSql,
     "dd_incr" -> incrementalSql,
     "dd_lines" -> lineDedupSql,
     "dd_fuzzy" -> fuzzySql,

@@ -896,9 +896,127 @@ object TextAnalysis {
        |       md5(array_to_string(tok[1+$STRIDE*ck : least($STRIDE*ck+$CHUNK, n)], ' ')) chunk_md5
        |FROM k ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- language identification (marker n-gram heuristic) ------------------
+
+  /** Per-language marker vocabularies for the langid scorer. Disjoint from
+    * the corpus word-salad vocabulary (so base text is signal-free) and
+    * pairwise disjoint across languages; zh markers are CJK codepoints —
+    * the unsegmented-script case a word-based scorer must still handle
+    * (they arrive space-delimited here; the real-web variant substring-counts
+    * them, same integer plan shape).
+    */
+  private val LANG_MARKERS: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("und", "nicht", "aber", "doch"),
+    "en" -> Seq("would", "could", "should", "might"),
+    "es" -> Seq("pero", "como", "donde", "siempre"),
+    "fr" -> Seq("mais", "avec", "sans", "chez"),
+    "zh" -> Seq("的", "是", "了", "和")
+  )
+
+  /** Language identification via marker-token scoring — the n-gram-heuristic
+    * langID stage of a web curation pipeline (CLD/fastText shape, integer
+    * scoring). The driver corpus's text is language-agnostic word salad, so
+    * the language signal is PLANTED deterministically from (doc_id, lang):
+    * 2–4 markers of the labeled language (cycling by doc_id) plus ONE decoy
+    * marker of the alphabetically-next language are appended; the classifier
+    * then recovers the label from text alone. Score(l) = count of l's
+    * markers among the tokens; prediction = argmax with alphabetical
+    * tie-break (the same when-chain in both engines).
+    *
+    * Scale shape: entirely per-row column expressions — zero exchanges; the
+    * marker table is a compile-time literal (a trained model would broadcast;
+    * plan shape unchanged). Runs at scan speed at 100 TB.
+    */
+  def langid(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = LANG_MARKERS.map(_._1)
+    val next: Map[String, String] =
+      langs.zip(langs.tail :+ langs.head).toMap
+    // planted = text + m markers of `lang` (m = doc_id%3 + 2, cycling) + 1 decoy
+    val markerArr: Map[String, Column] =
+      LANG_MARKERS.toMap.map { case (l, ms) => l -> array(ms.map(lit): _*) }
+    val langCol = col("lang")
+    def markersOf(sel: String => Column): Column =
+      LANG_MARKERS.tail.foldLeft(when(langCol === LANG_MARKERS.head._1, sel(LANG_MARKERS.head._1))) {
+        case (acc, (l, _)) => acc.when(langCol === l, sel(l))
+      }
+    val planted = concat_ws(" ",
+      col("text"),
+      array_join(
+        transform(
+          sequence(lit(0L), col("doc_id") % 3 + 1),
+          k => element_at(markersOf(markerArr), ((col("doc_id") + k) % 4).cast("int") + 1)),
+        " "),
+      markersOf(l => lit(LANG_MARKERS.toMap.apply(next(l)).head)))
+    val scored = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), Toks.tokens(planted).as("tk"))
+      .select(
+        Seq(col("doc_id"), col("lang")) ++
+          LANG_MARKERS.map { case (l, ms) =>
+            size(filter(col("tk"), x => x.isin(ms: _*))).cast("long").as(s"s_$l")
+          }: _*)
+    val pred = langs.tail.foldLeft(
+      when(langs.tail.map(o => col(s"s_${langs.head}") >= col(s"s_$o")).reduce(_ && _),
+        lit(langs.head))) { (acc, l) =>
+      acc.when(langs.filterNot(_ == l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _),
+        lit(l))
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .withColumn("correct",
+        when(col("pred_lang") === col("lang"), lit(1L)).otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
+  val langidSql: String = {
+    val langs = LANG_MARKERS.map(_._1)
+    val nextHead: Map[String, String] = {
+      val m = LANG_MARKERS.toMap
+      langs.zip(langs.tail :+ langs.head).map { case (l, n) => l -> m(n).head }.toMap
+    }
+    def sqlList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString(", ")
+    val markerCase = LANG_MARKERS
+      .map { case (l, ms) => s"WHEN '$l' THEN [${sqlList(ms)}]" }
+      .mkString(" ")
+    val decoyCase = LANG_MARKERS
+      .map { case (l, _) => s"WHEN '$l' THEN '${nextHead(l)}'" }
+      .mkString(" ")
+    val scoreCols = LANG_MARKERS
+      .map { case (l, ms) =>
+        s"CAST(len(list_filter(tk, x -> x IN (${sqlList(ms)}))) AS BIGINT) s_$l"
+      }
+      .mkString(",\n       |         ")
+    val predCase = langs
+      .map { l =>
+        val conds = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }
+      .mkString("\n       |           ")
+    s"""WITH aug AS (
+       |  SELECT doc_id, lang,
+       |         text || ' ' ||
+       |         array_to_string(
+       |           [(CASE lang $markerCase END)[((doc_id + k) % 4) + 1]
+       |            for k in generate_series(0, doc_id % 3 + 1)], ' ') ||
+       |         ' ' || (CASE lang $decoyCase END) AS t
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, lang, ${Toks.SQL_TOKENS.replace("text", "t")} tk FROM aug),
+       |sc AS (
+       |  SELECT doc_id, lang,
+       |         $scoreCols
+       |  FROM s)
+       |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+       |       CASE $predCase
+       |       END pred_lang,
+       |       CAST(CASE WHEN (CASE $predCase
+       |                       END) = lang THEN 1 ELSE 0 END AS BIGINT) correct
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_langid" -> (langid _),
     "ta_pii" -> (pii _),
     "ta_pack" -> (pack _),
     "ta_pack2" -> (packScalable _),
@@ -920,6 +1038,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_langid" -> langidSql,
     "ta_pii" -> piiSql,
     "ta_pack" -> packSql,
     "ta_pack2" -> packSql,

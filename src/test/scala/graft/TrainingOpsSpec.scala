@@ -430,6 +430,61 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!onParquet.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("exact-substring spans: planted shared passage found, islands merge, plan is two exchanges") {
+    import spark.implicits._
+    // L = 8. Docs a and b share a 12-token passage (5 duplicated 8-gram
+    // positions each, all overlapping -> ONE span of 12 tokens); doc c is
+    // unique filler long enough to carry grams but shares nothing.
+    val passage = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val d = Seq(
+      (1L, s"one two three four five six seven eight nine $passage tail1 tail2"),
+      (2L, s"$passage alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14")
+    ).toDF("doc_id", "text")
+    val r = Dedup.substrOver(d).orderBy("doc_id", "span_start").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+    // doc 1: passage starts at token 9 -> span [9, 21); doc 2: [0, 12)
+    assert(r.toSeq == Seq((1L, 9L, 21L, 12L, 5L), (2L, 0L, 12L, 12L, 5L)))
+    // two disjoint duplicated regions in one doc -> two spans (island break)
+    val far = Seq(
+      (10L, s"$passage ${(1 to 10).map(i => s"mid$i").mkString(" ")} $passage"),
+      (11L, passage)
+    ).toDF("doc_id", "text")
+    val spans10 = Dedup.substrOver(far).filter(col("doc_id") === 10L)
+      .orderBy("span_start").collect()
+    assert(spans10.length == 2, spans10.mkString(","))
+    assert(spans10.map(_.getLong(4)).forall(_ == 12L))
+    // determinism under repartition
+    val r7 = Dedup.substrOver(d.repartition(7)).orderBy("doc_id", "span_start").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(r7.toSeq == r.toSeq)
+    // scale shape over a real scan: exactly TWO shuffles of the gram table
+    // (md5 key for the frequency window, then doc_id for the island merge)
+    val plan = Dedup.substrOver(spark.read.parquet(s"$SF/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    val all = "(?<!Reused)(?<!Broadcast)Exchange ".r.findAllIn(plan).length
+    assert(all == 2, s"expected 2 exchanges:\n$plan")
+  }
+
+  test("langid: planted markers recovered for every doc; map-side only") {
+    val r = TextAnalysis.langid(spark, SF)
+    assert(r.filter(col("correct") =!= 1L).count() == 0)
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    // per-row scorer: no hash exchange anywhere (the only exchange is the
+    // oracle dump's global sort)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // the labeled lang always wins: its score strictly exceeds every rival
+    val rows = r.collect()
+    rows.foreach { row =>
+      val lang = row.getString(1)
+      val scores = langs.zipWithIndex.map { case (l, i) => l -> row.getLong(2 + i) }.toMap
+      val own = scores(lang)
+      assert(own >= 2 && own <= 4, s"planted 2-4 markers, got $own for $lang")
+      (scores - lang).values.foreach(s => assert(s < own))
+    }
+  }
+
   test("filter gate: reasons are deterministic, kept iff no reason fired") {
     val r = TextAnalysis.filterGate(spark, SF).collect()
     assert(r.nonEmpty)
