@@ -23,6 +23,7 @@ object exprs {
   def sniffKind(c: Column): Column = column(SniffKind(expression(c)))
   def decodeSniff(c: Column): Column = column(DecodeSniff(expression(c)))
   def decodeEntities(c: Column): Column = column(DecodeEntities(expression(c)))
+  def nfcNormalize(c: Column): Column = column(NfcNormalize(expression(c)))
 }
 
 /** binary payload → 'html' | 'pdf' | 'text' | 'empty' (F1 payload sniff). */
@@ -70,6 +71,42 @@ case class DecodeEntities(child: Expression) extends UnaryExpression {
   override def prettyName: String = "decode_entities"
 }
 
+/** Unicode NFC normalization (UAX #15) — canonical composition so that
+  * visually-identical text (decomposed e+◌́ vs precomposed é, compatibility
+  * singletons like U+212B ANGSTROM SIGN) hashes/dedups/joins as ONE key.
+  * Runs before any fingerprint/dedup stage on real web text; oracled
+  * bit-exactly against DuckDB's `nfc_normalize` (both implement UAX #15).
+  * Fast path: `Normalizer.isNormalized` is O(n) with no allocation — ASCII
+  * and already-NFC text (the overwhelming majority at web scale) never pays
+  * for the rewrite.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NfcNormalize.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NfcNormalize {
+  /** Codegen target: UTF8String → UTF8String, identity when already NFC. */
+  def nfc(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** SparkSessionExtensions hook registering the graft SQL functions. */
 object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -81,7 +118,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => DecodeSniff(children.head)),
     (FunctionIdentifier("decode_entities"),
       new ExpressionInfo(classOf[DecodeEntities].getName, "decode_entities"),
-      (children: Seq[Expression]) => DecodeEntities(children.head))
+      (children: Seq[Expression]) => DecodeEntities(children.head)),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head))
   )
 
   /** Register on an already-running session (tests, REPL). */

@@ -1013,9 +1013,64 @@ object TextAnalysis {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Unicode NFC normalization (pre-dedup canonicalization) -------------
+
+  /** Unicode NFC canonicalization audit — the normalization stage that runs
+    * BEFORE any hash/fingerprint/join on real web text (decomposed e+◌́,
+    * precomposed é, and compatibility singletons like U+212B ANGSTROM SIGN
+    * must land on one dedup key). Non-NFC sequences are PLANTED
+    * deterministically from doc_id (the word-salad corpus is ASCII);
+    * normalization runs through the native codegen'd [[graft.functions.NfcNormalize]]
+    * expression and is oracled bit-exactly against DuckDB's `nfc_normalize`
+    * (both implement UAX #15) — md5 of the normalized bytes AND codepoint
+    * counts must agree.
+    *
+    * Scale shape: per-row expression, zero exchanges; the already-NFC fast
+    * path (`Normalizer.isNormalized`) makes the pass ~free on the ASCII bulk.
+    */
+  def nfc(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = concat(
+      col("text"),
+      // explicit escapes: k=0 plants DECOMPOSED e+U+0301 (changed by NFC),
+      // k=1 plants precomposed U+00E9 (already NFC), k=2 plants the U+212B
+      // ANGSTROM singleton + a combining stack (partially composed by NFC)
+      when(col("doc_id") % 4 === 0, lit(" cafe\u0301 resume\u0301"))
+        .when(col("doc_id") % 4 === 1, lit(" caf\u00e9 fjord"))
+        .when(col("doc_id") % 4 === 2, lit(" \u212Bngstr\u00F6m a\u0308\u0301"))
+        .otherwise(lit("")))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), planted.as("raw"))
+      .withColumn("norm", graft.functions.exprs.nfcNormalize(col("raw")))
+      .select(
+        col("doc_id"),
+        when(col("norm") =!= col("raw"), lit(1L)).otherwise(lit(0L)).as("changed"),
+        length(col("raw")).cast("long").as("cp_before"),
+        length(col("norm")).cast("long").as("cp_after"),
+        md5(col("norm").cast("binary")).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
+  val nfcSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |         text || CASE doc_id % 4
+      |           WHEN 0 THEN ' cafe' || chr(769) || ' resume' || chr(769)
+      |           WHEN 1 THEN ' caf' || chr(233) || ' fjord'
+      |           WHEN 2 THEN ' ' || chr(8491) || 'ngstr' || chr(246) || 'm a' || chr(776) || chr(769)
+      |           ELSE '' END AS raw
+      |  FROM documents),
+      |n AS (SELECT doc_id, raw, nfc_normalize(raw) norm FROM aug)
+      |SELECT doc_id,
+      |       CAST(CASE WHEN norm <> raw THEN 1 ELSE 0 END AS BIGINT) changed,
+      |       CAST(length(raw) AS BIGINT) cp_before,
+      |       CAST(length(norm) AS BIGINT) cp_after,
+      |       md5(norm) nfc_md5
+      |FROM n ORDER BY doc_id""".stripMargin
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_nfc" -> (nfc _),
     "ta_langid" -> (langid _),
     "ta_pii" -> (pii _),
     "ta_pack" -> (pack _),
@@ -1038,6 +1093,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_nfc" -> nfcSql,
     "ta_langid" -> langidSql,
     "ta_pii" -> piiSql,
     "ta_pack" -> packSql,

@@ -50,6 +50,28 @@ class CatalystSurfaceSpec extends AnyFunSuite {
     assert(r.getString(1) == "text")
   }
 
+  test("nfc_normalize expression: UAX#15 semantics, identity fast path, codegen") {
+    import spark.implicits._
+    // decomposed -> composed; ANGSTROM singleton -> U+00C5; combining stack
+    // composes the base pair only; already-NFC passes through unchanged
+    val samples = Seq("cafe\u0301", "\u212B", "a\u0308\u0301", "plain ascii", "caf\u00e9")
+    val viaExpr = samples.toDF("s")
+      .select(exprs.nfcNormalize(col("s"))).as[String].collect().toSeq
+    assert(viaExpr == Seq("caf\u00e9", "\u00c5", "\u00e4\u0301", "plain ascii", "caf\u00e9"))
+    // stays inside WholeStageCodegen over a Range source
+    val df = spark.range(4)
+      .select(exprs.nfcNormalize(concat(lit("e\u0301x"), col("id").cast("string"))).as("d"))
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      (0 until 4).map(i => s"\u00e9x$i"))
+    // SQL registration
+    GraftExtensions.register(spark)
+    // (Spark's chr() is ASCII-mod-256, unlike DuckDB's — embed the
+    // combining mark as a literal)
+    assert(spark.sql("SELECT nfc_normalize('e\u0301') n").collect()
+      .head.getString(0) == "\u00e9")
+  }
+
   test("extract plan shape: one url exchange per branch, filters pushed below") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
