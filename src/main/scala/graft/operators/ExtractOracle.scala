@@ -397,9 +397,135 @@ object ExtractOracle {
        |       CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canon
        |FROM p4 ORDER BY url""".stripMargin
 
+  // ---- link extraction (link-graph edges) ----------------------------------
+
+  /** Outlink edge list — the link-graph construction stage: one row per
+    * anchor with an href, in document order ([[Links.extract]], a reduced
+    * single-pass scanner sharing the tokenizer's lexical rules). Runs over
+    * the materialized DECODED markup ([[OracleCorpus.HTML]]) so the DuckDB
+    * oracle can re-extract the same edges with an INDEPENDENT formulation
+    * (regexp over the identical strings) — two implementations of anchor
+    * extraction, sharing only the golden-pinned charset decode.
+    *
+    * Oracle-equivalence precondition (documented, corpus-guaranteed): every
+    * synthetic anchor is `<a href="...">plain text</a>` — double-quoted
+    * href, no nested markup, no entities or '<' in anchor text, never inside
+    * comments/rawtext (where the regex would see edges the scanner rightly
+    * skips). Real-web divergences are covered by the scanner's unit tests,
+    * not the oracle.
+    *
+    * Scale shape: per-row flatMap, zero exchanges before the presentation
+    * sort; at 100 TB the edge list feeds host-graph rollups/PageRank on a
+    * url-hash partitioning.
+    */
+  def exLinks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    OracleCorpus.htmlStrs(spark)
+      .select(col("url"), col("html_str"))
+      .as[(String, String)]
+      .flatMap { case (url, html) =>
+        Links.extract(html).map(l => (url, l.seq.toLong, l.href, l.anchor))
+      }
+      .toDF("url", "seq", "href", "anchor")
+      .orderBy("url", "seq")
+  }
+
+  val exLinksSql: String = {
+    val H = OracleCorpus.HTML_PQ
+    """WITH m AS (
+      |  SELECT url,
+      |         regexp_extract_all(html_str, '<a href="([^"]*)">([^<]*)</a>', 1) hs,
+      |         regexp_extract_all(html_str, '<a href="([^"]*)">([^<]*)</a>', 2) an
+      |  FROM """.stripMargin + H + """),
+      |e AS (
+      |  SELECT url, CAST(i - 1 AS BIGINT) seq, hs[i] href, an[i] anchor
+      |  FROM m, unnest(generate_series(1, len(hs))) AS u(i))
+      |SELECT url, seq, href, anchor FROM e ORDER BY url, seq""".stripMargin
+  }
+
+  // ---- domain-suffix blocklist filter ---------------------------------------
+
+  /** Blocked registrable-domain suffixes for [[exBlocklist]]: an exact host,
+    * a suffix that must also catch planted subdomains, and a never-matching
+    * entry. A production blocklist (millions of entries) swaps the literal
+    * for a broadcast table — the suffix-chain equi-match (never a LIKE scan)
+    * and the map-side plan shape are unchanged.
+    */
+  private val BLOCKLIST = Seq("host3.example.org", "host7.example.org", "ads.example.net")
+
+  /** URL blocklist filtering by domain suffix — the crawl-hygiene gate that
+    * runs before any fetch/extract spend: a host is blocked iff any suffix
+    * of its label chain (with >= 2 labels) equals a blocklist entry, so
+    * `cdn.host7.example.org` is caught by `host7.example.org` without
+    * wildcard scans. Subdomain mess (`cdn.` / `a.b.` / `tracker.`) is
+    * PLANTED deterministically from the url's trailing ordinal; the suffix
+    * chain is a bounded per-row array (#labels - 1 entries) matched by exact
+    * equality.
+    *
+    * Scale shape: zero exchanges — per-row label explode + equality match
+    * against the (broadcastable) blocklist; at 100 TB this is a scan-speed
+    * gate ahead of the expensive pipeline stages.
+    */
+  def exBlocklist(spark: SparkSession, sfDir: String): DataFrame = {
+    val selector =
+      "CAST(coalesce(nullif(regexp_extract(url, '-([0-9]+)$', 1), ''), '0') AS BIGINT) % 4"
+    OracleCorpus.docs(spark).select(col("url"))
+      .withColumn("k", expr(selector))
+      .withColumn("host",
+        concat(
+          when(col("k") === 1, lit("cdn."))
+            .when(col("k") === 2, lit("a.b."))
+            .when(col("k") === 3, lit("tracker."))
+            .otherwise(lit("")),
+          regexp_extract(col("url"), "^https?://([^/:]+)", 1)))
+      .withColumn("labels", split(col("host"), "\\."))
+      .withColumn("sufs",
+        transform(sequence(lit(0), size(col("labels")) - 2),
+          i => array_join(slice(col("labels"), i + 1, size(col("labels")) - i), ".")))
+      .withColumn("hit",
+        // try_element_at: ANSI mode throws on the empty (no-match) array
+        try_element_at(filter(col("sufs"), s => s.isin(BLOCKLIST: _*)), lit(1)))
+      .select(
+        col("url"), col("host"),
+        when(col("hit").isNotNull, lit(1L)).otherwise(lit(0L)).as("blocked"),
+        coalesce(col("hit"), lit("")).as("matched"))
+      .orderBy("url")
+  }
+
+  val exBlocklistSql: String = {
+    val bl = BLOCKLIST.map(b => s"'$b'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT url,
+       |         CAST(coalesce(nullif(regexp_extract(url, '-([0-9]+)$$', 1), ''), '0')
+       |              AS BIGINT) % 4 AS k
+       |  FROM $D),
+       |h AS (
+       |  SELECT url,
+       |         (CASE k WHEN 1 THEN 'cdn.' WHEN 2 THEN 'a.b.'
+       |                 WHEN 3 THEN 'tracker.' ELSE '' END)
+       |           || regexp_extract(url, '^https?://([^/:]+)', 1) AS host
+       |  FROM d),
+       |l AS (SELECT url, host, string_split(host, '.') labels FROM h),
+       |sfx AS (
+       |  SELECT url, host,
+       |         [array_to_string(labels[i+1:], '.')
+       |          for i in generate_series(0, len(labels) - 2)] sufs
+       |  FROM l),
+       |m AS (
+       |  SELECT url, host,
+       |         list_filter(sufs, s -> s IN ($bl))[1] hit
+       |  FROM sfx)
+       |SELECT url, host,
+       |       CAST(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) blocked,
+       |       coalesce(hit, '') matched
+       |FROM m ORDER BY url""".stripMargin
+  }
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ex_blocklist" -> (exBlocklist _),
+    "ex_links" -> (exLinks _),
     "ex_urlnorm" -> (exUrlNorm _),
     "ex_classify" -> (exClassify _),
     "ex_lines" -> (exLines _),
@@ -412,6 +538,8 @@ object ExtractOracle {
   )
 
   def oracles: Map[String, String] = Map(
+    "ex_blocklist" -> exBlocklistSql,
+    "ex_links" -> exLinksSql,
     "ex_urlnorm" -> exUrlNormSql,
     "ex_classify" -> exClassifySql,
     "ex_lines" -> exLinesSql,

@@ -17,10 +17,12 @@ object OracleCorpus {
   val DIR = "/root/repo/target/oracle-corpus"
   val BLOCKS = s"$DIR/blocks"
   val DOCS = s"$DIR/docs"
+  val HTML = s"$DIR/html"
   val N_PAGES = 1500L
 
   val BLOCKS_PQ = s"read_parquet('$BLOCKS/*.parquet')"
   val DOCS_PQ = s"read_parquet('$DOCS/*.parquet')"
+  val HTML_PQ = s"read_parquet('$HTML/*.parquet')"
 
   @volatile private var done = false
 
@@ -83,6 +85,15 @@ object OracleCorpus {
         .write.mode("overwrite").parquet(BLOCKS)
       Extract.extract(pages)
         .write.mode("overwrite").parquet(DOCS)
+      // decoded-html artifact: the SHARED input for queries where DuckDB
+      // independently re-implements a parse over the page markup (link
+      // extraction) — DuckDB cannot run the charset decode, so the decode
+      // (golden-pinned elsewhere) is materialized and both engines start
+      // from the same string
+      import org.apache.spark.sql.functions.col
+      pages.toDF()
+        .select(col("url"), graft.functions.exprs.decodeSniff(col("html")).as("html_str"))
+        .write.mode("overwrite").parquet(HTML)
       pages.unpersist()
       writeMarker(marker, s)
     }
@@ -98,5 +109,10 @@ object OracleCorpus {
   def docs(spark: SparkSession): org.apache.spark.sql.DataFrame = {
     ensure(spark)
     spark.read.parquet(DOCS)
+  }
+
+  def htmlStrs(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    ensure(spark)
+    spark.read.parquet(HTML)
   }
 }

@@ -188,4 +188,28 @@ class HtmlBlocksSpec extends AnyFunSuite {
     // and the full pipeline extracts it
     assert(texts(Charset.decode(le)) == Vector("utf16 text déjà"))
   }
+  test("links scanner: hrefs, implied close, comments/rawtext skipped, entities decoded") {
+    import graft.operators.Links
+    def ex(h: String) = Links.extract(h).map(l => (l.seq, l.href, l.anchor))
+    // plain anchors in document order
+    assert(ex("""<p><a href="/x">One</a> mid <a href='/y'>Two words</a></p>""") ==
+      Vector((0, "/x", "One"), (1, "/y", "Two words")))
+    // unquoted href; extra attributes before/after; self-closing noise
+    assert(ex("""<a rel=nofollow href=/bare target="_b">t</a>""") ==
+      Vector((0, "/bare", "t")))
+    // href-less anchor emits nothing; new <a> implies closing the previous
+    assert(ex("""<a>skip</a><a href="/a">first<a href="/b">second</a>""") ==
+      Vector((0, "/a", "first"), (1, "/b", "second")))
+    // comments and rawtext never produce edges or anchor text
+    assert(ex("""<!-- <a href="/no">x</a> --><script>var a='<a href="/no2">y</a>'</script>
+      <a href="/yes">ok <!-- gone --> fine</a>""") ==
+      Vector((0, "/yes", "ok fine")))
+    // entities decode in anchor text, not in href; EOF flushes an open anchor
+    assert(ex("""<a href="/amp?a=1&amp;b=2">Fish &amp; chips""") ==
+      Vector((0, "/amp?a=1&amp;b=2", "Fish & chips")))
+    // whitespace (incl. nbsp) collapses and trims
+    assert(ex("<a href=\"/w\">  a&nbsp; b\n c  </a>") == Vector((0, "/w", "a b c")))
+    // nested inline markup contributes its text
+    assert(ex("""<a href="/n"><b>bold</b> tail</a>""") == Vector((0, "/n", "bold tail")))
+  }
 }
