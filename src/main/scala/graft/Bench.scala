@@ -33,7 +33,7 @@ object Bench {
     "q1_agg", "q3_join", "q_window", "q_range_join", "q_distinct",
     "q_topk_per_key", "q_sessionize", "q_interval_join",
     "dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_contam",
-    "dd_components", "dd_lines", "ta_gopher",
+    "dd_components", "dd_lines", "dd_substr", "ta_gopher",
     "sim_knn", "sim_ivf", "dd_embed_cos", "ta_quality", "ta_tokens", "ta_ngrams",
     "ta_tfidf", "ta_pii", "q_funnel",
     "st_session"
