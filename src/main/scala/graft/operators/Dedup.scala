@@ -358,6 +358,111 @@ object Dedup {
        |            AS BIGINT) AS simhash16
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- simhash hamming-distance near-dup pairing ---------------------------
+
+  /** Max hamming distance for a 64-bit simhash near-dup pair (Manku et al.
+    * 2007 use k=3 at 64 bits for web-scale dedup).
+    */
+  private val HAM_MAX = 3
+
+  /** SimHash near-dup PAIRING — the hamming-space complement to the minhash
+    * band join (Manku/Charikar web dedup): each doc gets a 64-bit simhash
+    * (sign of the per-bit shingle vote; bit k taken from bit k%4 of hex
+    * digit k/4 of md5(shingle) — ONE md5 per shingle), stored as FOUR
+    * 16-bit band values. By pigeonhole, two fingerprints within hamming
+    * [[HAM_MAX]]=3 agree on at least one of the 4 bands, so candidates meet
+    * in a band-value equi-join and the exact popcount distance filters —
+    * never a quadratic fingerprint cross join. Identical copies (every 10th
+    * doc) land at hamming 0; single-token mutations (every 7th, ' mutato'
+    * appended) land at small nonzero hamming — both planted.
+    *
+    * Scale shape: band join on a 2^16-value key per band — collisions of
+    * non-near fingerprints are ~df²/65536 per band (rare, AQE-splittable);
+    * the fingerprint table is 4 longs/doc.
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val aug = d
+      .unionByName(d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+        .withColumn("text", concat(col("text"), lit(" mutato"))))
+    val sh = shingleIndex(aug).withColumn("h", md5(col("shingle")))
+    val bits = sh
+      .withColumn("k", explode(sequence(lit(0), lit(63))))
+      .withColumn("digit",
+        conv(col("h").substr(expr("CAST(k div 4 AS INT) + 1"), lit(1)), 16, 10)
+          .cast("long"))
+      .withColumn("bit", expr("shiftright(digit, CAST(k % 4 AS INT)) & 1"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(sum(when(col("bit") === 1, 1L).otherwise(-1L)).as("s"))
+    val fp = bits
+      .groupBy(col("doc_id"), expr("k div 16").as("band"))
+      .agg(sum(when(col("s") >= 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(k % 16 AS INT))")).otherwise(0L)).as("b"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("band") === 0, col("b")).otherwise(0L)).as("b0"),
+        sum(when(col("band") === 1, col("b")).otherwise(0L)).as("b1"),
+        sum(when(col("band") === 2, col("b")).otherwise(0L)).as("b2"),
+        sum(when(col("band") === 3, col("b")).otherwise(0L)).as("b3"))
+    val br = fp.select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "bv")))
+    val x = br.select(br.columns.map(c => col(c).as(s"x_$c")): _*)
+    val y = br.select(br.columns.map(c => col(c).as(s"y_$c")): _*)
+    x.join(y,
+        col("x_band") === col("y_band") && col("x_bv") === col("y_bv") &&
+          col("x_doc_id") < col("y_doc_id"))
+      .select(
+        col("x_doc_id").as("doc_a"), col("y_doc_id").as("doc_b"),
+        (expr("bit_count(x_b0 ^ y_b0) + bit_count(x_b1 ^ y_b1)") +
+          expr("bit_count(x_b2 ^ y_b2) + bit_count(x_b3 ^ y_b3)")).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= HAM_MAX)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+       |all_docs AS (
+       |  SELECT doc_id, text FROM d0
+       |  UNION ALL SELECT doc_id + 1000000, text FROM d0 WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 2000000, text || ' mutato' FROM d0 WHERE doc_id % 7 = 0),
+       |$SQL_SHINGLES,
+       |shh AS (SELECT doc_id, md5(shingle) h FROM sh),
+       |bits AS (
+       |  SELECT doc_id, k,
+       |         sum(CASE WHEN (CAST(('0x' || substr(h, CAST(k // 4 AS INT) + 1, 1)) AS BIGINT)
+       |                        >> CAST(k % 4 AS INT)) & 1 = 1
+       |                  THEN 1 ELSE -1 END) s
+       |  FROM shh, generate_series(0, 63) g(k) GROUP BY doc_id, k),
+       |bands AS (
+       |  SELECT doc_id, k // 16 AS band,
+       |         CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << CAST(k % 16 AS INT)
+       |                       ELSE 0 END) AS BIGINT) b
+       |  FROM bits GROUP BY doc_id, k // 16),
+       |fp AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN band = 0 THEN b ELSE 0 END) AS BIGINT) b0,
+       |         CAST(sum(CASE WHEN band = 1 THEN b ELSE 0 END) AS BIGINT) b1,
+       |         CAST(sum(CASE WHEN band = 2 THEN b ELSE 0 END) AS BIGINT) b2,
+       |         CAST(sum(CASE WHEN band = 3 THEN b ELSE 0 END) AS BIGINT) b3
+       |  FROM bands GROUP BY doc_id),
+       |br AS (
+       |  SELECT doc_id, b0, b1, b2, b3, band,
+       |         (CASE band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END) bv
+       |  FROM fp, generate_series(0, 3) g(band)),
+       |p AS (
+       |  SELECT x.doc_id doc_a, y.doc_id doc_b,
+       |         CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+       |            + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) hamming
+       |  FROM br x JOIN br y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT DISTINCT doc_a, doc_b, hamming FROM p
+       |WHERE hamming <= $HAM_MAX ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- fuzzy string matching (blocked levenshtein join) ------------------
 
   /** Fuzzy entity matching: distinct part-name pairs within edit distance 3,
@@ -739,6 +844,7 @@ object Dedup {
     "dd_ngram_jaccard" -> (ngramJaccard _),
     "dd_minhash_lsh" -> (minhashLsh _),
     "dd_simhash" -> (simhash _),
+    "dd_simhash_pairs" -> (simhashPairs _),
     "dd_components" -> (components _)
   )
 
@@ -753,6 +859,7 @@ object Dedup {
     "dd_ngram_jaccard" -> ngramJaccardSql,
     "dd_minhash_lsh" -> minhashLshSql,
     "dd_simhash" -> simhashSql,
+    "dd_simhash_pairs" -> simhashPairsSql,
     "dd_components" -> componentsSql
   )
 }

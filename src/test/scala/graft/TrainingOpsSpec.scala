@@ -466,6 +466,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(all == 2, s"expected 2 exchanges:\n$plan")
   }
 
+  test("simhash pairs: identical copies at hamming 0, pigeonhole band recall is total") {
+    val rows = Dedup.simhashPairs(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every identical planted copy (base X vs copy X+1000000) appears at
+    // hamming 0 — banding can NEVER miss a within-HAM_MAX pair (pigeonhole:
+    // 4 bands, <= 3 differing bits)
+    val d = spark.read.parquet(s"$SF/documents.parquet")
+    val withShingles = d.filter(col("doc_id") % 10 === 0)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select("doc_id").collect().map(_.getLong(0))
+    withShingles.foreach { id =>
+      assert(rows.exists(p => p._1 == id && p._2 == id + 1000000L && p._3 == 0L),
+        s"identical pair for doc $id missing")
+    }
+    // hamming is symmetric-canonical and bounded
+    rows.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 3) }
+  }
+
   test("substring cut: spans removed, remainder preserved, totals reconcile") {
     val r = Dedup.substrCut(spark, SF).collect()
     assert(r.nonEmpty)
