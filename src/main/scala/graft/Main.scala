@@ -149,16 +149,20 @@ object Main {
           return
         case "curate" | "curate-dir" =>
           // the full curation pipeline:
-          //   curate <nPages> <outDir> [seed]      (synthetic corpus)
-          //   curate-dir <pagesDir> <outDir>        (staged pages table)
+          //   curate <nPages> <outDir> [seed] [cut-spans]   (synthetic corpus)
+          //   curate-dir <pagesDir> <outDir> [cut-spans]     (staged pages table)
+          // `cut-spans` switches on the opt-in EXACTSUBSTR duplicated-span
+          // cut between line dedup and the quality gate
           import spark.implicits._
+          val cutSpans = args.contains("cut-spans")
           val input =
             if (args(0) == "curate") {
-              val seed = if (args.length > 3) args(3).toLong else Corpus.DEFAULT_SEED
+              val seed = if (args.length > 3 && args(3) != "cut-spans") args(3).toLong
+                         else Corpus.DEFAULT_SEED
               Corpus.pages(spark, args(1).toLong, seed)
             } else spark.read.schema(Model.PAGES).parquet(args(1)).as[Page]
           val t0 = System.nanoTime()
-          val rep = graft.operators.Curate.run(spark, input, args(2))
+          val rep = graft.operators.Curate.run(spark, input, args(2), cutSpans)
           val dt = (System.nanoTime() - t0) / 1e9
           println(f"  extracted        ${rep.extracted}%8d")
           println(f"  non-empty        ${rep.nonEmpty}%8d")

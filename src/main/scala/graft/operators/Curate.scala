@@ -32,7 +32,15 @@ object Curate {
   val MAX_DUP_LINE_X1000 = 300L
   val MAX_TOP_BIGRAM_X1000 = 200L
 
-  def run(spark: SparkSession, pages: Dataset[Page], outDir: String): Report = {
+  /** @param cutSpans opt-in EXACTSUBSTR stage (Lee et al. 2022): after line
+    *                  dedup, every corpus-wide duplicated >= 8-token span is
+    *                  cut from its documents before the quality gate judges
+    *                  the remainder. Off by default — it adds two exchanges
+    *                  of the gram table (see [[Dedup.substrOver]]) and the
+    *                  measured funnel in BENCH.md is the default pipeline.
+    */
+  def run(spark: SparkSession, pages: Dataset[Page], outDir: String,
+          cutSpans: Boolean = false): Report = {
     import org.apache.spark.sql.expressions.Window
     def timed[T](stage: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -52,9 +60,22 @@ object Curate {
     // C4 corpus-level line dedup: boilerplate lines keep one occurrence
     val deduped = Dedup.lineDedupOver(nonEmpty.select(col("url"), col("text")))
       .select(col("url"), col("text_dedup"))
-    val withText = nonEmpty.drop("text")
+    val withText0 = nonEmpty.drop("text")
       .join(deduped, Seq("url"))
       .withColumnRenamed("text_dedup", "text")
+
+    // optional EXACTSUBSTR span cut: corpus-wide duplicated spans removed,
+    // document remainders kept (the cut text then faces the quality gate)
+    val withText =
+      if (!cutSpans) withText0
+      else {
+        val cut = Dedup.substrCutOver(
+          withText0.select(col("url").as("doc_id"), col("text")))
+          .select(col("doc_id").as("url"), col("text_cut"))
+        withText0.drop("text")
+          .join(cut, Seq("url"))
+          .withColumnRenamed("text_cut", "text")
+      }
 
     // Gopher repetition signals + length gate, as verdict columns
     val signals = TextAnalysis.gopherSignals(withText.select(col("url"), col("text")))

@@ -763,12 +763,23 @@ object Dedup {
     * and broadcasts in production; the token drop is a per-row indexed
     * lambda.
     */
-  def substrCut(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val spans = substrOver(docs)
+  def substrCut(spark: SparkSession, sfDir: String): DataFrame =
+    substrCutOver(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .select(
+        col("doc_id"), col("n_tok"), col("n_kept"), col("n_cut"),
+        md5(col("text_cut").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** Core of [[substrCut]] over any (doc_id, text) frame (doc_id of any
+    * type — [[Curate]] keys by url): returns the CLEANED text plus token
+    * accounting. Tokens are space-split, so newlines embedded in tokens
+    * survive reassembly byte-identically.
+    */
+  private[graft] def substrCutOver(d: DataFrame): DataFrame = {
+    val spans = substrOver(d)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
-    docs
+    d
       .select(col("doc_id"), Toks.tokens(col("text")).as("t"))
       .join(spans, Seq("doc_id"), "left")
       .withColumn("sp",
@@ -783,8 +794,7 @@ object Dedup {
         size(col("t")).cast("long").as("n_tok"),
         size(col("kept")).cast("long").as("n_kept"),
         (size(col("t")) - size(col("kept"))).cast("long").as("n_cut"),
-        md5(array_join(col("kept"), " ").cast("binary")).as("clean_md5"))
-      .orderBy("doc_id")
+        array_join(col("kept"), " ").as("text_cut"))
   }
 
   val substrCutSql: String = {

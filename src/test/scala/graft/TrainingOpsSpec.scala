@@ -571,4 +571,28 @@ class TrainingOpsSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("curate with cut-spans: duplicated spans removed before the gate, deterministic") {
+    val base = java.nio.file.Files.createTempDirectory("curate-base").toString
+    val cut = java.nio.file.Files.createTempDirectory("curate-cut").toString
+    val repBase = Curate.run(spark, graft.sources.Corpus.pages(spark, 300), base)
+    val repCut = Curate.run(spark, graft.sources.Corpus.pages(spark, 300), cut,
+      cutSpans = true)
+    assert(repBase.extracted == repCut.extracted &&
+      repBase.nonEmpty == repCut.nonEmpty)
+    // the cut only ever removes tokens: total token mass strictly shrinks
+    // (the synthetic chrome guarantees cross-page duplicated >= 8-gram runs)
+    def mass(dir: String): Long = spark.read.parquet(dir)
+      .agg(sum(col("n_tok"))).collect().head.getLong(0)
+    assert(mass(cut) < mass(base), s"${mass(cut)} !< ${mass(base)}")
+    // after one cut pass, the written corpus carries no corpus-wide
+    // duplicated 8-token span (word-salad corpus: seams create none)
+    val residual = graft.operators.Dedup.substrOver(
+      spark.read.parquet(cut).select(col("url").as("doc_id"), col("text"))).count()
+    assert(residual == 0L, s"residual duplicated spans: $residual")
+    // deterministic rerun
+    val cut2 = java.nio.file.Files.createTempDirectory("curate-cut2").toString
+    assert(Curate.run(spark, graft.sources.Corpus.pages(spark, 300), cut2,
+      cutSpans = true) == repCut)
+  }
 }
