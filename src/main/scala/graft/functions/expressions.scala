@@ -83,12 +83,8 @@ case class DecodeEntities(child: Expression) extends UnaryExpression {
 case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.NfcNormalize.nfc($c)")

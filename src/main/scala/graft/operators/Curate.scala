@@ -65,16 +65,24 @@ object Curate {
       .withColumnRenamed("text_dedup", "text")
 
     // optional EXACTSUBSTR span cut: corpus-wide duplicated spans removed,
-    // document remainders kept (the cut text then faces the quality gate)
+    // document remainders kept (the cut text then faces the quality gate).
+    // The cut result lands as a parquet artifact like the extract stage:
+    // the verdict pass consumes withText twice (signals + judged), and
+    // without the artifact each consumer would re-run the gram pipeline
+    // AND the line-dedup join chain
     val withText =
       if (!cutSpans) withText0
       else {
-        val cut = Dedup.substrCutOver(
-          withText0.select(col("url").as("doc_id"), col("text")))
-          .select(col("doc_id").as("url"), col("text_cut"))
-        withText0.drop("text")
-          .join(cut, Seq("url"))
-          .withColumnRenamed("text_cut", "text")
+        val cutDir = s"$outDir-cut"
+        timed("cut-spans") {
+          val cut = Dedup.substrCutOver(
+            withText0.select(col("url").as("doc_id"), col("text")))
+            .select(col("doc_id").as("url"), col("text_cut").as("text"))
+          withText0.drop("text")
+            .join(cut, Seq("url"))
+            .write.mode("overwrite").parquet(cutDir)
+        }
+        spark.read.parquet(cutDir)
       }
 
     // Gopher repetition signals + length gate, as verdict columns

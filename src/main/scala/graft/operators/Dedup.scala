@@ -382,9 +382,9 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
-    val aug = d
-      .unionByName(d.filter(col("doc_id") % 10 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L))
+    // identical %10 copies from the shared planting helper; this query adds
+    // the mutated %7 branch (nonzero-hamming positives)
+    val aug = docsWithDups(spark, sfDir)
       .unionByName(d.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 2000000L)
         .withColumn("text", concat(col("text"), lit(" mutato"))))

@@ -408,11 +408,12 @@ object ExtractOracle {
     * extraction, sharing only the golden-pinned charset decode.
     *
     * Oracle-equivalence precondition (documented, corpus-guaranteed): every
-    * synthetic anchor is `<a href="...">plain text</a>` — double-quoted
-    * href, no nested markup, no entities or '<' in anchor text, never inside
-    * comments/rawtext (where the regex would see edges the scanner rightly
-    * skips). Real-web divergences are covered by the scanner's unit tests,
-    * not the oracle.
+    * synthetic anchor is `<a href="...">plain text</a>` — NON-EMPTY
+    * double-quoted href (the scanner drops href="" anchors; the regex would
+    * match them and shift every later seq), no nested markup, no entities
+    * or '<' in anchor text, never inside comments/rawtext (where the regex
+    * would see edges the scanner rightly skips). Real-web divergences are
+    * covered by the scanner's unit tests, not the oracle.
     *
     * Scale shape: per-row flatMap, zero exchanges before the presentation
     * sort; at 100 TB the edge list feeds host-graph rollups/PageRank on a
@@ -479,9 +480,14 @@ object ExtractOracle {
             .otherwise(lit("")),
           regexp_extract(col("url"), "^https?://([^/:]+)", 1)))
       .withColumn("labels", split(col("host"), "\\."))
+      // guard: a single-label (or regex-missed '') host has NO >=2-label
+      // suffixes — sequence(0,-1) would otherwise run DESCENDING in Spark
+      // and slice(.., 0, ..) throws; DuckDB's generate_series(0,-1) is empty
       .withColumn("sufs",
-        transform(sequence(lit(0), size(col("labels")) - 2),
-          i => array_join(slice(col("labels"), i + 1, size(col("labels")) - i), ".")))
+        when(size(col("labels")) >= 2,
+          transform(sequence(lit(0), size(col("labels")) - 2),
+            i => array_join(slice(col("labels"), i + 1, size(col("labels")) - i), ".")))
+          .otherwise(array().cast("array<string>")))
       .withColumn("hit",
         // try_element_at: ANSI mode throws on the empty (no-match) array
         try_element_at(filter(col("sufs"), s => s.isin(BLOCKLIST: _*)), lit(1)))

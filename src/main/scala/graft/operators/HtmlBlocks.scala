@@ -48,7 +48,7 @@ object HtmlBlocks {
     "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
     "meta", "param", "source", "track", "wbr"
   )
-  private val RAWTEXT = Set("script", "style", "textarea", "title")
+  private[operators] val RAWTEXT = Set("script", "style", "textarea", "title")
   // content inside these contributes no text at all
   private val DROP = Set(
     "script", "style", "noscript", "template", "head", "title", "textarea",
@@ -400,7 +400,7 @@ object HtmlBlocks {
   private def isNameChar(c: Char): Boolean =
     isNameStart(c) || (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
 
-  private def indexOfIgnoreCase(s: String, sub: String, from: Int): Int = {
+  private[operators] def indexOfIgnoreCase(s: String, sub: String, from: Int): Int = {
     val n = s.length
     val m = sub.length
     var i = math.max(from, 0)

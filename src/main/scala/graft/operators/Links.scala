@@ -25,7 +25,6 @@ object Links {
 
   final case class Link(seq: Int, href: String, anchor: String)
 
-  private val RAWTEXT = Set("script", "style", "textarea", "title", "xmp")
 
   def extract(html: String): Vector[Link] = {
     val s = html
@@ -143,8 +142,8 @@ object Links {
           if (tag == "a") {
             flush() // implied close of a previous open anchor
             if (hrefAttr.nonEmpty) { inAnchor = true; href = hrefAttr }
-          } else if (RAWTEXT.contains(tag)) {
-            val closeAt = indexOfIgnoreCase(s, "</" + tag, i)
+          } else if (HtmlBlocks.RAWTEXT.contains(tag)) {
+            val closeAt = HtmlBlocks.indexOfIgnoreCase(s, "</" + tag, i)
             if (closeAt < 0) i = n
             else {
               var k = closeAt + 2 + tag.length
@@ -174,15 +173,4 @@ object Links {
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
   private def isNameChar(c: Char): Boolean =
     isNameStart(c) || (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
-
-  private def indexOfIgnoreCase(s: String, sub: String, from: Int): Int = {
-    val n = s.length
-    val m = sub.length
-    var i = math.max(from, 0)
-    while (i + m <= n) {
-      if (s.regionMatches(true, i, sub, 0, m)) return i
-      i += 1
-    }
-    -1
-  }
 }
