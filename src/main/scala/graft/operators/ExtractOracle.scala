@@ -444,6 +444,43 @@ object ExtractOracle {
       |SELECT url, seq, href, anchor FROM e ORDER BY url, seq""".stripMargin
   }
 
+  // ---- page-metadata extraction (title / lang / declared charset) ----------
+
+  /** Head-section metadata per page — the crawl-index fields beside the
+    * extracted text: `<title>` (RCDATA the block tokenizer deliberately
+    * skips), the `<html lang>` attribute, and the declared charset label.
+    * Runs the [[Meta]] scanner over the materialized decode; the DuckDB
+    * oracle re-extracts all three fields with INDEPENDENT regexps over the
+    * identical strings.
+    *
+    * Oracle-equivalence preconditions (corpus-guaranteed, documented):
+    * lowercase head markup, titles single-spaced without entities or '<',
+    * metas never inside comments, and 'charset=' appears only in the meta
+    * declaration. Real-web divergences (entities in titles, commented-out
+    * metas, mixed case) are the scanner's unit-test territory.
+    */
+  def exMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    OracleCorpus.htmlStrs(spark)
+      .select(col("url"), col("html_str"))
+      .as[(String, String)]
+      .map { case (url, h) =>
+        val m = Meta.extract(h)
+        (url, m.title, m.langAttr, m.charsetLabel)
+      }
+      .toDF("url", "title", "lang_attr", "cs_label")
+      .orderBy("url")
+  }
+
+  val exMetaSql: String = {
+    val H = OracleCorpus.HTML_PQ
+    s"""SELECT url,
+       |       regexp_extract(html_str, '<title>([^<]*)</title>', 1) title,
+       |       regexp_extract(html_str, '<html lang="([^"]*)"', 1) lang_attr,
+       |       regexp_extract(html_str, 'charset="?([a-z0-9_.:-]+)', 1) cs_label
+       |FROM $H ORDER BY url""".stripMargin
+  }
+
   // ---- domain-suffix blocklist filter ---------------------------------------
 
   /** Blocked registrable-domain suffixes for [[exBlocklist]]: an exact host,
@@ -531,6 +568,7 @@ object ExtractOracle {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ex_blocklist" -> (exBlocklist _),
+    "ex_meta" -> (exMeta _),
     "ex_links" -> (exLinks _),
     "ex_urlnorm" -> (exUrlNorm _),
     "ex_classify" -> (exClassify _),
@@ -545,6 +583,7 @@ object ExtractOracle {
 
   def oracles: Map[String, String] = Map(
     "ex_blocklist" -> exBlocklistSql,
+    "ex_meta" -> exMetaSql,
     "ex_links" -> exLinksSql,
     "ex_urlnorm" -> exUrlNormSql,
     "ex_classify" -> exClassifySql,

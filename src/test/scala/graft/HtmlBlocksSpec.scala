@@ -212,4 +212,24 @@ class HtmlBlocksSpec extends AnyFunSuite {
     // nested inline markup contributes its text
     assert(ex("""<a href="/n"><b>bold</b> tail</a>""") == Vector((0, "/n", "bold tail")))
   }
+  test("meta scanner: title RCDATA, lang attr, charset forms, comments skipped") {
+    import graft.operators.Meta
+    def m(h: String) = Meta.extract(h)
+    val full = m("""<!DOCTYPE html><html lang="de"><head><title> Fish &amp;  Chips </title>""" +
+      """<meta charset="utf-8"></head><body>x</body></html>""")
+    assert(full == Meta.PageMeta("Fish & Chips", "de", "utf-8"))
+    // legacy http-equiv form; attribute order and case-insensitive equiv value
+    val legacy = m("""<html lang="fr"><head><title>T</title>""" +
+      """<meta content="text/html; charset=ISO-8859-1" http-equiv="Content-Type"></head>""")
+    assert(legacy == Meta.PageMeta("T", "fr", "iso-8859-1"))
+    // commented-out meta/title never win; first real occurrence does
+    val commented = m("""<head><!-- <title>no</title><meta charset="no"> -->""" +
+      """<title>yes</title><meta charset="utf-8"></head>""")
+    assert(commented == Meta.PageMeta("yes", "", "utf-8"))
+    // unterminated title yields no title; missing fields stay empty
+    assert(m("<html><head><title>dangling") == Meta.PageMeta("", "", ""))
+    // meta without charset info is ignored; description et al. pass through
+    assert(m("""<meta name="description" content="d"><meta charset="gbk">""")
+      == Meta.PageMeta("", "", "gbk"))
+  }
 }
