@@ -27,15 +27,16 @@ object Bench {
     * Lloyd-refined IVF (both multi-job shapes worth tracking), then the
     * late-round scale stories: tf-idf (broadcast df + TopKPerKey),
     * sessionization (single-exchange window stack), and the bucketized
-    * no-equi-key interval join.
+    * no-equi-key interval join; the fifth batch adds the bloom-reduced
+    * incremental dedup and the inverted-index conjunctive search.
     */
   private val HEADLINE = Seq(
     "q1_agg", "q3_join", "q_window", "q_range_join", "q_distinct",
     "q_topk_per_key", "q_sessionize", "q_interval_join",
     "dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_contam",
-    "dd_components", "dd_lines", "dd_substr", "ta_gopher",
+    "dd_components", "dd_lines", "dd_substr", "dd_bloom", "ta_gopher",
     "sim_knn", "sim_ivf", "dd_embed_cos", "ta_quality", "ta_tokens", "ta_ngrams",
-    "ta_tfidf", "ta_pii", "q_funnel",
+    "ta_tfidf", "ta_pii", "ta_search", "q_funnel",
     "st_session"
   )
 

@@ -651,6 +651,72 @@ object Dedup {
       |       (NOT seen AND rn = 1) AS kept
       |FROM keep ORDER BY doc_id""".stripMargin
 
+  // ---- bloom-pre-filtered incremental dedup --------------------------------
+
+  /** Bloom-filter semi-join reduction of incremental dedup — the missing
+    * half of [[incremental]]'s scale story. There, the HISTORY side (every
+    * fingerprint ever ingested — the trillion-row side at 100 TB) shuffles
+    * in full for the join. Here the ingest BATCH (the small side: one day's
+    * crawl) aggregates into a fixed-size bloom filter executor-side; the one
+    * bounded row returns to the driver and re-broadcasts as a foldable
+    * binary literal, and the giant history scan is pre-filtered MAP-SIDE by
+    * `might_contain` — only fingerprints the bloom admits (true batch
+    * matches + the fpp sliver) ever reach history's distinct/shuffle, so the
+    * exchanged volume scales with the BATCH, not the accumulated corpus.
+    *
+    * Output is EXACT and bloom-parameter-independent: false negatives are
+    * impossible (every real match passes the filter), and false positives
+    * die in the exact equi-join that follows. This is the manual form of the
+    * runtime bloom-filter pruning pinned in ScaleSurfaceSpec (O6), built
+    * from the same native codegen'd expressions the optimizer injects
+    * (BloomFilterAggregate / BloomFilterMightContain via xxhash64) — no
+    * Scala UDF, no closure serialization.
+    */
+  def bloomIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64, BloomFilterMightContain}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.GraftShim
+    import org.apache.spark.sql.types.BinaryType
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hist = docs.filter(col("doc_id") < 400)
+      .select(md5(col("text")).as("fp")) // the giant side (not yet distinct)
+    val batch = docs.filter(col("doc_id") >= 400)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"), md5(col("text")).as("fp")))
+
+    val bloomAgg = GraftShim.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(GraftShim.catalystExpression(col("fp")))),
+        Literal(4096L), Literal(1L << 15)).toAggregateExpression())
+    val bloomBytes = batch.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = GraftShim.column(new BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      new XxHash64(Seq(GraftShim.catalystExpression(col("fp"))))))
+
+    val candidates = hist.filter(mightContain).distinct()
+      .withColumn("seen", lit(true))
+    batch.join(candidates, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("seen"), lit(false)).as("dup_of_history"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle never sees the bloom: it IS the plain exact join — agreement
+    * proves the pre-filter changed nothing but the exchanged volume.
+    */
+  val bloomIncrSql: String =
+    """WITH hist AS (
+      |  SELECT DISTINCT md5(text) fp FROM documents WHERE doc_id < 400),
+      |batch AS (
+      |  SELECT doc_id, md5(text) fp FROM documents WHERE doc_id >= 400
+      |  UNION ALL
+      |  SELECT doc_id + 100000000, md5(text) FROM documents WHERE doc_id % 50 = 0)
+      |SELECT b.doc_id, b.fp, (h.fp IS NOT NULL) AS dup_of_history
+      |FROM batch b LEFT JOIN hist h ON b.fp = h.fp
+      |ORDER BY doc_id""".stripMargin
+
   // ---- exact duplicated-substring spans (suffix-dedup shape) --------------
 
   /** Token-gram length for duplicated-span detection: a span counts as
@@ -847,6 +913,7 @@ object Dedup {
     "dd_substr" -> (substr _),
     "dd_substr_cut" -> (substrCut _),
     "dd_incr" -> (incremental _),
+    "dd_bloom" -> (bloomIncr _),
     "dd_lines" -> (lineDedup _),
     "dd_fuzzy" -> (fuzzy _),
     "dd_exact" -> (exact _),
@@ -862,6 +929,7 @@ object Dedup {
     "dd_substr" -> substrSql,
     "dd_substr_cut" -> substrCutSql,
     "dd_incr" -> incrementalSql,
+    "dd_bloom" -> bloomIncrSql,
     "dd_lines" -> lineDedupSql,
     "dd_fuzzy" -> fuzzySql,
     "dd_exact" -> exactSql,

@@ -1194,6 +1194,55 @@ object Relational {
       |FROM e JOIN w ON es >= ws AND es < we
       |GROUP BY 1 ORDER BY wid""".stripMargin
 
+  // ---- Z-order clustering profile (layout optimization) ------------------
+
+  /** Z-order (Morton curve) clustering profile — the OPTIMIZE ZORDER BY
+    * layout job in miniature: interleave the bits of two independent query
+    * dimensions (customer, order day) into one key, cut the keyspace into
+    * fixed z-range "files", and emit each file's per-dimension min/max —
+    * the file-skipping stats table a lakehouse scan prunes with. Because the
+    * curve preserves locality in BOTH dimensions, every file covers a narrow
+    * x-range AND a narrow y-range, so predicates on EITHER dimension skip
+    * most files (a single-column sort gives the second dimension world-wide
+    * ranges). The bit interleave is one per-row integer fold (codegen'd,
+    * exact in both engines); file assignment quantizes z directly (`z div
+    * 2^16`), so the whole profile is map-side + one ≤256-group partial agg —
+    * no global sort, no skew surface. The production rewrite job would
+    * `repartitionByRange($"z")` and write; the stats here are what its file
+    * footer min/maxes would contain.
+    */
+  def qZorder(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .withColumn("x", pmod(col("o_custkey"), lit(65536L)))
+      .withColumn("y",
+        pmod(datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long"), lit(65536L)))
+      .withColumn("z", expr(
+        "aggregate(sequence(0, 15), 0L, (acc, i) -> acc" +
+          " + shiftleft((x div shiftleft(1L, i)) % 2, 2*i)" +
+          " + shiftleft((y div shiftleft(1L, i)) % 2, 2*i+1))"))
+      .withColumn("file_id", expr("z div 65536"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .orderBy("file_id")
+
+  val qZorderSql: String =
+    """WITH b AS (
+      |  SELECT o_custkey % 65536 AS x,
+      |         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 65536 AS y
+      |  FROM orders),
+      |zt AS (
+      |  SELECT x, y,
+      |         CAST(list_sum([(((x // (1::BIGINT << i)) % 2) << (2*i)) +
+      |                        (((y // (1::BIGINT << i)) % 2) << (2*i+1))
+      |                        for i in generate_series(0, 15)]) AS BIGINT) AS z
+      |  FROM b)
+      |SELECT z // 65536 AS file_id, CAST(count(*) AS BIGINT) n,
+      |       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+      |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- fixed-width histogram (distribution profiling) --------------------
 
   /** 16-bucket equi-width histogram of lineitem price cents with per-bucket
@@ -1769,6 +1818,7 @@ object Relational {
     "q_sessionize" -> (qSessionize _),
     "q_bag_ops" -> (qBagOps _),
     "q_histogram" -> (qHistogram _),
+    "q_zorder" -> (qZorder _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_locf" -> (qLocf _),
     "q_pagerank" -> (qPagerank _),
@@ -1828,6 +1878,7 @@ object Relational {
     "q_sessionize" -> qSessionizeSql,
     "q_bag_ops" -> qBagOpsSql,
     "q_histogram" -> qHistogramSql,
+    "q_zorder" -> qZorderSql,
     "q_interval_join" -> qIntervalJoinSql,
     "q_locf" -> qLocfSql,
     "q_pagerank" -> qPagerankSql,

@@ -1069,7 +1069,120 @@ object TextAnalysis {
 
   // ---- contract surface --------------------------------------------------
 
+  // ---- inverted-index conjunctive search ----------------------------------
+
+  /** The audit queries: fixed conjunctive term sets (a production system
+    * would read them from a table; the plan is identical — the query side
+    * broadcasts either way). `zebra` appears in no document, so the third
+    * query exercises empty-AND semantics.
+    */
+  private val SEARCH_QUERIES: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("scan", "merge", "window"),
+    "q2" -> Seq("key", "value"),
+    "q3" -> Seq("zebra", "scan"))
+
+  /** Conjunctive boolean retrieval over an inverted index — the IR primitive
+    * behind corpus audit tooling ("which docs contain ALL these terms, ranked
+    * by term frequency?"). The index is the per-doc term-frequency table; a
+    * doc matches iff its distinct matched-term count equals the query's term
+    * count. The tiny query table BROADCASTS onto the postings, so the corpus
+    * side shuffles exactly once — on (qid, doc_id) for a partial-agg count —
+    * and a hot term ('the' is in every doc) contributes one row per (query,
+    * doc), never a pairwise blowup. Per-query top-50 rides the bounded-heap
+    * TopKPerKey operator, so the final ranking never sorts the full hit list.
+    */
+  def search(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val queries = SEARCH_QUERIES
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t, ts.size.toLong)) }
+      .toDF("qid", "term", "n_terms")
+    val tf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(Toks.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val hits = tf.join(broadcast(queries), Seq("term"))
+      .groupBy("qid", "doc_id", "n_terms")
+      .agg(count(lit(1)).as("n_hit"), sum("tf").as("score"))
+      .filter(col("n_hit") === col("n_terms"))
+      .select("qid", "doc_id", "score")
+    graft.plans.TopK.perKey(
+      hits, Seq(col("qid")), Seq(col("score").desc, col("doc_id").asc), 50)
+      .orderBy(col("qid"), col("score").desc, col("doc_id"))
+  }
+
+  val searchSql: String = {
+    val values = SEARCH_QUERIES
+      .flatMap { case (qid, ts) => ts.map(t => s"('$qid', '$t', ${ts.size})") }
+      .mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(${Toks.SQL_TOKENS}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM t GROUP BY 1, 2),
+       |q(qid, term, n_terms) AS (VALUES $values),
+       |hits AS (
+       |  SELECT qid, doc_id, CAST(sum(tf) AS BIGINT) score
+       |  FROM tf JOIN q USING (term)
+       |  GROUP BY qid, doc_id, n_terms
+       |  HAVING count(*) = n_terms)
+       |SELECT qid, doc_id, score FROM hits
+       |QUALIFY row_number() OVER (PARTITION BY qid
+       |                           ORDER BY score DESC, doc_id) <= 50
+       |ORDER BY qid, score DESC, doc_id""".stripMargin
+  }
+
+  // ---- Dice collocations (BPE merge-candidate scoring) ---------------------
+
+  /** Adjacent-pair association strength — the statistic a BPE/WordPiece
+    * tokenizer trainer ranks merge candidates by, and the classic phrase-
+    * mining collocation score. Dice = 2·n(a,b)/(n(a)+n(b)), integer-scaled
+    * ×1e6 with `div` (no transcendental log as PMI needs, no float drift;
+    * monotone in the same direction for fixed unigram mass). Bigram and
+    * unigram counts partial-aggregate map-side; the unigram table (bounded by
+    * vocabulary, not corpus) BROADCASTS back onto the bigram counts twice —
+    * the corpus never shuffles more than once, on the bigram key. min-count
+    * n_ab ≥ 5 mirrors every published collocation pipeline (kills hapax
+    * noise) and keeps the broadcast join's output tiny before the global
+    * top-20 TakeOrdered.
+    */
+  def colloc(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Toks.tokens(col("text"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val uni = docs.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val nab = docs.select(
+        explode(zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    nab
+      .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_b"))), Seq("w2"))
+      .withColumn("dice_x1e6", expr("(2000000 * n_ab) div (n_a + n_b)"))
+      .select("w1", "w2", "n_ab", "n_a", "n_b", "dice_x1e6")
+      .orderBy(col("dice_x1e6").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val collocSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${Toks.SQL_TOKENS} t FROM documents),
+       |uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) n
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+       |bg AS (
+       |  SELECT t[i] AS w1, t[i+1] AS w2
+       |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+       |nab AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) n_ab FROM bg GROUP BY 1, 2
+       |  HAVING count(*) >= 5)
+       |SELECT w1, w2, n_ab, a.n AS n_a, b.n AS n_b,
+       |       (2000000 * n_ab) // (a.n + b.n) AS dice_x1e6
+       |FROM nab JOIN uni a ON nab.w1 = a.w JOIN uni b ON nab.w2 = b.w
+       |ORDER BY dice_x1e6 DESC, w1, w2 LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_search" -> (search _),
+    "ta_colloc" -> (colloc _),
     "ta_nfc" -> (nfc _),
     "ta_langid" -> (langid _),
     "ta_pii" -> (pii _),
@@ -1093,6 +1206,8 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_search" -> searchSql,
+    "ta_colloc" -> collocSql,
     "ta_nfc" -> nfcSql,
     "ta_langid" -> langidSql,
     "ta_pii" -> piiSql,
