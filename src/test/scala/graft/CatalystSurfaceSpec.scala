@@ -436,4 +436,51 @@ class CatalystSurfaceSpec extends AnyFunSuite {
       assert(all == 1, s"only the presentation orderBy may shuffle:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("dd_bloom plan: might_contain pre-filters the history scan below its distinct exchange") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.Dedup.bloomIncr(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), s"bloom filter absent from plan:\n$plan")
+      // the might_contain Filter must sit in the history branch's SCAN
+      // subtree, i.e. strictly below the distinct HashAggregate — the plan
+      // prints top-down, so the filter line appears after the first
+      // fp-keyed aggregate line
+      val aggIdx = plan.indexOf("HashAggregate(keys=[fp")
+      val mcIdx = plan.indexOf("might_contain")
+      assert(aggIdx >= 0 && mcIdx > aggIdx,
+        s"might_contain not below the distinct aggregate:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("ta_search plan: two partial-agg'd corpus exchanges, broadcast query side, TopK heaps") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.TextAnalysis.search(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"query side must broadcast:\n$plan")
+      assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"),
+        s"top-50 must use the bounded-heap operator:\n$plan")
+      // postings (doc_id, term) + AND-count (qid, doc_id) + FinalTopK(qid)
+      // + presentation sort = 4 non-broadcast exchanges, no more
+      val all = "(?<!Reused)(?<!Broadcast)Exchange ".r.findAllIn(plan).length
+      assert(all == 4, s"expected 4 exchanges (2 corpus aggs + topk + sort):\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q_zorder plan: bit-interleave profile is map-side + one tiny aggregate") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.Relational.qZorder(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      // one file_id agg exchange + the presentation sort; no global sort of
+      // the data (the z key is quantized, not range-partitioned, here)
+      val all = "(?<!Reused)(?<!Broadcast)Exchange ".r.findAllIn(plan).length
+      assert(all == 2, s"expected agg + presentation sort only:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
