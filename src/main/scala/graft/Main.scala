@@ -152,23 +152,27 @@ object Main {
           //   curate <nPages> <outDir> [seed] [cut-spans]   (synthetic corpus)
           //   curate-dir <pagesDir> <outDir> [cut-spans]     (staged pages table)
           // `cut-spans` switches on the opt-in EXACTSUBSTR duplicated-span
-          // cut between line dedup and the quality gate
+          // cut between line dedup and the quality gate; `scrub-pii` fuses
+          // the PII redaction stage into the final verdict/write pass
           import spark.implicits._
+          val flags = Set("cut-spans", "scrub-pii")
           val cutSpans = args.contains("cut-spans")
+          val scrubPii = args.contains("scrub-pii")
           val input =
             if (args(0) == "curate") {
-              val seed = if (args.length > 3 && args(3) != "cut-spans") args(3).toLong
+              val seed = if (args.length > 3 && !flags(args(3))) args(3).toLong
                          else Corpus.DEFAULT_SEED
               Corpus.pages(spark, args(1).toLong, seed)
             } else spark.read.schema(Model.PAGES).parquet(args(1)).as[Page]
           val t0 = System.nanoTime()
-          val rep = graft.operators.Curate.run(spark, input, args(2), cutSpans)
+          val rep = graft.operators.Curate.run(spark, input, args(2), cutSpans, scrubPii)
           val dt = (System.nanoTime() - t0) / 1e9
           println(f"  extracted        ${rep.extracted}%8d")
           println(f"  non-empty        ${rep.nonEmpty}%8d")
           println(f"  quality kept     ${rep.qualityKept}%8d")
           println(f"  unique kept      ${rep.uniqueKept}%8d")
           println(f"  train/val/test   ${rep.train}%d/${rep.`val`}%d/${rep.test}%d")
+          if (scrubPii) println(f"  pii-scrubbed     ${rep.piiDocs}%8d")
           println(f"curated ${rep.uniqueKept}%d docs in $dt%.2f s -> ${args(2)}")
           return
         case _ => ()

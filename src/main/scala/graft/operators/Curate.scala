@@ -22,7 +22,8 @@ object Curate {
 
   case class Report(
       extracted: Long, nonEmpty: Long, qualityKept: Long,
-      uniqueKept: Long, train: Long, `val`: Long, test: Long)
+      uniqueKept: Long, train: Long, `val`: Long, test: Long,
+      piiDocs: Long = 0L)
 
   /** Quality thresholds (integer, documented in the report):
     * ≥ 20 whitespace tokens, ≤ 30 % duplicate lines, top bigram ≤ 20 % of
@@ -39,8 +40,16 @@ object Curate {
     *                  of the gram table (see [[Dedup.substrOver]]) and the
     *                  measured funnel in BENCH.md is the default pipeline.
     */
+  /** @param scrubPii opt-in compliance stage: emails / NANP phones / IPv4
+    *                  literals in surviving documents are redacted to typed
+    *                  placeholders ([[TextAnalysis.scrubPii]]) inside the
+    *                  SAME fused verdict/write pass — per-row regexes only,
+    *                  zero added exchanges; the report counts affected docs.
+    *                  Off by default so the committed funnel measurements
+    *                  and rerun-determinism checks stay byte-comparable.
+    */
   def run(spark: SparkSession, pages: Dataset[Page], outDir: String,
-          cutSpans: Boolean = false): Report = {
+          cutSpans: Boolean = false, scrubPii: Boolean = false): Report = {
     import org.apache.spark.sql.expressions.Window
     def timed[T](stage: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -122,16 +131,26 @@ object Curate {
           when(h < 80, "train").when(h < 90, "val").otherwise("test")
         })
 
+    // opt-in PII scrub: redaction + per-row match count, fused into the same
+    // pass (per-row regexes, zero exchanges — plan pinned for ta_pii)
+    val scrubbed =
+      if (!scrubPii) flagged.withColumn("n_pii", lit(0L))
+      else {
+        val (n, red) = TextAnalysis.scrubPii(col("text"))
+        flagged.withColumn("n_pii", n).withColumn("text", red)
+      }
+
     // one fused pass: verdicts + audit counts (observe) + partitioned write
     val obs = Observation("curate")
-    timed("curate+write")(flagged
+    timed("curate+write")(scrubbed
       .observe(obs,
         count(lit(1)).as("nonEmpty"),
         count(when(col("quality_ok"), 1)).as("qualityKept"),
         count(when(col("unique_ok"), 1)).as("uniqueKept"),
         count(when(col("split") === "train", 1)).as("train"),
         count(when(col("split") === "val", 1)).as("val"),
-        count(when(col("split") === "test", 1)).as("test"))
+        count(when(col("split") === "test", 1)).as("test"),
+        count(when(col("unique_ok") && col("n_pii") > 0, 1)).as("piiDocs"))
       .filter(col("unique_ok"))
       .select(col("split"), col("url"), col("warc_ts"), col("lang"),
         col("contentKind"), col("n_tok"), col("text"))
@@ -141,6 +160,6 @@ object Curate {
     Report(docs.count(), m("nonEmpty").asInstanceOf[Long],
       m("qualityKept").asInstanceOf[Long], m("uniqueKept").asInstanceOf[Long],
       m("train").asInstanceOf[Long], m("val").asInstanceOf[Long],
-      m("test").asInstanceOf[Long])
+      m("test").asInstanceOf[Long], m("piiDocs").asInstanceOf[Long])
   }
 }

@@ -607,6 +607,20 @@ object TextAnalysis {
     * deterministic oracle dump). Regex cost is linear in corpus bytes and
     * embarrassingly parallel; at 100 TB this runs at scan speed.
     */
+  /** Map-side PII scrub of a text column: (match count, redacted text).
+    * The same regex chain [[pii]] oracles bit-exactly vs DuckDB; `Curate`
+    * fuses this into its single verdict/write pass — per-row expressions
+    * only, so the scrub adds ZERO exchanges to the product pipeline.
+    */
+  def scrubPii(text: Column): (Column, Column) = {
+    val n = (size(regexp_extract_all(text, lit(EMAIL_RE), lit(0))) +
+      size(regexp_extract_all(text, lit(PHONE_RE), lit(0))) +
+      size(regexp_extract_all(text, lit(IP_RE), lit(0)))).cast("long")
+    val red = regexp_replace(regexp_replace(regexp_replace(text,
+      EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"), IP_RE, "<IP>")
+    (n, red)
+  }
+
   def pii(spark: SparkSession, sfDir: String): DataFrame = {
     val aug = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(
