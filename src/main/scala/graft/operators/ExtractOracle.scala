@@ -244,6 +244,65 @@ object ExtractOracle {
        |SELECT url, d.host, host_docs, host_chars
        |FROM d JOIN stats ON d.host = stats.host ORDER BY url""".stripMargin
 
+  // ---- per-host crawl cadence (politeness audit) --------------------------
+
+  /** Per-host crawl-cadence profile — the politeness audit a crawl scheduler
+    * consumes: for every host, the number of inter-fetch gaps and their
+    * min / max / exact median in integer seconds. Everything clusters on
+    * `host`: the fetch-order lag window, the gap-rank window, the count
+    * window, and the stats aggregate all ride ONE hashpartitioning(host)
+    * exchange (the second window re-SORTS within partitions, it does not
+    * re-shuffle). The median is rank-selected (lower median, deterministic
+    * (gap, ts, url) tie-break) — exact integer order statistics, no
+    * interpolation to drift between engines. At 100 TB this is one shuffle
+    * of (host, ts) pairs — narrow rows — and hosts are plentiful, so the
+    * key space is wide; a pathological single-host crawl would bound at
+    * that host's fetch count, which is exactly the signal the audit exists
+    * to surface.
+    */
+  def exCrawlRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = OracleCorpus.docs(spark)
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+      .select(col("host"), col("url"), col("warc_ts").cast("long").as("ts"))
+    val wSeq = Window.partitionBy("host").orderBy(col("ts"), col("url"))
+    val gaps = d
+      .withColumn("gap_s", col("ts") - lag("ts", 1).over(wSeq))
+      .filter(col("gap_s").isNotNull)
+    val wGap = Window.partitionBy("host").orderBy(col("gap_s"), col("ts"), col("url"))
+    val ranked = gaps
+      .withColumn("rn", row_number().over(wGap).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("host")))
+    val med = ranked.filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("host"), col("gap_s").as("median_gap_s"))
+    gaps.groupBy("host")
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap_s").as("min_gap_s"), max("gap_s").as("max_gap_s"))
+      .join(med, Seq("host"))
+      .orderBy("host")
+  }
+
+  val exCrawlRateSql: String =
+    s"""WITH d AS (
+       |  SELECT regexp_extract(url, '^https?://([^/:]+)', 1) host, url,
+       |         CAST(epoch(warc_ts) AS BIGINT) ts
+       |  FROM $D),
+       |g AS (
+       |  SELECT host, url, ts,
+       |         ts - lag(ts) OVER (PARTITION BY host ORDER BY ts, url) gap_s
+       |  FROM d),
+       |gg AS (SELECT * FROM g WHERE gap_s IS NOT NULL),
+       |r AS (
+       |  SELECT host, gap_s,
+       |         row_number() OVER (PARTITION BY host ORDER BY gap_s, ts, url) rn,
+       |         count(*) OVER (PARTITION BY host) cnt
+       |  FROM gg),
+       |med AS (SELECT host, gap_s AS median_gap_s FROM r WHERE rn = (cnt + 1) // 2),
+       |agg AS (SELECT host, CAST(count(*) AS BIGINT) n_gaps,
+       |               min(gap_s) min_gap_s, max(gap_s) max_gap_s FROM gg GROUP BY 1)
+       |SELECT agg.host AS host, n_gaps, min_gap_s, max_gap_s, median_gap_s
+       |FROM agg JOIN med ON agg.host = med.host ORDER BY host""".stripMargin
+
   // ---- salted two-phase aggregation (explicit skew handling) -------------
 
   /** Per-host stats via SALTED two-phase aggregation — the explicit
@@ -567,6 +626,7 @@ object ExtractOracle {
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ex_crawlrate" -> (exCrawlRate _),
     "ex_blocklist" -> (exBlocklist _),
     "ex_meta" -> (exMeta _),
     "ex_links" -> (exLinks _),
@@ -582,6 +642,7 @@ object ExtractOracle {
   )
 
   def oracles: Map[String, String] = Map(
+    "ex_crawlrate" -> exCrawlRateSql,
     "ex_blocklist" -> exBlocklistSql,
     "ex_meta" -> exMetaSql,
     "ex_links" -> exLinksSql,

@@ -471,6 +471,23 @@ class CatalystSurfaceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("ex_crawlrate plan: lag/rank/count windows, stats agg and median join all ride one host exchange") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.ExtractOracle.exCrawlRate(spark, "")
+      val plan = df.queryExecution.executedPlan.toString
+      // a ReusedExchange node REFERENCES its target as ", Exchange hash..."
+      // on the same line — subtract references from raw matches to count
+      // live exchanges only
+      val raw = "Exchange hashpartitioning\\(host".r.findAllIn(plan).length
+      val refs = ", Exchange hashpartitioning\\(host".r.findAllIn(plan).length
+      assert(raw - refs == 1, s"expected one live host exchange, plan:\n$plan")
+      assert(plan.contains("ReusedExchange"),
+        s"median branch must reuse the host exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q_zorder plan: bit-interleave profile is map-side + one tiny aggregate") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
