@@ -147,6 +147,18 @@ object Main {
           println(s"run $runId: processed buckets ${rep.bucketsDone.mkString(",")} " +
             s"(${rep.nDocs} docs); ${rep.skipped} buckets already done")
           return
+        case "curate-stream" =>
+          // incremental curation loop: curate-stream <pagesDir> <outDir>
+          // processes only files NEW since the last run (checkpoint under
+          // <outDir>-ckpt), dedupes each batch against the accumulated
+          // fingerprint table at <outDir>-fp, appends curated docs
+          val (pagesDir, outDir) = (args(1), args(2))
+          val t0 = System.nanoTime()
+          val cur = graft.streaming.StreamingCurate.runOnce(
+            spark, pagesDir, outDir, s"$outDir-ckpt", s"$outDir-fp")
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"curated stream: ${cur.count()}%d docs total (all runs) in $dt%.2f s -> $outDir")
+          return
         case "curate" | "curate-dir" =>
           // the full curation pipeline:
           //   curate <nPages> <outDir> [seed] [cut-spans]   (synthetic corpus)

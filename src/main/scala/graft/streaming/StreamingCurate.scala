@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.{Model, Page}
+import graft.operators.{Curate, Extract}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental curation loop (SURVEY.md §2.9 ST12) — the daily-ingest shape
+  * of the curate pipeline at 10^12-document scale: each microbatch of FRESH
+  * pages is extracted, quality-gated, and exact-deduped both within the
+  * batch and against the ACCUMULATED fingerprint history, then appended.
+  * The corpus is never re-scanned:
+  *
+  *   - per-batch cost scales with the batch — the history side of the
+  *     anti-join is a fingerprint-only table (one md5 per kept doc ever);
+  *     at extreme history sizes the join pre-filters with the batch-side
+  *     bloom exactly as [[graft.operators.Dedup.bloomIncr]] demonstrates;
+  *   - crash-replay is idempotent: a replayed batch carries the same
+  *     batchId over the same checkpointed file list, rewrites exactly its
+  *     own `batch_id` partitions in BOTH sinks, and the history read
+  *     EXCLUDES its own and later partitions (`batch_id < current`), so a
+  *     half-written batch cannot anti-join itself away on retry;
+  *   - the quality gate (length floor) is per-row map-side; within-batch
+  *     dedup is one fp-keyed window; the history anti-join shares that
+  *     fp partitioning.
+  */
+object StreamingCurate {
+
+  def start(
+      spark: SparkSession,
+      pagesDir: String,
+      outDir: String,
+      checkpointDir: String,
+      fpDir: String
+  ): StreamingQuery = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(Model.PAGES)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(s"$pagesDir/data")
+      .select("url", "warc_ts", "html", "text", "lang")
+      .as[Page]
+
+    pages.writeStream
+      .queryName("graft-stream-curate")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Page], batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val gated = Extract.extract(batch).toDF()
+          .filter(col("contentKind") =!= "empty" && length(col("text")) > 0)
+          .withColumn("n_tok",
+            size(filter(split(col("text"), " "), t => t =!= lit(""))).cast("long"))
+          .filter(col("n_tok") >= Curate.MIN_TOKENS)
+          .withColumn("fp", md5(col("text")))
+        val w = Window.partitionBy("fp").orderBy("url")
+        val batchUnique = gated
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        // history = fingerprints of STRICTLY EARLIER batches (partition
+        // pruning on batch_id): replay-safe by construction
+        val fresh =
+          if (!new java.io.File(fpDir).exists()) batchUnique
+          else {
+            val hist = spark.read.parquet(fpDir)
+              .filter(col("batch_id") < batchId)
+              .select("fp")
+            batchUnique.join(hist, Seq("fp"), "left_anti")
+          }
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val out = fresh
+          .withColumn("batch_id", lit(batchId))
+          .select("batch_id", "url", "warc_ts", "lang", "contentKind",
+            "n_tok", "fp", "text")
+          .localCheckpoint() // one computation feeds both sinks
+        out.write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+        out.select("batch_id", "fp")
+          .write.mode("overwrite").partitionBy("batch_id").parquet(fpDir)
+        ()
+      }
+      .start()
+  }
+
+  /** Run to completion and return the curated table so far. */
+  def runOnce(spark: SparkSession, pagesDir: String, outDir: String,
+              checkpointDir: String, fpDir: String): DataFrame = {
+    val q = start(spark, pagesDir, outDir, checkpointDir, fpDir)
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+}

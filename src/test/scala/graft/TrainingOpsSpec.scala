@@ -625,4 +625,56 @@ class TrainingOpsSpec extends AnyFunSuite {
     val out3 = java.nio.file.Files.createTempDirectory("curate-pii3").toString
     assert(Curate.run(spark, planted, out3, scrubPii = true) == rep)
   }
+
+  test("streaming curate: cross-batch dedup against fingerprint history, resumable, no rescans") {
+    import spark.implicits._
+    val seed = graft.sources.Corpus.DEFAULT_SEED
+    val tmp = java.nio.file.Files.createTempDirectory("st-curate").toString
+    val (pagesDir, outDir, ckpt, fpDir) =
+      (s"$tmp/pages", s"$tmp/out", s"$tmp/ckpt", s"$tmp/fp")
+
+    // drop 1: pages 0..299
+    graft.sources.PageTable.write(
+      graft.sources.Corpus.pages(spark, 300), pagesDir, numBuckets = 8)
+    val r1 = graft.streaming.StreamingCurate
+      .runOnce(spark, pagesDir, outDir, ckpt, fpDir)
+    // gate holds; fingerprints unique across ALL batches of the run
+    assert(r1.filter(col("n_tok") < Curate.MIN_TOKENS).count() == 0)
+    assert(r1.groupBy("fp").count().filter(col("count") > 1).count() == 0)
+
+    // re-run with no new files: a pure no-op (nothing reprocessed)
+    val r1b = graft.streaming.StreamingCurate
+      .runOnce(spark, pagesDir, outDir, ckpt, fpDir)
+    assert(r1b.count() == r1.count())
+
+    // drop 2: pages 200..349 — 100 exact RECRAWLS of drop 1 plus 50 new
+    val drop2 = spark.range(200, 350).map(i => graft.sources.Corpus.page(seed, i))
+    drop2.toDF()
+      .withColumn("bucket", graft.sources.PageTable.bucketCol(8))
+      .withColumn("day", date_format(col("warc_ts"), "yyyy-MM-dd"))
+      .write.mode("append").partitionBy("bucket", "day")
+      .parquet(s"$pagesDir/data")
+    val r2 = graft.streaming.StreamingCurate
+      .runOnce(spark, pagesDir, outDir, ckpt, fpDir)
+
+    // still globally duplicate-free after the incremental fold-in
+    assert(r2.groupBy("fp").count().filter(col("count") > 1).count() == 0)
+    // the final fingerprint SET equals the batch reference over 0..349
+    // (keeper url may differ — batch keeps global min url, the stream keeps
+    // the earliest batch's — but the kept CONTENT set must be identical)
+    val ref = Extract.extract(
+      spark.range(0, 350).map(i => graft.sources.Corpus.page(seed, i))).toDF()
+      .filter(col("contentKind") =!= "empty" && length(col("text")) > 0)
+      .withColumn("n_tok",
+        size(filter(split(col("text"), " "), t => t =!= lit(""))).cast("long"))
+      .filter(col("n_tok") >= Curate.MIN_TOKENS)
+      .select(md5(col("text")).as("fp")).distinct()
+    val got = r2.select("fp").distinct()
+    assert(got.count() == ref.count() &&
+      got.join(ref, Seq("fp"), "left_anti").count() == 0)
+    // drop 2 contributed only genuinely new content: the 100 recrawls died
+    // in the history anti-join, so at most the 50 new pages' docs landed
+    val added = r2.count() - r1.count()
+    assert(added > 0 && added <= 50, s"drop-2 added $added docs")
+  }
 }
