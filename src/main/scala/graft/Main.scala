@@ -147,6 +147,25 @@ object Main {
           println(s"run $runId: processed buckets ${rep.bucketsDone.mkString(",")} " +
             s"(${rep.nDocs} docs); ${rep.skipped} buckets already done")
           return
+        case "append-pages" =>
+          // append-pages <fromIdx> <toIdx> <tableDir> [seed]: stage a fresh
+          // crawl drop (synthetic pages [from, to)) into an EXISTING pages
+          // table — the input to curate-stream's incremental fold-in. The
+          // bucket count comes from the table's own _table meta so the drop
+          // lands in the layout the original writer pinned.
+          import spark.implicits._
+          val (from, to, dir) = (args(1).toLong, args(2).toLong, args(3))
+          val seed = if (args.length > 4) args(4).toLong else Corpus.DEFAULT_SEED
+          val buckets = graft.sources.PageTable.readBucketMeta(dir)
+            .getOrElse(graft.sources.PageTable.DEFAULT_BUCKETS)
+          spark.range(from, to).map(i => Corpus.page(seed, i)).toDF()
+            .withColumn("bucket", graft.sources.PageTable.bucketCol(buckets))
+            .withColumn("day", date_format(col("warc_ts"), "yyyy-MM-dd"))
+            .repartition(col("bucket"))
+            .write.mode("append").partitionBy("bucket", "day")
+            .parquet(s"$dir/data")
+          println(s"appended pages [$from, $to) -> $dir")
+          return
         case "curate-stream" =>
           // incremental curation loop: curate-stream <pagesDir> <outDir>
           // processes only files NEW since the last run (checkpoint under

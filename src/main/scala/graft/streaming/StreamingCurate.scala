@@ -27,17 +27,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingCurate {
 
+  /** @param filesPerTrigger batch size in FILES: semantics are batch-size-
+    *                         independent (the test runs multi-batch at 8),
+    *                         but per-batch fixed cost is real — a drop
+    *                         should fold in, in as few batches as fit
+    *                         executor memory.
+    */
   def start(
       spark: SparkSession,
       pagesDir: String,
       outDir: String,
       checkpointDir: String,
-      fpDir: String
+      fpDir: String,
+      filesPerTrigger: Int = 1024
   ): StreamingQuery = {
     import spark.implicits._
     val pages = spark.readStream
       .schema(Model.PAGES)
-      .option("maxFilesPerTrigger", "8")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(s"$pagesDir/data")
       .select("url", "warc_ts", "html", "text", "lang")
       .as[Page]
@@ -85,8 +92,9 @@ object StreamingCurate {
 
   /** Run to completion and return the curated table so far. */
   def runOnce(spark: SparkSession, pagesDir: String, outDir: String,
-              checkpointDir: String, fpDir: String): DataFrame = {
-    val q = start(spark, pagesDir, outDir, checkpointDir, fpDir)
+              checkpointDir: String, fpDir: String,
+              filesPerTrigger: Int = 1024): DataFrame = {
+    val q = start(spark, pagesDir, outDir, checkpointDir, fpDir, filesPerTrigger)
     q.awaitTermination()
     spark.read.parquet(outDir)
   }

@@ -637,14 +637,14 @@ class TrainingOpsSpec extends AnyFunSuite {
     graft.sources.PageTable.write(
       graft.sources.Corpus.pages(spark, 300), pagesDir, numBuckets = 8)
     val r1 = graft.streaming.StreamingCurate
-      .runOnce(spark, pagesDir, outDir, ckpt, fpDir)
+      .runOnce(spark, pagesDir, outDir, ckpt, fpDir, filesPerTrigger = 8)
     // gate holds; fingerprints unique across ALL batches of the run
     assert(r1.filter(col("n_tok") < Curate.MIN_TOKENS).count() == 0)
     assert(r1.groupBy("fp").count().filter(col("count") > 1).count() == 0)
 
     // re-run with no new files: a pure no-op (nothing reprocessed)
     val r1b = graft.streaming.StreamingCurate
-      .runOnce(spark, pagesDir, outDir, ckpt, fpDir)
+      .runOnce(spark, pagesDir, outDir, ckpt, fpDir, filesPerTrigger = 8)
     assert(r1b.count() == r1.count())
 
     // drop 2: pages 200..349 — 100 exact RECRAWLS of drop 1 plus 50 new
@@ -655,7 +655,7 @@ class TrainingOpsSpec extends AnyFunSuite {
       .write.mode("append").partitionBy("bucket", "day")
       .parquet(s"$pagesDir/data")
     val r2 = graft.streaming.StreamingCurate
-      .runOnce(spark, pagesDir, outDir, ckpt, fpDir)
+      .runOnce(spark, pagesDir, outDir, ckpt, fpDir, filesPerTrigger = 8)
 
     // still globally duplicate-free after the incremental fold-in
     assert(r2.groupBy("fp").count().filter(col("count") > 1).count() == 0)
