@@ -244,6 +244,166 @@ object ExtractOracle {
        |SELECT url, d.host, host_docs, host_chars
        |FROM d JOIN stats ON d.host = stats.host ORDER BY url""".stripMargin
 
+  // ---- canonical-URL recrawl dedup (keep newest) ---------------------------
+
+  /** URL-keyed recrawl dedup — the stage that runs BEFORE any content dedup
+    * in a crawl pipeline: multiple fetches of the same logical page (tracking
+    * params, fragments, later re-fetches) collapse to one kept fetch, the
+    * NEWEST. Re-fetches are planted deterministically (every 4th url gains a
+    * utm+fragment variant 7 days later). The keeper is an AGGREGATE argmax —
+    * `max(struct(ts, raw))` — not a row_number window: partial aggregation
+    * combines map-side, so a hot canonical URL (a page recrawled millions of
+    * times) reduces to ONE row per map partition before the shuffle, where
+    * the window formulation would sort the hot key's every fetch on one
+    * reducer. The DuckDB oracle IS the window formulation — agreement proves
+    * the argmax picks exactly the row_number()=1 row.
+    */
+  def exUrlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = OracleCorpus.docs(spark).select(col("url"), col("warc_ts"))
+    val refetch = base
+      .filter(expr(
+        "CAST(coalesce(nullif(regexp_extract(url, '-([0-9]+)$', 1), ''), '0') AS BIGINT) % 4 = 1"))
+      .select(concat(col("url"), lit("?utm_source=recrawl#frag")).as("raw"),
+        expr("warc_ts + INTERVAL 7 DAY").as("ts"))
+    val fetches = base.select(col("url").as("raw"), col("warc_ts").as("ts"))
+      .unionByName(refetch)
+    fetches
+      .withColumn("canon",
+        substring_index(substring_index(col("raw"), "#", 1), "?", 1))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_fetches"),
+        max(struct(col("ts").as("ts"), col("raw").as("raw"))).as("m"))
+      .select(col("canon"), col("n_fetches"),
+        col("m.raw").as("kept_url"), col("m.ts").as("kept_ts"))
+      .orderBy("canon")
+  }
+
+  val exUrlDedupSql: String =
+    s"""WITH base AS (SELECT url, warc_ts FROM $D),
+       |f AS (
+       |  SELECT url AS raw, warc_ts AS ts FROM base
+       |  UNION ALL
+       |  SELECT url || '?utm_source=recrawl#frag', warc_ts + INTERVAL 7 DAY
+       |  FROM base
+       |  WHERE CAST(coalesce(nullif(regexp_extract(url, '-([0-9]+)$$', 1), ''), '0')
+       |             AS BIGINT) % 4 = 1),
+       |c AS (SELECT str_split(str_split(raw, '#')[1], '?')[1] AS canon, raw, ts FROM f)
+       |SELECT canon, n_fetches, raw AS kept_url, ts AS kept_ts
+       |FROM (SELECT canon, raw, ts,
+       |             count(*) OVER (PARTITION BY canon) n_fetches,
+       |             row_number() OVER (PARTITION BY canon
+       |                                ORDER BY ts DESC, raw DESC) rn
+       |      FROM c)
+       |WHERE rn = 1 ORDER BY canon""".stripMargin
+
+  // ---- robots.txt compliance gate (RFC 9309 longest-match) ----------------
+
+  /** robots.txt fetch-permission gate — the crawl-stack component that
+    * decides whether each url may be fetched at all. Per host, a robots.txt
+    * BODY is planted deterministically (every third host carries a dedicated
+    * `graftbot` group above the `*` group); the parse is fully relational:
+    * lines split + exploded with their ordinal, each rule line assigned to
+    * its user-agent group by a LOCF carry-forward window over the preceding
+    * `User-agent:` line (the gaps-and-islands trick applied to a config
+    * format), the applicable group chosen per RFC 9309 (the specific agent's
+    * group if one exists, else `*`), and each (host, path) probe decided by
+    * LONGEST-MATCHING rule, Allow winning length ties — an aggregate argmax
+    * `max(struct(rule_len, allow))`, no window over probes. Scale shape:
+    * rules-per-host is tiny and broadcasts onto the probe stream; the only
+    * corpus-width work is one (host, path) partial-agg'd groupBy.
+    */
+  def exRobots(spark: SparkSession, sfDir: String): DataFrame = {
+    val probes = OracleCorpus.docs(spark)
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+      .withColumn("path", expr("substr(url, length(substring_index(url, '/', 3)) + 1)"))
+      .select(col("url"), col("host"), col("path"))
+    val hosts = probes.select(col("host")).distinct()
+      .withColumn("h",
+        expr("CAST(coalesce(nullif(regexp_extract(host, '([0-9]+)', 1), ''), '0') AS BIGINT)"))
+      .withColumn("body", concat(
+        when(col("h") % 3 === 0, lit(
+          "User-agent: graftbot\nDisallow: /p/\nAllow: /p/4\n\n")).otherwise(lit("")),
+        lit("User-agent: *\nDisallow: /admin/\nAllow: /\n")))
+    val lines = hosts
+      .select(col("host"), col("h"), posexplode(split(col("body"), "\n")))
+      .withColumnRenamed("pos", "ln")
+      .withColumn("directive", lower(trim(substring_index(col("col"), ":", 1))))
+      .withColumn("value", trim(expr("substr(col, instr(col, ':') + 1)")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("ln")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val rules = lines
+      .withColumn("ua",
+        last(when(col("directive") === "user-agent", col("value")), ignoreNulls = true).over(w))
+      .filter(col("directive").isin("allow", "disallow") && col("value") =!= "")
+      .select(col("host"), col("ua"),
+        col("value").as("rule"),
+        (col("directive") === "allow").as("allow"))
+    // RFC 9309 group choice: the specific agent's group when present, else *
+    val hasBot = rules.filter(col("ua") === "graftbot")
+      .select(col("host")).distinct().withColumn("has_bot", lit(true))
+    val applicable = rules
+      .join(hasBot, Seq("host"), "left")
+      .filter(col("ua") === when(coalesce(col("has_bot"), lit(false)), "graftbot").otherwise("*"))
+      .select(col("host"), col("rule"), col("allow"))
+    probes
+      .join(broadcast(applicable), Seq("host"))
+      .filter(col("path").startsWith(col("rule")))
+      .groupBy(col("url"), col("host"), col("path"))
+      .agg(max(struct(length(col("rule")).as("l"), col("allow").as("a"))).as("m"))
+      .select(col("url"), col("host"),
+        col("m.a").as("allowed"), col("m.l").cast("long").as("rule_len"))
+      .orderBy("url")
+  }
+
+  val exRobotsSql: String =
+    s"""WITH probes AS (
+       |  SELECT url, regexp_extract(url, '^https?://([^/:]+)', 1) host,
+       |         substr(url, length(array_to_string(str_split(url, '/')[1:3], '/')) + 1) path
+       |  FROM $D),
+       |hosts AS (
+       |  SELECT host,
+       |         CAST(coalesce(nullif(regexp_extract(host, '([0-9]+)', 1), ''), '0') AS BIGINT) h
+       |  FROM (SELECT DISTINCT host FROM probes)),
+       |bodies AS (
+       |  SELECT host,
+       |         (CASE WHEN h % 3 = 0
+       |               THEN 'User-agent: graftbot' || chr(10) || 'Disallow: /p/' || chr(10)
+       |                    || 'Allow: /p/4' || chr(10) || chr(10)
+       |               ELSE '' END)
+       |         || 'User-agent: *' || chr(10) || 'Disallow: /admin/' || chr(10)
+       |         || 'Allow: /' || chr(10) AS body
+       |  FROM hosts),
+       |lines AS (
+       |  SELECT host, CAST(i - 1 AS BIGINT) ln,
+       |         lower(trim(str_split(ls[i], ':')[1])) directive,
+       |         trim(substr(ls[i], strpos(ls[i], ':') + 1)) v
+       |  FROM (SELECT host, str_split(body, chr(10)) ls FROM bodies),
+       |       unnest(generate_series(1, len(ls))) AS u(i)),
+       |rules AS (
+       |  SELECT host, ua, v AS rule, (directive = 'allow') AS allow
+       |  FROM (SELECT *,
+       |               last_value(CASE WHEN directive = 'user-agent' THEN v END IGNORE NULLS)
+       |                 OVER (PARTITION BY host ORDER BY ln
+       |                       ROWS UNBOUNDED PRECEDING) AS ua
+       |        FROM lines)
+       |  WHERE directive IN ('allow', 'disallow') AND v <> ''),
+       |hasbot AS (SELECT DISTINCT host FROM rules WHERE ua = 'graftbot'),
+       |applicable AS (
+       |  SELECT r.host, r.rule, r.allow
+       |  FROM rules r LEFT JOIN hasbot b ON r.host = b.host
+       |  WHERE r.ua = CASE WHEN b.host IS NOT NULL THEN 'graftbot' ELSE '*' END),
+       |matched AS (
+       |  SELECT p.url, p.host, p.path, a.rule, a.allow
+       |  FROM probes p JOIN applicable a ON p.host = a.host
+       |  WHERE starts_with(p.path, a.rule))
+       |SELECT url, host, allow AS allowed, rule_len
+       |FROM (SELECT url, host, allow, CAST(length(rule) AS BIGINT) rule_len,
+       |             row_number() OVER (PARTITION BY url, host, path
+       |                                ORDER BY length(rule) DESC, allow DESC) rn
+       |      FROM matched)
+       |WHERE rn = 1 ORDER BY url""".stripMargin
+
   // ---- per-host crawl cadence (politeness audit) --------------------------
 
   /** Per-host crawl-cadence profile — the politeness audit a crawl scheduler
@@ -626,6 +786,8 @@ object ExtractOracle {
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ex_urldedup" -> (exUrlDedup _),
+    "ex_robots" -> (exRobots _),
     "ex_crawlrate" -> (exCrawlRate _),
     "ex_blocklist" -> (exBlocklist _),
     "ex_meta" -> (exMeta _),
@@ -642,6 +804,8 @@ object ExtractOracle {
   )
 
   def oracles: Map[String, String] = Map(
+    "ex_urldedup" -> exUrlDedupSql,
+    "ex_robots" -> exRobotsSql,
     "ex_crawlrate" -> exCrawlRateSql,
     "ex_blocklist" -> exBlocklistSql,
     "ex_meta" -> exMetaSql,
