@@ -394,8 +394,10 @@ object Multimodal {
   val WAVSTATS = s"$ORACLE_DIR/media-wav"
   val META_PQ = s"read_parquet('$META/*.parquet')"
   val FRAMES_PQ = s"read_parquet('$FRAMES/*.parquet')"
+  val PHASH = s"$ORACLE_DIR/media-phash"
   val PNG_PQ = s"read_parquet('$PNGSTATS/*.parquet')"
   val WAV_PQ = s"read_parquet('$WAVSTATS/*.parquet')"
+  val PHASH_PQ = s"read_parquet('$PHASH/*.parquet')"
   val N_MEDIA = 500L
 
   /** Per-image REAL pixel statistics from the decoded PNG (integer sums —
@@ -437,6 +439,107 @@ object Multimodal {
     }.toDF("media_id", "rate", "n_samples", "dur_ms", "sum_abs", "peak")
   }
 
+  // ---- perceptual image dedup (dHash + pigeonhole hamming pairing) --------
+
+  /** 64-bit difference hash of a decoded image (the classic dHash): integer
+    * block-average luminance on a 9×8 grid, bit (r,c) set iff the right
+    * neighbour cell is brighter. Pure integer math over REAL decoded pixels
+    * — deterministic across JDKs (PNG is lossless) and at any parallelism.
+    * Uniform brightness shifts cancel (adjacent-cell DIFFERENCES), which is
+    * exactly why production image dedup uses dHash over raw pixel hashes.
+    */
+  def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 9 / w
+        val rgb = img.getRGB(x, y)
+        sums(gy)(gx) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        cnts(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (sums(r)(c + 1) / cnts(r)(c + 1) > sums(r)(c) / cnts(r)(c))
+          bits |= (1L << (r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Re-encode a PNG with every channel shifted by +delta (clamped) —
+    * delta=0 is a bit-exact duplicate under a new id; small deltas are the
+    * near-duplicate class (re-exported / brightness-touched copies) that
+    * exact payload hashing misses and dHash catches.
+    */
+  def pngVariant(payload: Array[Byte], delta: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val out = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        def ch(v: Int) = math.min(255, v + delta)
+        out.setRGB(x, y,
+          (ch((rgb >> 16) & 0xff) << 16) | (ch((rgb >> 8) & 0xff) << 8) | ch(rgb & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** PNG corpus + planted duplicate classes: every 2nd image re-encoded
+    * bit-identical under id+10000 (hamming 0), every 3rd re-encoded with a
+    * +8 brightness shift under id+20000 (hamming ~0: dHash differences
+    * cancel a uniform shift except where channels clamp at 255).
+    */
+  def pngWithDups(spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media(spark, N_MEDIA).filter(_.kind == "png").flatMap { r =>
+      val dup =
+        if (r.media_id % 2 == 0)
+          Seq(MediaRow(r.media_id + 10000L, "png", pngVariant(r.payload, 0)))
+        else Seq.empty
+      val bright =
+        if (r.media_id % 3 == 0)
+          Seq(MediaRow(r.media_id + 20000L, "png", pngVariant(r.payload, 8)))
+        else Seq.empty
+      Seq(r) ++ dup ++ bright
+    }
+  }
+
+  /** Production phash table: decode + dHash per partition, the 64 bits
+    * stored as four 16-bit bands for the pigeonhole join.
+    */
+  def phashTable(rows: Dataset[MediaRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val bits = dhash64(img)
+        (r.media_id, (bits >>> 0) & 0xffffL, (bits >>> 16) & 0xffffL,
+          (bits >>> 32) & 0xffffL, (bits >>> 48) & 0xffffL)
+      }
+    }.toDF("media_id", "b0", "b1", "b2", "b3")
+  }
+
   @volatile private var done = false
 
   private def ensure(spark: SparkSession): Unit = synchronized {
@@ -450,6 +553,7 @@ object Multimodal {
       sampleFrames(m).write.mode("overwrite").parquet(FRAMES)
       pngStats(m).write.mode("overwrite").parquet(PNGSTATS)
       wavStats(m).write.mode("overwrite").parquet(WAVSTATS)
+      phashTable(pngWithDups(spark)).write.mode("overwrite").parquet(PHASH)
       graft.sources.OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -531,17 +635,69 @@ object Multimodal {
        |       CAST((10000 * sum(sum_abs)) // (32768 * sum(n_samples)) AS BIGINT) mean_amp_e4
        |FROM $WAV_PQ GROUP BY 1 ORDER BY db""".stripMargin
 
+  private val PHASH_HAM_MAX = 3
+
+  /** Perceptual image near-dup pairing — the multimodal counterpart of
+    * `dd_simhash_pairs`: dHash fingerprints from REAL decoded pixels, stored
+    * as four 16-bit bands; pigeonhole guarantees any pair within hamming
+    * [[PHASH_HAM_MAX]] shares a band, so candidates meet in a band-value
+    * equi-join and exact `bit_count(xor)` filters — never a fingerprint
+    * cross join. Planted duplicate classes: bit-exact re-encodes (hamming 0,
+    * which raw-payload hashing would ALSO catch only if the encoder were
+    * byte-stable — dHash doesn't care) and +8 brightness shifts (hamming ~0
+    * because dHash differences cancel uniform shifts; raw hashing misses
+    * these entirely). The DuckDB oracle runs the identical banding/pairing
+    * over the MATERIALIZED phash table (decode is not SQL-able; the pairing
+    * semantics are what's cross-checked).
+    */
+  def mmPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark)
+    val fp = phashTable(pngWithDups(spark))
+    val br = fp.select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "bv")))
+    val x = br.select(br.columns.map(c => col(c).as(s"x_$c")): _*)
+    val y = br.select(br.columns.map(c => col(c).as(s"y_$c")): _*)
+    x.join(y,
+        col("x_band") === col("y_band") && col("x_bv") === col("y_bv") &&
+          col("x_media_id") < col("y_media_id"))
+      .select(
+        col("x_media_id").as("id_a"), col("y_media_id").as("id_b"),
+        (expr("bit_count(x_b0 ^ y_b0) + bit_count(x_b1 ^ y_b1)") +
+          expr("bit_count(x_b2 ^ y_b2) + bit_count(x_b3 ^ y_b3)")).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= PHASH_HAM_MAX)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  val mmPhashSql: String =
+    s"""WITH fp AS (SELECT media_id, b0, b1, b2, b3 FROM $PHASH_PQ),
+       |br AS (
+       |  SELECT media_id, b0, b1, b2, b3, band,
+       |         (CASE band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END) bv
+       |  FROM fp, generate_series(0, 3) g(band)),
+       |p AS (
+       |  SELECT x.media_id id_a, y.media_id id_b,
+       |         CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+       |            + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) hamming
+       |  FROM br x JOIN br y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id)
+       |SELECT DISTINCT id_a, id_b, hamming FROM p
+       |WHERE hamming <= $PHASH_HAM_MAX ORDER BY id_a, id_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
     "mm_frames" -> (mmFrames _),
     "mm_png" -> (mmPng _),
-    "mm_wav" -> (mmWav _)
+    "mm_wav" -> (mmWav _),
+    "mm_phash" -> (mmPhash _)
   )
 
   def oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
     "mm_frames" -> mmFramesSql,
     "mm_png" -> mmPngSql,
-    "mm_wav" -> mmWavSql
+    "mm_wav" -> mmWavSql,
+    "mm_phash" -> mmPhashSql
   )
 }
