@@ -1083,6 +1083,64 @@ object TextAnalysis {
 
   // ---- contract surface --------------------------------------------------
 
+  // ---- feature-hashing document embeddings ---------------------------------
+
+  /** Hashing-trick document embeddings (Weinberger et al. 2009) — the
+    * GENERATION stage ahead of the `sim_*` similarity family: each token
+    * lands in dimension `md5(token) % 16` with sign from the next hash
+    * nibble, summed per document. ENTIRELY per-row expressions — the plan
+    * over a parquet scan has zero exchanges before the presentation sort,
+    * so embedding generation rides the extraction scan for free at 100 TB
+    * (a trained projection would broadcast its matrix; same plan shape).
+    * All integer (signed counts, no floats) — bit-exact vs DuckDB: the
+    * md5-hex → BIGINT digestion is the same trick the winnowing and simhash
+    * oracles pin. Emits the vector's L1 mass and its argmax dimension as
+    * flat columns plus the full vector.
+    */
+  def embed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = 16
+    val vec = expr(
+      s"""transform(sequence(0, ${dims - 1}), d ->
+         |  aggregate(t, 0L, (acc, tok) ->
+         |    acc + CASE WHEN pmod(CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT), $dims) = d
+         |               THEN CASE WHEN CAST(conv(substr(md5(tok), 9, 1), 16, 10) AS BIGINT) % 2 = 0
+         |                         THEN 1L ELSE -1L END
+         |               ELSE 0L END))""".stripMargin)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), Toks.tokens(col("text")).as("t"))
+      .withColumn("v", vec)
+      .withColumn("l1",
+        aggregate(col("v"), lit(0L), (a, x) => a + abs(x)))
+      .withColumn("top_dim",
+        expr("array_position(transform(v, x -> abs(x)), array_max(transform(v, x -> abs(x)))) - 1")
+          .cast("long"))
+      // vector emitted as a canonical string: array-typed result columns are
+      // not hashable by every oracle comparator, and the string is just as
+      // bit-exact
+      .select(col("doc_id"), array_join(col("v"), ",").as("v"),
+        col("l1"), col("top_dim"))
+      .orderBy("doc_id")
+  }
+
+  val embedSql: String = {
+    val dims = 16
+    s"""WITH t AS (SELECT doc_id, ${Toks.SQL_TOKENS} t FROM documents),
+       |v AS (
+       |  SELECT doc_id,
+       |         [CAST(coalesce(list_sum([CASE WHEN CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % $dims = d
+       |                         THEN CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT) % 2 = 0
+       |                                   THEN 1 ELSE -1 END
+       |                         ELSE 0 END
+       |                    for tok in t]), 0) AS BIGINT)
+       |          for d in generate_series(0, ${dims - 1})] AS v
+       |  FROM t)
+       |SELECT doc_id, array_to_string(v, ',') AS v,
+       |       CAST(list_sum([abs(x) for x in v]) AS BIGINT) l1,
+       |       CAST(list_position([abs(x) for x in v],
+       |                          list_max([abs(x) for x in v])) - 1 AS BIGINT) top_dim
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   // ---- inverted-index conjunctive search ----------------------------------
 
   /** The audit queries: fixed conjunctive term sets (a production system
@@ -1195,6 +1253,7 @@ object TextAnalysis {
        |ORDER BY dice_x1e6 DESC, w1, w2 LIMIT 20""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_embed" -> (embed _),
     "ta_search" -> (search _),
     "ta_colloc" -> (colloc _),
     "ta_nfc" -> (nfc _),
@@ -1220,6 +1279,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_embed" -> embedSql,
     "ta_search" -> searchSql,
     "ta_colloc" -> collocSql,
     "ta_nfc" -> nfcSql,
