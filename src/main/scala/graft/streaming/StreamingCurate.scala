@@ -71,7 +71,11 @@ object StreamingCurate {
         val fresh =
           if (!new java.io.File(fpDir).exists()) batchUnique
           else {
-            val hist = spark.read.parquet(fpDir)
+            // explicit schema: an all-gated-out batch leaves an empty
+            // partition dir, and schema INFERENCE over it would fail the
+            // next batch — the history table's shape is ours to pin
+            val hist = spark.read.schema("fp STRING, batch_id BIGINT")
+              .parquet(fpDir)
               .filter(col("batch_id") < batchId)
               .select("fp")
             batchUnique.join(hist, Seq("fp"), "left_anti")
