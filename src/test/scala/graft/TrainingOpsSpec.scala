@@ -300,6 +300,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(fr.map(r => (r.media_id, r.frame_idx)).distinct.length == fr.length)
   }
 
+  test("mm_phash recall: every planted duplicate pair is recovered") {
+    // the DuckDB oracle proves both engines pair identically; THIS pins that
+    // the pairing actually finds the planted positives (both engines could
+    // agree on an empty result). Exact re-encodes must pair at hamming 0;
+    // brightness variants must pair within the pigeonhole bound.
+    val pairs = Multimodal.mmPhash(spark, "")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pngIds = (0L until Multimodal.N_MEDIA)
+      .filter(id => Multimodal.mediaRow(7L, id).kind == "png")
+    val exactPlanted = pngIds.filter(_ % 2 == 0)
+    val brightPlanted = pngIds.filter(_ % 3 == 0)
+    exactPlanted.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 10000L && p._3 == 0L),
+        s"exact re-encode of $id not paired at hamming 0")
+    }
+    val brightFound = brightPlanted.count(id =>
+      pairs.exists(p => p._1 == id && p._2 == id + 20000L))
+    assert(brightFound == brightPlanted.size,
+      s"brightness variants paired: $brightFound/${brightPlanted.size} " +
+        "(dHash cancels uniform shifts — all should land within hamming 3)")
+  }
+
   test("png payloads are real images: JDK decode recovers the exact pattern") {
     val pngIds = (0L until 200L)
       .filter(id => Multimodal.mediaRow(7L, id).kind == "png")
