@@ -1773,7 +1773,190 @@ object Relational {
       |HAVING 2 * count(*) >= 6
       |ORDER BY user_id, upper(event_type)""".stripMargin
 
+  // ---- NOT IN vs NOT EXISTS null semantics ----------------------------------
+
+  /** ANSI three-valued-logic pin: `NOT IN (subquery)` with a NULL in the
+    * subquery never returns TRUE (every non-matching row compares UNKNOWN),
+    * while NOT EXISTS is null-proof. Four legs over the same
+    * deterministically NULL-poisoned order list (every 97th key nulled):
+    * not_in_nulls (0 rows pass), not_in_clean / not_exists (the real
+    * no-order customers, equal), in_nulls (NULL can't block a TRUE match).
+    * Both engines implement the standard, so the hash agreement pins the
+    * semantics end to end.
+    *
+    * Scale note: Spark plans a nullable NOT IN as a NULL-aware anti join
+    * (BroadcastNestedLoopJoin — the subquery side must broadcast whole);
+    * NOT EXISTS plans as a hash/merge left_anti that shuffles normally.
+    * At 100 TB the two are NOT interchangeable: write NOT EXISTS (or strip
+    * NULLs explicitly) — this query documents the trap and pins that the
+    * rewrite preserves results.
+    */
+  def qNotin(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "customer").createOrReplaceTempView("v_ni_customer")
+    t(spark, sfDir, "orders").createOrReplaceTempView("v_ni_orders")
+    spark.sql(
+      """WITH poisoned AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN CAST(NULL AS BIGINT)
+        |              ELSE o_custkey END AS k
+        |  FROM v_ni_orders)
+        |SELECT 'in_nulls' AS variant, CAST(count(*) AS BIGINT) AS n
+        |FROM v_ni_customer WHERE c_custkey IN (SELECT k FROM poisoned)
+        |UNION ALL
+        |SELECT 'not_exists', CAST(count(*) AS BIGINT)
+        |FROM v_ni_customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM poisoned p WHERE p.k = c.c_custkey)
+        |UNION ALL
+        |SELECT 'not_in_clean', CAST(count(*) AS BIGINT)
+        |FROM v_ni_customer
+        |WHERE c_custkey NOT IN (SELECT k FROM poisoned WHERE k IS NOT NULL)
+        |UNION ALL
+        |SELECT 'not_in_nulls', CAST(count(*) AS BIGINT)
+        |FROM v_ni_customer WHERE c_custkey NOT IN (SELECT k FROM poisoned)
+        |ORDER BY variant""".stripMargin)
+  }
+
+  val qNotinSql: String =
+    """WITH poisoned AS (
+      |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN CAST(NULL AS BIGINT)
+      |              ELSE o_custkey END AS k
+      |  FROM orders)
+      |SELECT 'in_nulls' AS variant, CAST(count(*) AS BIGINT) AS n
+      |FROM customer WHERE c_custkey IN (SELECT k FROM poisoned)
+      |UNION ALL
+      |SELECT 'not_exists', CAST(count(*) AS BIGINT)
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM poisoned p WHERE p.k = c.c_custkey)
+      |UNION ALL
+      |SELECT 'not_in_clean', CAST(count(*) AS BIGINT)
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT k FROM poisoned WHERE k IS NOT NULL)
+      |UNION ALL
+      |SELECT 'not_in_nulls', CAST(count(*) AS BIGINT)
+      |FROM customer WHERE c_custkey NOT IN (SELECT k FROM poisoned)
+      |ORDER BY variant""".stripMargin
+
+  // ---- linear interpolation gap repair ---------------------------------------
+
+  /** Exact integer LINEAR interpolation of a punched sensor series — the
+    * between-points complement to q_locf's carry-forward: each NULL is
+    * repaired to the time-weighted average of its nearest non-null
+    * neighbors, `(pv*(nes-es) + nv*(es-pes)) div (nes-pes)`. The weighted
+    * form keeps every term non-negative, so truncating `div` (Spark) and
+    * `//` (DuckDB) agree without a floor-vs-truncate hazard. Leading gaps
+    * fall back to the next value, trailing gaps to the previous, equal
+    * timestamps to the previous (guards the zero division ANSI mode would
+    * throw on). Neighbor value/time pairs ride two frames of the SAME
+    * (user_id, es, event_id) window order — one exchange total.
+    */
+  def qInterp(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t(spark, sfDir, "events")
+      .withColumn("es", unix_timestamp(col("ts")))
+      .withColumn("v",
+        when(col("event_id") % 3 === 0, lit(null).cast("long"))
+          .otherwise(col("event_id") % 100))
+      .withColumn("pv", last(when(col("v").isNotNull, col("v")), ignoreNulls = true).over(back))
+      .withColumn("pes", last(when(col("v").isNotNull, col("es")), ignoreNulls = true).over(back))
+      .withColumn("nv", first(when(col("v").isNotNull, col("v")), ignoreNulls = true).over(fwd))
+      .withColumn("nes", first(when(col("v").isNotNull, col("es")), ignoreNulls = true).over(fwd))
+      .withColumn("filled",
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .when(col("nes") === col("pes"), col("pv"))
+          .otherwise(expr(
+            "CAST((pv * (nes - es) + nv * (es - pes)) div (nes - pes) AS BIGINT)")))
+      .select(col("user_id"), col("event_id"), col("es"), col("v"), col("filled"))
+      .orderBy("user_id", "es", "event_id")
+  }
+
+  val qInterpSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS es,
+      |         CASE WHEN event_id % 3 = 0 THEN NULL
+      |              ELSE event_id % 100 END AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_id, es, v,
+      |         last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER (
+      |           PARTITION BY user_id ORDER BY es, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |         last_value(CASE WHEN v IS NOT NULL THEN es END IGNORE NULLS) OVER (
+      |           PARTITION BY user_id ORDER BY es, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pes,
+      |         first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER (
+      |           PARTITION BY user_id ORDER BY es, event_id
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |         first_value(CASE WHEN v IS NOT NULL THEN es END IGNORE NULLS) OVER (
+      |           PARTITION BY user_id ORDER BY es, event_id
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nes
+      |  FROM o)
+      |SELECT user_id, event_id, es, v,
+      |       CASE WHEN v IS NOT NULL THEN v
+      |            WHEN pv IS NULL THEN nv
+      |            WHEN nv IS NULL THEN pv
+      |            WHEN nes = pes THEN pv
+      |            ELSE (pv * (nes - es) + nv * (es - pes)) // (nes - pes)
+      |       END AS filled
+      |FROM w ORDER BY user_id, es, event_id""".stripMargin
+
+  // ---- incremental view maintenance (delta-refresh an aggregate) -------------
+
+  /** Incremental maintenance of a materialized per-customer order aggregate:
+    * the stored view (count + BIGINT-cents sum per customer) absorbs a
+    * changelog of weighted rows (+1 inserts, -1 deletes) by aggregating the
+    * DELTA alone and full-outer-merging it onto the view — groups whose
+    * count reaches zero drop out. The DuckDB oracle recomputes the post-
+    * change state FROM SCRATCH over the effective row set, so hash
+    * agreement proves delta-refresh == full recompute (count and sum are
+    * self-maintainable; no rescan needed).
+    *
+    * Scale shape: refresh cost is O(|changelog| + |affected groups|) — the
+    * base FACTS are never rescanned (the 100 TB daily-metrics loop: q_cdc
+    * diffs, q_apply_cdc upserts, q_ivm refreshes the aggregates). One
+    * changelog-sized shuffle + one group-keyed merge join; with the view
+    * and delta bucketed on the key (O5) the merge is exchange-free.
+    */
+  def qIvm(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    val orders = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), cents.as("cents"))
+    // stored view state: everything except the %7 rows (those arrive as inserts)
+    val mv = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_c"))
+    // changelog: %7 rows insert (+1), %5 rows already in the view delete (-1)
+    val changelog = orders.filter(col("o_orderkey") % 7 === 0).withColumn("w", lit(1L))
+      .unionByName(
+        orders.filter(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 5 === 0)
+          .withColumn("w", lit(-1L)))
+    val delta = changelog.groupBy("o_custkey")
+      .agg(sum(col("w")).as("dn"), sum(col("w") * col("cents")).as("dc"))
+    mv.as("m").join(delta.as("d"), Seq("o_custkey"), "full_outer")
+      .select(
+        col("o_custkey"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("total_c"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("total_c"))
+      .filter(col("n_orders") > 0)
+      .orderBy("o_custkey")
+  }
+
+  val qIvmSql: String =
+    """SELECT o_custkey,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c
+      |FROM orders
+      |WHERE o_orderkey % 7 = 0
+      |   OR (o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0)
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_notin" -> (qNotin _),
+    "q_interp" -> (qInterp _),
+    "q_ivm" -> (qIvm _),
     "q_triangles" -> (qTriangles _),
     "q_maphof" -> (qMapHof _),
     "q_skyline" -> (qSkyline _),
@@ -1834,6 +2017,9 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_notin" -> qNotinSql,
+    "q_interp" -> qInterpSql,
+    "q_ivm" -> qIvmSql,
     "q_triangles" -> qTrianglesSql,
     "q_maphof" -> qMapHofSql,
     "q_skyline" -> qSkylineSql,
