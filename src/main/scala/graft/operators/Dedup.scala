@@ -140,6 +140,89 @@ object Dedup {
        |WHERE (100 * inter) // (na.n + nb.n - inter) >= 5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- prefix-filtered all-pairs similarity join (AllPairs / PPJoin) ------
+
+  /** Jaccard threshold for the prefix-filtered join, in percent. */
+  val AP_T = 50
+
+  /** EXACT all-pairs similarity self-join with PREFIX FILTERING (Bayardo et
+    * al. WWW'07 AllPairs; Xiao et al. WWW'08 PPJoin): every document pair
+    * with Jaccard ≥ [[AP_T]]% over UNCAPPED 3-shingle sets — same semantics
+    * as a naive inverted-index join, at a fraction of its candidate volume.
+    *
+    * Each doc's shingles are ranked by a global (df, shingle) order —
+    * rarest first — and only the PREFIX of length n − ⌈t·n⌉ + 1 is indexed.
+    * Prefix-filtering principle: if J(x,y) ≥ t then |x∩y| ≥ ⌈t·max(|x|,|y|)⌉,
+    * and an intersection that large cannot avoid both prefixes under one
+    * global order (the suffix left after each prefix holds < ⌈t·n⌉ elements)
+    * — so every qualifying pair meets on ≥1 prefix shingle: candidate
+    * generation is COMPLETE, and exact verification (full-set intersection,
+    * integer `div` Jaccard) makes it sound. The DuckDB oracle is the naive
+    * uncapped inverted-index join — agreement proves the prefix filter
+    * changed candidate volume only, never the result.
+    *
+    * Scale shape (the principled alternative to [[DF_CAP]], which trades
+    * exactness for a hard bound): globally hot (boilerplate) shingles have
+    * the HIGHEST df, rank last inside every document, and drop out of the
+    * prefixes entirely unless a doc is tiny — so hot keys never reach the
+    * candidate self-join at all, by construction rather than by cap. df is
+    * a partial-agg groupBy (map-side combine, no single-key count
+    * straggler); at t=0.5 the prefix is ~half of each doc's postings, and
+    * verification touches full sets only for surviving candidates (≈ output
+    * volume, not n²).
+    */
+  /** The (doc_id, shingle, n) prefix index: each doc's n − ⌈t·n⌉ + 1 rarest
+    * shingles under the global (df, shingle) order. Factored out so the
+    * candidate-volume claim is testable in isolation.
+    */
+  private[graft] def apPrefix(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(dfc, Seq("shingle"))
+      .withColumn("r",
+        row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("r") <= col("n") - expr(s"($AP_T * n + 99) div 100") + 1)
+      .select("doc_id", "shingle", "n")
+  }
+
+  def allpairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleIndex(docsWithDups(spark, sfDir))
+    val prefix = apPrefix(sh)
+    val cand = prefix.as("a")
+      .join(
+        prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+          // length filter: t·max(|x|,|y|) ≤ min(|x|,|y|) is necessary for J ≥ t
+          && lit(100L) * least(col("a.n"), col("b.n"))
+            >= lit(AP_T.toLong) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list("shingle")).as("s"), count(lit(1)).as("n"))
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.s"), col("sb.s"))).cast("long"))
+      .selectExpr("doc_a", "doc_b", "inter",
+        "(100 * inter) div (sa.n + sb.n - inter) AS jacc_pct")
+      .filter(col("jacc_pct") >= AP_T)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val allpairsSql: String =
+    s"""$SQL_DOCS_WITH_DUPS,
+       |$SQL_SHINGLES,
+       |n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+       |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |       (100 * inter) // (na.n + nb.n - inter) AS jacc_pct
+       |FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+       |WHERE (100 * inter) // (na.n + nb.n - inter) >= $AP_T
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- benchmark decontamination -----------------------------------------
 
   /** Eval-set decontamination (the step every training corpus runs before a
@@ -917,6 +1000,7 @@ object Dedup {
     "dd_lines" -> (lineDedup _),
     "dd_fuzzy" -> (fuzzy _),
     "dd_exact" -> (exact _),
+    "dd_allpairs" -> (allpairs _),
     "dd_contam" -> (contam _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
     "dd_minhash_lsh" -> (minhashLsh _),
@@ -933,6 +1017,7 @@ object Dedup {
     "dd_lines" -> lineDedupSql,
     "dd_fuzzy" -> fuzzySql,
     "dd_exact" -> exactSql,
+    "dd_allpairs" -> allpairsSql,
     "dd_contam" -> contamSql,
     "dd_ngram_jaccard" -> ngramJaccardSql,
     "dd_minhash_lsh" -> minhashLshSql,

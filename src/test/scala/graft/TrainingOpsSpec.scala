@@ -95,6 +95,40 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(cold.count() == sh.filter(col("doc_id") < Dedup.DF_CAP).count())
   }
 
+  test("allpairs prefix filter: complete on near-dups, hot shingles never reach the index") {
+    import spark.implicits._
+    // two near-identical docs (J >= 0.5) + a boilerplate shingle shared by ALL
+    // docs: the full inverted index pairs every doc with every doc on the hot
+    // shingle; the prefix index must (a) still let the near-dup pair meet,
+    // (b) exclude the globally-hot shingle from every non-tiny doc's prefix.
+    val hot = "click here now"
+    val n = 40
+    val docs = ((0 until n).map { i =>
+      (i.toLong, s"$hot alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")
+    } :+ (100L, s"$hot shared body text one two three four five") :+
+      (101L, s"$hot shared body text one two three four six")).toDF("doc_id", "text")
+    val sh = Dedup.shingleIndex(docs)
+    val prefix = Dedup.apPrefix(sh)
+    def pairs(idx: org.apache.spark.sql.DataFrame): Long = idx.as("a")
+      .join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val full = pairs(sh)
+    val pruned = pairs(prefix)
+    assert(full >= (n + 2).toLong * (n + 1) / 2,
+      "hot shingle must make the full index quadratic")
+    assert(pruned < full / 10, s"prefix filter must collapse candidates ($pruned vs $full)")
+    // the hot shingle (highest df) appears in NO prefix: every doc here has
+    // >= 8 shingles, so its prefix (rarest-first) never reaches the hottest
+    assert(prefix.filter(col("shingle") === lit(hot)).count() == 0)
+    // completeness: the planted near-dup candidate pair survives pruning
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    assert(cand.filter(col("da") === 100L && col("db") === 101L).count() == 1)
+  }
+
   test("connected components: injected dup pairs cluster with min-id canonical") {
     val r = Dedup.components(spark, SF).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
