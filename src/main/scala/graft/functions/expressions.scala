@@ -117,7 +117,8 @@ object GraftExtensions {
       (children: Seq[Expression]) => DecodeEntities(children.head)),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (children: Seq[Expression]) => NfcNormalize(children.head))
+      (children: Seq[Expression]) => NfcNormalize(children.head)),
+    FreqSketchMG.registration
   )
 
   /** Register on an already-running session (tests, REPL). */

@@ -1252,7 +1252,33 @@ object TextAnalysis {
        |FROM nab JOIN uni a ON nab.w1 = a.w JOIN uni b ON nab.w2 = b.w
        |ORDER BY dice_x1e6 DESC, w1, w2 LIMIT 20""".stripMargin
 
+  // ---- heavy hitters via the native Misra–Gries sketch ---------------------
+
+  /** Corpus heavy-hitter profile through [[graft.functions.FreqSketchMG]],
+    * the custom `TypedImperativeAggregate` (U7): per-partition k-counter
+    * summaries serialize through the ordinary agg shuffle and MERGE on the
+    * reducer — the whole column collapses to ONE k-entry row regardless of
+    * corpus size (the 100 TB skew-probe: find the hot hosts/langs/sources
+    * without a full GROUP BY materialization). Here k=128 exceeds the
+    * lang:source vocabulary (100), so the sketch provably never decrements
+    * and equals exact GROUP BY counts — the DuckDB oracle pins exactness of
+    * the full update → serialize → merge → eval path across partitions; the
+    * approximate regime's Misra–Gries bounds are pinned in the suite.
+    */
+  def heavy(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(concat_ws(":", col("lang"), col("source")).as("key"))
+      .agg(graft.functions.FreqSketchMG.mgTopK(col("key"), 128).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item").as("key"), col("e.cnt").as("n"))
+      .orderBy(desc("n"), col("key"))
+
+  val heavySql: String =
+    """SELECT lang || ':' || source AS key, CAST(count(*) AS BIGINT) AS n
+      |FROM documents GROUP BY 1 ORDER BY n DESC, key""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_heavy" -> (heavy _),
     "ta_embed" -> (embed _),
     "ta_search" -> (search _),
     "ta_colloc" -> (colloc _),
@@ -1279,6 +1305,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_heavy" -> heavySql,
     "ta_embed" -> embedSql,
     "ta_search" -> searchSql,
     "ta_colloc" -> collocSql,

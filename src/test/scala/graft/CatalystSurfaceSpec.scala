@@ -72,6 +72,48 @@ class CatalystSurfaceSpec extends AnyFunSuite {
       .head.getString(0) == "\u00e9")
   }
 
+  test("mg_topk TypedImperativeAggregate: MG bounds, mergeability, exact regime, SQL") {
+    import spark.implicits._
+    import graft.functions.FreqSketchMG.mgTopK
+    // Zipf-ish stream: item i appears 2000/i times, i in 1..50 -> N = sum
+    val freqs = (1 to 50).map(i => (s"w$i", 2000 / i))
+    val n = freqs.map(_._2).sum.toLong
+    val rows = freqs.flatMap { case (w, c) => Seq.fill(c)(w) }
+    val k = 8
+    for (parts <- Seq(1, 4, 32)) {
+      val sk = rows.toDF("w").repartition(parts)
+        .agg(mgTopK(col("w"), k).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("w"), col("e.cnt").as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sk.size <= k)
+      val truth = freqs.toMap
+      // Misra-Gries guarantee: true - N/(k+1) <= cnt <= true
+      sk.foreach { case (w, c) =>
+        assert(c <= truth(w), s"$w overcounted: $c > ${truth(w)}")
+        assert(truth(w) - c <= n / (k + 1), s"$w undercounted beyond bound")
+      }
+      // every item more frequent than N/(k+1) is guaranteed present
+      freqs.filter(_._2 > n / (k + 1)).foreach { case (w, _) =>
+        assert(sk.contains(w), s"heavy hitter $w missing at parts=$parts")
+      }
+    }
+    // exact regime (distinct <= k): equals GROUP BY at any parallelism
+    val exact = rows.toDF("w").repartition(7)
+      .agg(mgTopK(col("w"), 64).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == freqs.map { case (w, c) => w -> c.toLong }.toMap)
+    // SQL registration path
+    GraftExtensions.register(spark)
+    rows.toDF("w").createOrReplaceTempView("mg_in")
+    val viaSql = spark.sql(
+      "SELECT inline(mg_topk(w, 64)) FROM mg_in")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == exact)
+  }
+
   test("extract plan shape: one url exchange per branch, filters pushed below") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
