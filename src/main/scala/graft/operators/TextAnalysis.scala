@@ -1277,8 +1277,112 @@ object TextAnalysis {
     """SELECT lang || ':' || source AS key, CAST(count(*) AS BIGINT) AS n
       |FROM documents GROUP BY 1 ORDER BY n DESC, key""".stripMargin
 
+  // ---- BPE merge training (3 unrolled rounds) -------------------------------
+
+  /** A real BPE TRAINER loop (Sennrich et al. 2016 shape), 3 merge rounds,
+    * fully declarative on BOTH engines: corpus → word vocabulary with
+    * counts (the only corpus-sized shuffle — everything after operates on
+    * the aggregated vocab, so per-round cost is corpus-size-INDEPENDENT:
+    * the 100 TB property a distributed tokenizer trainer needs); each round
+    * counts weighted adjacent symbol pairs, picks the argmax under the
+    * total (count desc, left, right) order, and applies the merge to every
+    * word's symbol array.
+    *
+    * Self-pairs (a,a) are EXCLUDED from selection — the one algorithmic
+    * restriction that makes the apply step overlap-free (matches of (a,b)
+    * with a≠b can never share a position), so it is a parallel per-row
+    * array rewrite instead of a sequential fold: `hits` = match positions,
+    * keep i unless i−1 hit, emit a||b at hits. Both engines implement the
+    * identical comprehension; the argmax rides a broadcast crossJoin (one
+    * tiny row), never a driver collect. Output per round: the chosen pair,
+    * its weighted count, and the corpus-wide segment total after applying
+    * it — pinning selection AND application bit-exactly.
+    */
+  def bpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val s0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(Toks.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("seg",
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))))
+    val (s1, r1) = bpeRound(s0, 1)
+    val (s2, r2) = bpeRound(s1, 2)
+    val (_, r3) = bpeRound(s2, 3)
+    r1.unionByName(r2).unionByName(r3).orderBy("round")
+  }
+
+  /** One BPE round: returns (new state, one-row summary df). */
+  private def bpeRound(state: DataFrame, round: Int): (DataFrame, DataFrame) = {
+    val pairs = state
+      .select(col("n"),
+        explode(
+          when(size(col("seg")) >= 2,
+            zip_with(
+              slice(col("seg"), lit(1), size(col("seg")) - 1),
+              slice(col("seg"), lit(2), size(col("seg")) - 1),
+              (x, y) => struct(x.as("a"), y.as("b"))))
+            .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("n"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(sum(col("n")).as("pn"))
+    val m = pairs.orderBy(col("pn").desc, col("a"), col("b")).limit(1)
+    val applied = state.crossJoin(broadcast(m))
+      .withColumn("hits",
+        when(size(col("seg")) >= 2,
+          filter(sequence(lit(1), size(col("seg")) - 1), i =>
+            element_at(col("seg"), i) === col("a")
+              && element_at(col("seg"), i + 1) === col("b")))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("seg",
+        transform(
+          filter(sequence(lit(1), size(col("seg"))), i =>
+            !array_contains(col("hits"), i - 1)),
+          i => when(array_contains(col("hits"), i),
+            concat(col("a"), col("b"))).otherwise(element_at(col("seg"), i))))
+      .select("w", "n", "seg", "a", "b", "pn")
+    val summary = applied
+      .groupBy("a", "b", "pn")
+      .agg(sum(col("n") * size(col("seg"))).as("segs_after"))
+      .select(lit(round).as("round"), col("a").as("left"), col("b").as("right"),
+        col("pn").as("pair_n"), col("segs_after"))
+    (applied.select("w", "n", "seg"), summary)
+  }
+
+  val bpeSql: String = {
+    def round(r: Int): String =
+      s"""p$r AS (
+         |  SELECT seg[i] a, seg[i+1] b, CAST(sum(n) AS BIGINT) pn
+         |  FROM s${r - 1}, unnest(generate_series(1, len(seg)-1)) AS u$r(i)
+         |  WHERE seg[i] <> seg[i+1] GROUP BY 1, 2),
+         |m$r AS (SELECT a, b, pn FROM p$r ORDER BY pn DESC, a, b LIMIT 1),
+         |s$r AS (
+         |  SELECT w, n,
+         |    [CASE WHEN list_contains(hits, i) THEN a||b ELSE seg[i] END
+         |     for i in generate_series(1, len(seg))
+         |     if NOT list_contains(hits, i-1)] AS seg
+         |  FROM (
+         |    SELECT w, n, seg, a, b,
+         |      [i for i in generate_series(1, len(seg)-1)
+         |       if seg[i]=a AND seg[i+1]=b] AS hits
+         |    FROM s${r - 1}, m$r))""".stripMargin
+    def leg(r: Int): String =
+      s"""SELECT $r AS round, a AS "left", b AS "right", pn AS pair_n,
+         |       (SELECT CAST(sum(n*len(seg)) AS BIGINT) FROM s$r) AS segs_after
+         |FROM m$r""".stripMargin
+    s"""WITH wd AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) n FROM (
+       |    SELECT unnest(${Toks.SQL_TOKENS}) AS w FROM documents) GROUP BY 1),
+       |s0 AS (SELECT w, n, [w[i:i] for i in generate_series(1, length(w))] AS seg FROM wd),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |${leg(1)} UNION ALL ${leg(2)} UNION ALL ${leg(3)}
+       |ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_heavy" -> (heavy _),
+    "ta_bpe" -> (bpe _),
     "ta_embed" -> (embed _),
     "ta_search" -> (search _),
     "ta_colloc" -> (colloc _),
@@ -1306,6 +1410,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "ta_heavy" -> heavySql,
+    "ta_bpe" -> bpeSql,
     "ta_embed" -> embedSql,
     "ta_search" -> searchSql,
     "ta_colloc" -> collocSql,
