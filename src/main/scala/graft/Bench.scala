@@ -33,10 +33,10 @@ object Bench {
   private val HEADLINE = Seq(
     "q1_agg", "q3_join", "q_window", "q_range_join", "q_distinct",
     "q_topk_per_key", "q_sessionize", "q_interval_join",
-    "dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_contam",
+    "dd_exact", "dd_ngram_jaccard", "dd_allpairs", "dd_minhash_lsh", "dd_simhash", "dd_contam",
     "dd_components", "dd_lines", "dd_substr", "dd_bloom", "ta_gopher",
     "sim_knn", "sim_ivf", "dd_embed_cos", "ta_quality", "ta_tokens", "ta_ngrams",
-    "ta_tfidf", "ta_pii", "ta_search", "q_funnel",
+    "ta_tfidf", "ta_pii", "ta_search", "ta_bpe", "q_funnel",
     "st_session"
   )
 
