@@ -129,6 +129,11 @@ object GraftExtensions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // Whole-operator stack: the TopKPerKey strategy plus the optimizer rule
+    // that rewrites naive row_number-filter top-k into it (AutoTopKRewrite).
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AutoTopKRewrite)
+  }
 }

@@ -433,6 +433,44 @@ object Relational {
       |                           ORDER BY price_c DESC, l_orderkey, l_linenumber) <= 3
       |ORDER BY l_returnflag, l_linestatus, price_c DESC, l_orderkey, l_linenumber""".stripMargin
 
+  /** The NAIVE top-k-per-key formulation — `row_number` window + `rn <= 2`
+    * filter, no [[graft.plans.TopK.perKey]] call. [[graft.plans.AutoTopKRewrite]]
+    * (a `Rule[LogicalPlan]` on the optimizer-rule injection surface) rewrites
+    * it to the bounded-heap TopKPerKey stack; CatalystSurfaceSpec pins the
+    * physical plan and the rewrite's equivalence to the un-rewritten run.
+    * The DuckDB oracle is the same QUALIFY formulation — ranks included, so
+    * the hash also pins that the post-rewrite recomputed `row_number` equals
+    * the stock one.
+    */
+  def qTopkAuto(spark0: SparkSession, sfDir: String): DataFrame = {
+    // The rule is session state — scope it to an isolated session so the
+    // driver's other queries keep their stock plans (same SparkContext).
+    val spark = spark0.newSession()
+    graft.plans.TopK.ensureRule(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("price_c").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("price_c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      // BIGINT on both sides: DuckDB row_number() is int64, Spark's is int32
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("price_c"), col("rn").cast("long").as("rn"))
+      .orderBy(col("l_returnflag"), col("rn"))
+  }
+
+  val qTopkAutoSql: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, price_c,
+      |       row_number() OVER (PARTITION BY l_returnflag
+      |                          ORDER BY price_c DESC, l_orderkey, l_linenumber) rn
+      |FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+      |             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) price_c
+      |      FROM lineitem)
+      |QUALIFY rn <= 2
+      |ORDER BY l_returnflag, rn""".stripMargin
+
   def qExcept(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "customer").select(col("c_custkey"))
       .except(t(spark, sfDir, "orders").filter(col("o_totalprice") > 300000)
@@ -1986,6 +2024,7 @@ object Relational {
     "q_scalar_str" -> (qScalarStr _),
     "q_topk" -> (qTopk _),
     "q_topk_per_key" -> (qTopkPerKey _),
+    "q_topk_auto" -> (qTopkAuto _),
     "q_except" -> (qExcept _),
     "q_intersect" -> (qIntersect _),
     "q_distinct" -> (qDistinct _),
@@ -2049,6 +2088,7 @@ object Relational {
     "q_scalar_str" -> qScalarStrSql,
     "q_topk" -> qTopkSql,
     "q_topk_per_key" -> qTopkPerKeySql,
+    "q_topk_auto" -> qTopkAutoSql,
     "q_except" -> qExceptSql,
     "q_intersect" -> qIntersectSql,
     "q_distinct" -> qDistinctSql,

@@ -188,10 +188,24 @@ case class FinalTopKExec(
 }
 
 object TopK {
-  private def ensureStrategy(spark: SparkSession): Unit = synchronized {
+  private[plans] def ensureStrategy(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+  }
+
+  /** Enable [[AutoTopKRewrite]] on a live session: the naive
+    * `row_number over window` + `rn <= k` formulation then plans as the
+    * bounded-heap stack with no code change. `extraOptimizations` is the
+    * public optimizer-rule injection point for running sessions (the
+    * optimizer's final batch); new sessions get the same via
+    * [[graft.functions.GraftExtensions]] (`injectOptimizerRule`).
+    */
+  def ensureRule(spark: SparkSession): Unit = synchronized {
+    ensureStrategy(spark)
+    if (!spark.experimental.extraOptimizations.contains(AutoTopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AutoTopKRewrite
   }
 
   /** Top-k rows per key by `order` (MUST be a total order for deterministic

@@ -229,6 +229,72 @@ class CatalystSurfaceSpec extends AnyFunSuite {
       Seq((None, 3L), (None, 5L), (Some("a"), 1L), (Some("a"), 4L)))
   }
 
+  test("AutoTopKRewrite: naive row_number filter plans as TopKPerKey, equal results") {
+    import org.apache.spark.sql.expressions.Window
+    def naive(s: org.apache.spark.sql.SparkSession) = {
+      val li = s.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("price_c"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("price_c").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .orderBy(col("l_returnflag"), col("rn"))
+    }
+    val stock = naive(spark).collect() // fixture session: no rule
+    assert(!naive(spark).queryExecution.executedPlan.toString.contains("PartialTopK"))
+    val s = spark.newSession()
+    graft.plans.TopK.ensureRule(s)
+    val rewritten = naive(s)
+    val plan = rewritten.queryExecution.executedPlan.toString
+    // bounded-heap stack present; InferWindowGroupLimit's node stripped; the
+    // retained Window (recomputing rn over <= k rows/key) is expected
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    val got = rewritten.collect()
+    assert(got.nonEmpty && got.length == stock.length)
+    got.zip(stock).foreach { case (a, b) => assert(a == b) }
+
+    // extra conjunct on a non-rank column: still rewrites, full filter kept
+    def conj(s2: org.apache.spark.sql.SparkSession) = {
+      val li = s2.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("price_c"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("price_c").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3 && col("l_orderkey") % 2 === 0)
+        .orderBy(col("l_returnflag"), col("rn"))
+    }
+    val cPlan = conj(s).queryExecution.executedPlan.toString
+    assert(cPlan.contains("PartialTopK"), cPlan)
+    val cGot = conj(s).collect()
+    val cStock = conj(spark).collect()
+    assert(cGot.length == cStock.length)
+    cGot.zip(cStock).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("AutoTopKRewrite guard rails: rank(), OR conditions, huge k stay stock") {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark.newSession()
+    graft.plans.TopK.ensureRule(s)
+    val li = s.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+      col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("price_c"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("price_c").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    // rank() can emit > k rows per key on ties — a k-heap would lose rows
+    val rk = li.withColumn("r", rank().over(w)).filter(col("r") <= 2)
+    assert(!rk.queryExecution.executedPlan.toString.contains("PartialTopK"))
+    // a disjunction implies no upper bound on rn
+    val or = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2 || col("l_orderkey") > 100)
+    assert(!or.queryExecution.executedPlan.toString.contains("PartialTopK"))
+    // k beyond the heap-pays-off threshold keeps Spark's spillable sort plan
+    val huge = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= graft.plans.AutoTopKRewrite.maxRewriteK + 1)
+    assert(!huge.queryExecution.executedPlan.toString.contains("PartialTopK"))
+  }
+
   test("TopKFold partial stage bails to passthrough on high-cardinality keys") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, SortOrder => CSortOrder}
