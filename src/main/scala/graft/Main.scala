@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object Main {
   def main(args: Array[String]): Unit = {
     val minArgs =
-      if (args.nonEmpty && Set("profile", "scale", "mat-bench").contains(args(0))) 2 else 3
+      if (args.nonEmpty && Set("profile", "scale", "mat-bench", "explain").contains(args(0))) 2 else 3
     if (args.length < minArgs) {
       System.err.println(
         "usage: graft.Main extract <nPages> <outDir> [seed] | extract-dir <pagesDir> <outDir> | " +
@@ -138,6 +138,15 @@ object Main {
             val n = times.head._2
             println(f"MAT mode=$mode%-10s median=$med%6.2f s  throughput=${n / med}%.0f docs/s  ($n docs x $reps reps)")
           }
+          return
+        case "explain" =>
+          // formatted physical plan of a SparkEntry query (plan-audit tool;
+          // PLANS.md sections are captured with this)
+          val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
+          val q = SparkEntry.queries.getOrElse(args(1),
+            sys.error(s"unknown query '${args(1)}'"))
+          println(q(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
           return
         case "run" =>
           val maxB = if (args.length > 4) args(4).toInt else Int.MaxValue

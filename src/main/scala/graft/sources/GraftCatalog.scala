@@ -82,6 +82,40 @@ class GraftCatalog extends TableCatalog {
     new PagesTable(ident.name, dir, buckets)
   }
 
+  /** Time travel: `SELECT ... FROM cat.t VERSION AS OF n` (also
+    * `spark.read.option("versionAsOf", n).table(...)`). Every catalog write
+    * records a snapshot (full file list, [[Snapshots]]); the pinned table
+    * plans exactly that snapshot's files.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident).toString
+    val v = try version.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft snapshot versions are integers, got '$version'")
+    }
+    val (_, files) = Snapshots.files(dir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"table ${ident.name} has no snapshot v$v " +
+          s"(latest: ${Snapshots.latestVersion(dir).getOrElse("none")})"))
+    val buckets = PageTable.readBucketMeta(dir).getOrElse(PageTable.DEFAULT_BUCKETS)
+    new PagesTable(ident.name, dir, buckets, pinned = Some((v, files)))
+  }
+
+  /** Time travel by wall clock: `TIMESTAMP AS OF ts` (micros from Spark) —
+    * resolves to the newest snapshot recorded at or before `ts`.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident).toString
+    val v = Snapshots.versionAt(dir, timestamp / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"table ${ident.name}: no snapshot at or before timestamp " +
+          s"${timestamp / 1000L} ms"))
+    loadTable(ident, v.toString)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -127,6 +161,77 @@ class GraftCatalog extends TableCatalog {
 object PagesTable {
   /** Contract columns (B:15) plus the two physical partition columns. */
   val FULL: StructType = Model.PAGES.add("bucket", "int").add("day", "string")
+}
+
+/** Snapshot log for catalog time travel: after every successful catalog
+  * write, `snapshots/v<N>.txt` records the table's FULL data-file list
+  * (header `ts=<epoch millis>`, then one dataDir-relative path per line,
+  * sorted). `VERSION AS OF n` plans exactly v<n>'s files; `TIMESTAMP AS OF`
+  * resolves to the newest snapshot at or before the time.
+  *
+  * Retention caveat (documented, Iceberg-grade GC is out of scope): appends
+  * keep history valid forever, but `INSERT OVERWRITE`/`TRUNCATE` delete data
+  * files, so older snapshots referencing them fail loudly at scan time with
+  * the missing paths — history is append-only-durable, like a format without
+  * a file pool. Writes through bare [[PageTable.write]] bypass the catalog
+  * and record nothing (such tables report "no snapshot").
+  */
+object Snapshots {
+  private def snapDir(tableDir: String) = new java.io.File(tableDir, "snapshots")
+
+  private val VFILE = "v(\\d+)\\.txt".r
+
+  def latestVersion(tableDir: String): Option[Int] = {
+    val d = snapDir(tableDir)
+    if (!d.isDirectory) None
+    else d.listFiles.flatMap(f => VFILE.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .sorted.lastOption
+  }
+
+  /** (recorded epoch millis, dataDir-relative file paths) of snapshot v. */
+  def files(tableDir: String, version: Int): Option[(Long, Seq[String])] = {
+    val f = new java.io.File(snapDir(tableDir), s"v$version.txt")
+    if (!f.isFile) None
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty)
+      val ts = lines.head.stripPrefix("ts=").toLong
+      Some((ts, lines.tail))
+    }
+  }
+
+  /** Newest version recorded at or before `tsMillis`. */
+  def versionAt(tableDir: String, tsMillis: Long): Option[Int] = {
+    val d = snapDir(tableDir)
+    if (!d.isDirectory) None
+    else d.listFiles
+      .flatMap(f => VFILE.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .sorted
+      .filter(v => files(tableDir, v).exists(_._1 <= tsMillis))
+      .lastOption
+  }
+
+  /** Record the table's current full file list as the next version (atomic
+    * tmp+rename, single-writer like the rest of the engine).
+    */
+  def record(tableDir: String): Int = {
+    val dataDir = new java.io.File(tableDir, "data")
+    val base = dataDir.toPath
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Seq.empty
+    val rel = walk(dataDir).map(f => base.relativize(f.toPath).toString).sorted
+    val v = latestVersion(tableDir).getOrElse(0) + 1
+    val d = snapDir(tableDir)
+    d.mkdirs()
+    val tmp = new java.io.File(d, s".v$v.txt.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      (s"ts=${System.currentTimeMillis()}" +: rel).mkString("\n").getBytes("UTF-8"))
+    val dst = new java.io.File(d, s"v$v.txt")
+    if (!tmp.renameTo(dst)) throw new IllegalStateException(s"snapshot commit failed: $dst")
+    v
+  }
 }
 
 /** One input split per storage bucket, keyed for Spark's storage-partitioned
@@ -198,12 +303,14 @@ class BucketedPagesScan(delegate: Scan, numBuckets: Int)
   * derived, exactly like hidden partitioning in a real table format).
   */
 class PagesTable(tableName: String, dir: String,
-    numBuckets: Int = PageTable.DEFAULT_BUCKETS)
+    numBuckets: Int = PageTable.DEFAULT_BUCKETS,
+    pinned: Option[(Int, Seq[String])] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   private val dataDir = s"$dir/data"
 
-  override def name(): String = tableName
+  override def name(): String =
+    pinned.fold(tableName) { case (v, _) => s"$tableName@v$v" }
 
   override def schema(): StructType = PagesTable.FULL
 
@@ -219,7 +326,8 @@ class PagesTable(tableName: String, dir: String,
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(
+    if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
@@ -233,8 +341,24 @@ class PagesTable(tableName: String, dir: String,
       // the same code path by pointing at the (existing, empty) table dir
       new java.io.File(dataDir).mkdirs()
     }
-    val delegate = ParquetTable(tableName, spark, options, Seq(dataDir),
-      Some(PagesTable.FULL), classOf[ParquetFileFormat]).newScanBuilder(options)
+    // Time travel: plan exactly the pinned snapshot's files. basePath keeps
+    // bucket/day partition-column discovery identical to the live-table scan
+    // (pruning and pushdown still apply — same v2 parquet source).
+    val (paths, opts) = pinned match {
+      case None => (Seq(dataDir), options)
+      case Some((v, rel)) =>
+        val abs = rel.map(r => s"$dataDir/$r")
+        val missing = abs.filterNot(p => new java.io.File(p).isFile)
+        require(missing.isEmpty,
+          s"snapshot v$v of $tableName references files deleted by a later " +
+            s"overwrite/truncate (history is append-only-durable): " +
+            missing.take(3).mkString(", "))
+        val m = new util.HashMap[String, String](options.asCaseSensitiveMap())
+        m.put("basePath", dataDir)
+        (abs, new CaseInsensitiveStringMap(m))
+    }
+    val delegate = ParquetTable(name(), spark, opts, paths,
+      Some(PagesTable.FULL), classOf[ParquetFileFormat]).newScanBuilder(opts)
     if (!options.getBoolean("bucketedScan", false)) delegate
     else new ScanBuilder {
       // opt-in storage-partitioned-join scan (see BucketedPagesScan). The
@@ -246,7 +370,10 @@ class PagesTable(tableName: String, dir: String,
     }
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (pinned.isDefined)
+      throw new UnsupportedOperationException(
+        s"cannot write to time-travel snapshot ${name()}")
     new WriteBuilder with SupportsTruncate {
       private var overwriteAll = false
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
@@ -268,8 +395,12 @@ class PagesTable(tableName: String, dir: String,
                 .mode(if (overwriteAll || overwrite) SaveMode.Overwrite else SaveMode.Append)
                 .partitionBy("bucket", "day")
                 .parquet(dataDir)
+              // commit the snapshot AFTER the data lands: a failed write
+              // leaves the log pointing at the previous consistent version
+              Snapshots.record(dir)
             }
           }
       }
     }
+  }
 }

@@ -74,6 +74,59 @@ class PageTableSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN pcat").collect().map(_.getString(1)).contains("pages"))
   }
 
+  test("DSv2 catalog time travel: VERSION/TIMESTAMP AS OF over the snapshot log") {
+    val wh = s"$tmp/warehouse3"
+    PageTable.register(spark, "pcat3", wh)
+    spark.sql(
+      """CREATE TABLE pcat3.pages (
+        |  url string, warc_ts timestamp, html binary, text string, lang string,
+        |  bucket int, day string
+        |) PARTITIONED BY (bucket, day)""".stripMargin)
+
+    Corpus.pages(spark, 30L).writeTo("pcat3.pages").append() // -> v1
+    val tsMid = System.currentTimeMillis()
+    Thread.sleep(15)
+    Corpus.pages(spark, 20L, seed = 42L).writeTo("pcat3.pages").append() // -> v2
+
+    val batch1Urls = Corpus.pages(spark, 30L).select("url").as[String].collect().sorted.toSeq
+    assert(spark.read.table("pcat3.pages").count() == 50)
+    // VERSION AS OF: v1 is exactly the first batch, v2 the union
+    val v1 = spark.sql("SELECT url FROM pcat3.pages VERSION AS OF 1")
+    assert(v1.as[String].collect().sorted.toSeq == batch1Urls)
+    assert(spark.sql("SELECT * FROM pcat3.pages VERSION AS OF 2").count() == 50)
+    // reader-option path resolves the same way
+    assert(spark.read.option("versionAsOf", "1").table("pcat3.pages").count() == 30)
+    // TIMESTAMP AS OF between the writes resolves to v1
+    assert(spark.sql(
+      s"SELECT * FROM pcat3.pages TIMESTAMP AS OF timestamp_millis(${tsMid}L)")
+      .count() == 30)
+    // partition pruning still applies on the pinned-file scan
+    val prunedPlan = spark.sql(
+      "SELECT url FROM pcat3.pages VERSION AS OF 1 WHERE bucket = 3")
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters") && prunedPlan.contains("bucket"),
+      prunedPlan)
+    // unknown version fails loudly, naming the latest
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM pcat3.pages VERSION AS OF 99").collect())
+    assert(e.getMessage.contains("no snapshot v99"), e.getMessage)
+    // a snapshot table is read-only
+    val cat = spark.sessionState.catalogManager.catalog("pcat3")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val pin = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "pages"), "1")
+    assert(pin.capabilities().size() == 1) // BATCH_READ only
+    // truncate-overwrite commits v3 and (documented) invalidates older
+    // snapshots whose files it deleted — the error names the snapshot
+    Corpus.pages(spark, 10L, seed = 7L).toDF().writeTo("pcat3.pages")
+      .overwrite(lit(true)) // -> v3
+    assert(spark.sql("SELECT * FROM pcat3.pages VERSION AS OF 3").count() == 10)
+    val gone = intercept[Exception](
+      spark.sql("SELECT * FROM pcat3.pages VERSION AS OF 1").collect())
+    assert(gone.getMessage.contains("snapshot v1"), gone.getMessage)
+    spark.sql("DROP TABLE pcat3.pages")
+  }
+
   test("DSv2 catalog: CREATE TABLE + append derives partition columns") {
     val wh = s"$tmp/warehouse2"
     PageTable.register(spark, "pcat2", wh)
