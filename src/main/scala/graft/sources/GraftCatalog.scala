@@ -305,7 +305,8 @@ class BucketedPagesScan(delegate: Scan, numBuckets: Int)
 class PagesTable(tableName: String, dir: String,
     numBuckets: Int = PageTable.DEFAULT_BUCKETS,
     pinned: Option[(Int, Seq[String])] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private val dataDir = s"$dir/data"
 
@@ -368,6 +369,86 @@ class PagesTable(tableName: String, dir: String,
       // the full pushdown/pruning surface (pinned by PageTableSpec).
       override def build(): Scan = new BucketedPagesScan(delegate.build(), numBuckets)
     }
+  }
+
+  // ---- DELETE FROM (retention): partition-scoped row-level delete --------
+  //
+  // `DELETE FROM cat.pages WHERE day < '2025-06-01'` (or bucket predicates)
+  // removes whole bucket=/day= directories — the metadata-only delete every
+  // table format runs for retention/GDPR-by-partition. Predicates touching
+  // data columns are REFUSED via canDeleteWhere, so Spark raises the standard
+  // "cannot delete" analysis error instead of a silent partial delete
+  // (rewriting data files copy-on-write is a format concern out of scope).
+  // Deletes commit a snapshot; like overwrite, they invalidate OLDER
+  // snapshots referencing the removed files (loud at scan, see [[Snapshots]]).
+
+  import org.apache.spark.sql.sources._
+
+  private def deletable(f: Filter): Boolean = f match {
+    case And(l, r) => deletable(l) && deletable(r)
+    case Or(l, r) => deletable(l) && deletable(r)
+    case Not(c) => deletable(c)
+    case EqualTo(a, _) => a == "bucket" || a == "day"
+    case EqualNullSafe(a, _) => a == "bucket" || a == "day"
+    case LessThan(a, _) => a == "bucket" || a == "day"
+    case LessThanOrEqual(a, _) => a == "bucket" || a == "day"
+    case GreaterThan(a, _) => a == "bucket" || a == "day"
+    case GreaterThanOrEqual(a, _) => a == "bucket" || a == "day"
+    case In(a, _) => a == "bucket" || a == "day"
+    case IsNull(a) => a == "bucket" || a == "day"
+    case IsNotNull(a) => a == "bucket" || a == "day"
+    case StringStartsWith(a, _) => a == "day"
+    case _: AlwaysTrue => true
+    case _: AlwaysFalse => true
+    case _ => false
+  }
+
+  private def evalPart(f: Filter, b: Int, d: String): Boolean = {
+    def cmp(attr: String, v: Any): Int = attr match {
+      case "bucket" => java.lang.Integer.compare(b, v.asInstanceOf[Number].intValue())
+      case "day" => d.compareTo(v.toString) // yyyy-MM-dd sorts chronologically
+    }
+    f match {
+      case EqualTo(a, v) => cmp(a, v) == 0
+      case EqualNullSafe(a, v) => cmp(a, v) == 0
+      case LessThan(a, v) => cmp(a, v) < 0
+      case LessThanOrEqual(a, v) => cmp(a, v) <= 0
+      case GreaterThan(a, v) => cmp(a, v) > 0
+      case GreaterThanOrEqual(a, v) => cmp(a, v) >= 0
+      case In(a, vs) => vs.exists(v => cmp(a, v) == 0)
+      case IsNull(_) => false // partition values are never null in this layout
+      case IsNotNull(_) => true
+      case And(l, r) => evalPart(l, b, d) && evalPart(r, b, d)
+      case Or(l, r) => evalPart(l, b, d) || evalPart(r, b, d)
+      case Not(c) => !evalPart(c, b, d)
+      case StringStartsWith(_, v) => d.startsWith(v)
+      case _: AlwaysTrue => true
+      case _: AlwaysFalse => false
+      case other => throw new UnsupportedOperationException(s"delete filter $other")
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinned.isEmpty && filters.forall(deletable)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val data = new java.io.File(dataDir)
+    if (data.isDirectory) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      for {
+        bDir <- data.listFiles.toSeq if bDir.getName.startsWith("bucket=")
+        b = bDir.getName.stripPrefix("bucket=").toInt
+        dDir <- bDir.listFiles.toSeq if dDir.getName.startsWith("day=")
+        d = dDir.getName.stripPrefix("day=")
+        if filters.forall(evalPart(_, b, d)) // AND semantics, like scans
+      } rm(dDir)
+      // drop bucket dirs emptied by the delete (keeps listings clean)
+      data.listFiles.filter(f => f.isDirectory && f.listFiles.isEmpty).foreach(_.delete())
+    }
+    Snapshots.record(dir)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

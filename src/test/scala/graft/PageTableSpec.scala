@@ -127,6 +127,50 @@ class PageTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pcat3.pages")
   }
 
+  test("DSv2 catalog DELETE FROM: partition-scoped retention, data predicates refused") {
+    val wh = s"$tmp/warehouse4"
+    PageTable.register(spark, "pcat4", wh)
+    PageTable.write(Corpus.pages(spark, 300L), s"$wh/pages", numBuckets = 8)
+    // a later crawl day, so the retention leg has something to expire
+    Corpus.pages(spark, 80L, seed = 9L).toDF()
+      .withColumn("warc_ts", expr("warc_ts + INTERVAL 1 DAY"))
+      .writeTo("pcat4.pages").append()
+
+    val before = spark.read.table("pcat4.pages")
+    val total = before.count()
+    val inB3 = before.filter(col("bucket") === 3).count()
+    assert(inB3 > 0 && inB3 < total)
+    val days = before.select("day").distinct().as[String].collect().sorted
+    assert(days.length >= 2, s"need >=2 days for the retention leg, got ${days.toSeq}")
+
+    // bucket-scoped delete removes exactly that bucket's rows (and its dirs)
+    spark.sql("DELETE FROM pcat4.pages WHERE bucket = 3")
+    val afterB = spark.read.table("pcat4.pages")
+    assert(afterB.count() == total - inB3)
+    assert(afterB.filter(col("bucket") === 3).count() == 0)
+    assert(!new java.io.File(s"$wh/pages/data/bucket=3").exists())
+
+    // day-scoped retention: drop everything before the last day
+    val lastDay = days.last
+    val keep = afterB.filter(col("day") === lastDay).count()
+    spark.sql(s"DELETE FROM pcat4.pages WHERE day < '$lastDay'")
+    val afterD = spark.read.table("pcat4.pages")
+    assert(afterD.count() == keep)
+    assert(afterD.select("day").distinct().as[String].collect().toSeq == Seq(lastDay))
+
+    // the delete committed a snapshot: current version readable, and the
+    // post-bucket-delete state is version-addressable
+    val v = graft.sources.Snapshots.latestVersion(s"$wh/pages").get
+    assert(spark.sql(s"SELECT * FROM pcat4.pages VERSION AS OF $v").count() == keep)
+
+    // predicates on DATA columns are refused loudly (no copy-on-write here)
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM pcat4.pages WHERE lang = 'en'"))
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(spark.read.table("pcat4.pages").count() == keep) // nothing removed
+    spark.sql("DROP TABLE pcat4.pages")
+  }
+
   test("DSv2 catalog: CREATE TABLE + append derives partition columns") {
     val wh = s"$tmp/warehouse2"
     PageTable.register(spark, "pcat2", wh)
