@@ -213,6 +213,52 @@ class PageTableSpec extends AnyFunSuite {
       .map(_.getString(1)).toSeq == Seq("pages8")) // only the 8-bucket table remains
   }
 
+  test("DSv2 catalog: parquet aggregate pushdown answers COUNT from footers") {
+    val wh = s"$tmp/warehouse5"
+    PageTable.register(spark, "pcat5", wh)
+    PageTable.write(Corpus.pages(spark, 150L), s"$wh/pages", numBuckets = 4)
+    val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val agg = spark.sql("SELECT count(*) AS n FROM pcat5.pages")
+      val plan = agg.queryExecution.executedPlan.toString
+      // the scan itself answers the aggregate from parquet footer metadata —
+      // zero data pages (in particular zero html bytes) are read
+      assert(plan.contains("PushedAggregation: [COUNT(*)]"), plan)
+      assert(agg.collect().head.getLong(0) == 150L)
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.parquet.aggregatePushdown"))(
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", _))
+    }
+  }
+
+  test("DSv2 catalog: dynamic partition pruning reaches the v2 scan at runtime") {
+    val wh = s"$tmp/warehouse6"
+    PageTable.register(spark, "pcat6", wh)
+    PageTable.write(Corpus.pages(spark, 200L), s"$wh/pages", numBuckets = 4)
+    Corpus.pages(spark, 60L, seed = 9L).toDF()
+      .withColumn("warc_ts", expr("warc_ts + INTERVAL 1 DAY"))
+      .writeTo("pcat6.pages").append()
+    val days = spark.read.table("pcat6.pages")
+      .select("day").distinct().as[String].collect().sorted
+    assert(days.length == 2)
+    // dim restricted to the later day; the fact-side filter on `day` exists
+    // only at RUNTIME (after the dim side is evaluated) — DPP must inject it
+    // into the v2 scan (FileScan implements SupportsRuntimeFiltering over
+    // the partition columns)
+    val dim = spark.range(2).select(
+      (lit(days.last)).as("d"), (col("id") * 10).as("w"))
+    dim.createOrReplaceTempView("dpp_dim")
+    val q = spark.sql(
+      """SELECT count(*) AS n
+        |FROM pcat6.pages p JOIN dpp_dim ON p.day = dpp_dim.d""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning") ||
+      plan.contains("RuntimeFilters"), plan)
+    // 60 later-day pages x 2 dim rows
+    assert(q.collect().head.getLong(0) == 120L)
+  }
+
   test("kill-and-resume equals one-shot run; manifest carries lineage") {
     val pagesDir = s"$tmp/pages2"
     PageTable.write(Corpus.pages(spark, N), pagesDir, numBuckets = 8)
