@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object Main {
   def main(args: Array[String]): Unit = {
     val minArgs =
-      if (args.nonEmpty && Set("profile", "scale", "mat-bench", "explain").contains(args(0))) 2 else 3
+      if (args.nonEmpty && Set("profile", "scale", "mat-bench", "explain", "compact").contains(args(0))) 2 else 3
     if (args.length < minArgs) {
       System.err.println(
         "usage: graft.Main extract <nPages> <outDir> [seed] | extract-dir <pagesDir> <outDir> | " +
@@ -138,6 +138,10 @@ object Main {
             val n = times.head._2
             println(f"MAT mode=$mode%-10s median=$med%6.2f s  throughput=${n / med}%.0f docs/s  ($n docs x $reps reps)")
           }
+          return
+        case "compact" =>
+          val (leaves, before, after) = graft.sources.Compact.run(spark, args(1))
+          println(s"compacted $leaves partitions: $before -> $after files")
           return
         case "explain" =>
           // formatted physical plan of a SparkEntry query (plan-audit tool;

@@ -259,6 +259,44 @@ class PageTableSpec extends AnyFunSuite {
     assert(q.collect().head.getLong(0) == 120L)
   }
 
+  test("compaction: fragmented partitions collapse to one file, content bit-equal") {
+    val wh = s"$tmp/warehouse7"
+    PageTable.register(spark, "pcat7", wh)
+    PageTable.write(Corpus.pages(spark, 100L), s"$wh/pages", numBuckets = 4)
+    // two more small appends fragment every leaf (one file per batch each)
+    Corpus.pages(spark, 40L, seed = 11L).writeTo("pcat7.pages").append()
+    Corpus.pages(spark, 40L, seed = 12L).writeTo("pcat7.pages").append()
+
+    def leafFiles: Map[String, Int] = {
+      val data = new java.io.File(s"$wh/pages/data")
+      (for {
+        b <- data.listFiles.toSeq if b.getName.startsWith("bucket=")
+        d <- b.listFiles.toSeq if d.getName.startsWith("day=")
+      } yield s"${b.getName}/${d.getName}" ->
+        d.listFiles.count(f => f.getName.endsWith(".parquet"))).toMap
+    }
+    val before = spark.read.table("pcat7.pages")
+      .orderBy("url").collect().toSeq
+    val fragged = leafFiles
+    assert(fragged.values.exists(_ > 1), s"expected fragmented leaves: $fragged")
+
+    val (leaves, nBefore, nAfter) = graft.sources.Compact.run(spark, s"$wh/pages")
+    assert(leaves == fragged.count(_._2 > 1))
+    assert(nBefore == fragged.values.filter(_ > 1).sum && nAfter == leaves)
+    assert(leafFiles.values.forall(_ == 1), s"still fragmented: $leafFiles")
+
+    // content is exactly what it was, partition columns included
+    val after = spark.read.table("pcat7.pages").orderBy("url").collect().toSeq
+    assert(after == before)
+    // compaction committed a snapshot addressing the new layout
+    val v = graft.sources.Snapshots.latestVersion(s"$wh/pages").get
+    assert(spark.sql(s"SELECT count(*) c FROM pcat7.pages VERSION AS OF $v")
+      .collect().head.getLong(0) == before.size)
+    // nothing to do on a second run
+    assert(graft.sources.Compact.run(spark, s"$wh/pages") == ((0, 0, 0)))
+    spark.sql("DROP TABLE pcat7.pages")
+  }
+
   test("kill-and-resume equals one-shot run; manifest carries lineage") {
     val pagesDir = s"$tmp/pages2"
     PageTable.write(Corpus.pages(spark, N), pagesDir, numBuckets = 8)
