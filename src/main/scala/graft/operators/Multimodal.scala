@@ -395,6 +395,8 @@ object Multimodal {
   val META_PQ = s"read_parquet('$META/*.parquet')"
   val FRAMES_PQ = s"read_parquet('$FRAMES/*.parquet')"
   val PHASH = s"$ORACLE_DIR/media-phash"
+  val PIXELS = s"$ORACLE_DIR/media-pixels"
+  val PIXELS_PQ = s"read_parquet('$PIXELS/*.parquet')"
   val PNG_PQ = s"read_parquet('$PNGSTATS/*.parquet')"
   val WAV_PQ = s"read_parquet('$WAVSTATS/*.parquet')"
   val PHASH_PQ = s"read_parquet('$PHASH/*.parquet')"
@@ -424,6 +426,52 @@ object Multimodal {
         (r.media_id, w, h, lum, w.toLong * h)
       }
     }.toDF("media_id", "width", "height", "sum_lum", "n_pix")
+  }
+
+  /** Per-PIXEL luminance table of the decoded PNGs — the materialized input
+    * that lets the DuckDB oracle recompute the RESIZE MATH itself (not just
+    * an aggregation tail) for `mm_resize`.
+    */
+  def pngPixels(rows: Dataset[MediaRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.filter(_.kind == "png").mapPartitions { it =>
+      it.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        for { y <- 0 until h; x <- 0 until w } yield {
+          val rgb = img.getRGB(x, y)
+          (r.media_id, w, h, x, y,
+            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff))
+        }
+      }
+    }.toDF("media_id", "w", "h", "x", "y", "lum")
+  }
+
+  /** Integer box-filter downscale to fw x fh: input pixel (x,y) belongs to
+    * output cell (x*fw/w, y*fh/h) — the same integer grid mapping as
+    * [[dhash64]] — and each cell is the truncating-div mean luminance of its
+    * box. Exact integers end to end: bit-stable across JDKs (PNG lossless)
+    * and at any parallelism; non-divisor targets exercise uneven boxes.
+    */
+  def resizeGrid(img: java.awt.image.BufferedImage, fw: Int, fh: Int): Array[Long] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Long](fw * fh)
+    val cnts = new Array[Long](fw * fh)
+    var y = 0
+    while (y < h) {
+      val gy = y * fh / h
+      var x = 0
+      while (x < w) {
+        val gx = x * fw / w
+        val rgb = img.getRGB(x, y)
+        sums(gy * fw + gx) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        cnts(gy * fw + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    sums.indices.map(i => sums(i) / cnts(i)).toArray
   }
 
   /** Per-clip REAL signal statistics from the decoded PCM (integer-exact):
@@ -552,6 +600,7 @@ object Multimodal {
       decodeMeta(m).write.mode("overwrite").parquet(META)
       sampleFrames(m).write.mode("overwrite").parquet(FRAMES)
       pngStats(m).write.mode("overwrite").parquet(PNGSTATS)
+      pngPixels(m).write.mode("overwrite").parquet(PIXELS)
       wavStats(m).write.mode("overwrite").parquet(WAVSTATS)
       phashTable(pngWithDups(spark)).write.mode("overwrite").parquet(PHASH)
       graft.sources.OracleCorpus.writeMarker(marker, stamp)
@@ -635,6 +684,42 @@ object Multimodal {
        |       CAST((10000 * sum(sum_abs)) // (32768 * sum(n_samples)) AS BIGINT) mean_amp_e4
        |FROM $WAV_PQ GROUP BY 1 ORDER BY db""".stripMargin
 
+  private val RESIZE_W = 7
+  private val RESIZE_H = 5
+
+  /** Resize stage (`mm_resize`): every PNG box-filter-downscaled to 7x5 with
+    * exact integer math ([[resizeGrid]]); the result grid ships as a
+    * canonical CSV plus its cell sum. The Spark side re-runs the PRODUCTION
+    * decode+resize; the DuckDB oracle recomputes the SAME grid mapping and
+    * truncating-div means from the materialized per-pixel table — so the
+    * resize arithmetic itself is cross-checked, not just a downstream tail.
+    */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark)
+    import spark.implicits._
+    media(spark, N_MEDIA).filter(_.kind == "png").mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val cells = resizeGrid(img, RESIZE_W, RESIZE_H)
+        (r.media_id, cells.mkString(","), cells.sum)
+      }
+    }.toDF("media_id", "cells_csv", "sum_cells")
+      .orderBy("media_id")
+  }
+
+  val mmResizeSql: String =
+    s"""WITH c AS (
+       |  SELECT media_id,
+       |         CAST(y * $RESIZE_H // h AS INT) gy,
+       |         CAST(x * $RESIZE_W // w AS INT) gx,
+       |         CAST(sum(lum) // count(*) AS BIGINT) cell
+       |  FROM $PIXELS_PQ GROUP BY media_id, 2, 3)
+       |SELECT media_id,
+       |       string_agg(CAST(cell AS VARCHAR), ',' ORDER BY gy, gx) cells_csv,
+       |       CAST(sum(cell) AS BIGINT) sum_cells
+       |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin
+
   private val PHASH_HAM_MAX = 3
 
   /** Perceptual image near-dup pairing — the multimodal counterpart of
@@ -690,7 +775,8 @@ object Multimodal {
     "mm_frames" -> (mmFrames _),
     "mm_png" -> (mmPng _),
     "mm_wav" -> (mmWav _),
-    "mm_phash" -> (mmPhash _)
+    "mm_phash" -> (mmPhash _),
+    "mm_resize" -> (mmResize _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -698,6 +784,7 @@ object Multimodal {
     "mm_frames" -> mmFramesSql,
     "mm_png" -> mmPngSql,
     "mm_wav" -> mmWavSql,
-    "mm_phash" -> mmPhashSql
+    "mm_phash" -> mmPhashSql,
+    "mm_resize" -> mmResizeSql
   )
 }
