@@ -1380,7 +1380,95 @@ object TextAnalysis {
        |ORDER BY round""".stripMargin
   }
 
+  // ---- compression-ratio quality signal (ta_zratio) ------------------------
+  //
+  // The CCNet/RefinedWeb heuristic: text that DEFLATEs far below the corpus
+  // norm is repetition/gibberish (near-identical lines, keyword stuffing) —
+  // a one-pass, vocabulary-free quality gate that runs at scan speed at
+  // 100 TB (per-row codec call, zero exchanges before the 10-row tail).
+  // Deflate itself is procedural, so the per-doc (n_raw, n_def) table is
+  // materialized ONCE (ExtractOracle pattern) and DuckDB recomputes the
+  // ratio/flag/bucket tail over it while Spark re-runs the production
+  // deflate path. Repetitive docs are PLANTED deterministically from the
+  // url hash (the word-salad corpus has no natural extreme-repetition class);
+  // ratios are exact integers (1000*n_def div n_raw). Deflate output bytes
+  // are JDK-zlib-build-dependent in principle; the LENGTH at a fixed level
+  // is stable in practice and both engines share the one materialization,
+  // so the gate checks the tail math bit-exactly regardless.
+
+  private val ZRATIO_DIR = s"${graft.sources.OracleCorpus.DIR}/zratio"
+  private val ZRATIO_PQ = s"read_parquet('$ZRATIO_DIR/*.parquet')"
+  private val ZFLAG = 150 // ratio_e3 below this => repetition candidate
+
+  /** Corpus docs with every ~10th text replaced by a planted highly
+    * repetitive paragraph (deterministic function of the url).
+    */
+  private def zInput(spark: SparkSession): DataFrame = {
+    val docs = graft.sources.OracleCorpus.docs(spark)
+      .filter(length(col("text")) > 0).select(col("url"), col("text"))
+    docs.withColumn("text",
+      when(abs(xxhash64(col("url"))) % 10 === 0,
+        concat(lit("spam spam token token "),
+          expr("repeat('buy now best price click here ', 40 + CAST(abs(xxhash64(url)) % 5 AS INT) * 10)")))
+        .otherwise(col("text")))
+  }
+
+  /** Production deflate pass: one Deflater per partition, reset per doc. */
+  private def zTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    zInput(spark).as[(String, String)].mapPartitions { it =>
+      val d = new java.util.zip.Deflater(6, true)
+      val buf = new Array[Byte](1 << 16)
+      it.map { case (url, text) =>
+        val raw = text.getBytes("UTF-8")
+        d.reset()
+        d.setInput(raw)
+        d.finish()
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        (url, raw.length.toLong, n)
+      }
+    }.toDF("url", "n_raw", "n_def")
+  }
+
+  @volatile private var zDone = false
+  private def ensureZ(spark: SparkSession): Unit = synchronized {
+    if (zDone) return
+    val marker = new java.io.File(s"${graft.sources.OracleCorpus.DIR}/_ZRATIO_READY")
+    val stamp = graft.sources.OracleCorpus.codeStamp()
+    if (!graft.sources.OracleCorpus.markerFresh(marker, stamp)) {
+      zTable(spark).write.mode("overwrite").parquet(ZRATIO_DIR)
+      graft.sources.OracleCorpus.writeMarker(marker, stamp)
+    }
+    zDone = true
+  }
+
+  /** Ratio-bucketed corpus profile + repetition-flag counts; Spark re-runs
+    * the production deflate, DuckDB recomputes the tail over the shared
+    * materialization.
+    */
+  def zratio(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureZ(spark)
+    zTable(spark)
+      .selectExpr("url", "(1000 * n_def) div n_raw AS ratio_e3")
+      .groupBy(expr("ratio_e3 div 100").as("rb"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ratio_e3")).as("min_r"), max(col("ratio_e3")).as("max_r"),
+        sum(when(col("ratio_e3") < ZFLAG, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy("rb")
+  }
+
+  val zratioSql: String =
+    s"""WITH r AS (
+       |  SELECT url, CAST((1000 * n_def) // n_raw AS BIGINT) ratio_e3
+       |  FROM $ZRATIO_PQ)
+       |SELECT CAST(ratio_e3 // 100 AS BIGINT) rb, count(*) n,
+       |       min(ratio_e3) min_r, max(ratio_e3) max_r,
+       |       CAST(sum(CASE WHEN ratio_e3 < $ZFLAG THEN 1 ELSE 0 END) AS BIGINT) n_flagged
+       |FROM r GROUP BY 1 ORDER BY rb""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_zratio" -> (zratio _),
     "ta_heavy" -> (heavy _),
     "ta_bpe" -> (bpe _),
     "ta_embed" -> (embed _),
@@ -1409,6 +1497,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_zratio" -> zratioSql,
     "ta_heavy" -> heavySql,
     "ta_bpe" -> bpeSql,
     "ta_embed" -> embedSql,
