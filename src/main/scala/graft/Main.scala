@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
 object Main {
   def main(args: Array[String]): Unit = {
     val minArgs =
-      if (args.nonEmpty && Set("profile", "scale", "mat-bench", "explain", "compact").contains(args(0))) 2 else 3
+      if (args.nonEmpty && Set("profile", "scale", "mat-bench", "explain",
+        "compact", "vacuum", "history").contains(args(0))) 2 else 3
     if (args.length < minArgs) {
       System.err.println(
         "usage: graft.Main extract <nPages> <outDir> [seed] | extract-dir <pagesDir> <outDir> | " +
@@ -143,6 +144,15 @@ object Main {
           val (leaves, before, after) = graft.sources.Compact.run(spark, args(1))
           println(s"compacted $leaves partitions: $before -> $after files")
           return
+        case "vacuum" =>
+          val (n, bytes) = graft.sources.Compact.vacuum(args(1))
+          println(s"vacuumed $n orphan files ($bytes bytes)")
+          return
+        case "history" =>
+          graft.sources.Compact.history(args(1)).foreach { case (v, ts, nf) =>
+            println(s"v$v  ${java.time.Instant.ofEpochMilli(ts)}  $nf files")
+          }
+          return
         case "explain" =>
           // formatted physical plan of a SparkEntry query (plan-audit tool;
           // PLANS.md sections are captured with this)
@@ -177,6 +187,7 @@ object Main {
             .repartition(col("bucket"))
             .write.mode("append").partitionBy("bucket", "day")
             .parquet(s"$dir/data")
+          graft.sources.Snapshots.record(dir)
           println(s"appended pages [$from, $to) -> $dir")
           return
         case "curate-stream" =>

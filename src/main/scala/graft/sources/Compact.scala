@@ -74,4 +74,45 @@ object Compact {
     Snapshots.record(tableDir)
     (fragmented.size, filesBefore, filesAfter)
   }
+
+  /** VACUUM: delete data files NOT referenced by the latest snapshot —
+    * the cleanup op for debris from failed/killed writes (a parquet write
+    * that died mid-job leaves committed-looking part files the snapshot
+    * never adopted). Snapshot-less tables (bare [[PageTable.write]] layouts)
+    * are refused rather than guessed at. Older snapshots referencing live
+    * files are unaffected: vacuum only removes files in NO snapshot-current
+    * state, and the snapshot log itself is never touched.
+    *
+    * Returns (files removed, bytes removed).
+    */
+  def vacuum(tableDir: String): (Int, Long) = {
+    val latest = Snapshots.latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"$tableDir has no snapshot log; vacuum needs one to know what is live"))
+    val (_, live) = Snapshots.files(tableDir, latest).get
+    val liveSet = live.toSet
+    val dataDir = new java.io.File(tableDir, "data")
+    val base = dataDir.toPath
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Seq.empty
+    val orphans = walk(dataDir)
+      .filterNot(f => liveSet.contains(base.relativize(f.toPath).toString))
+    val bytes = orphans.map(_.length()).sum
+    orphans.foreach(_.delete())
+    // drop leaf/bucket dirs emptied by the cleanup
+    for {
+      bDir <- dataDir.listFiles.toSeq if bDir.isDirectory
+      dDir <- bDir.listFiles.toSeq if dDir.isDirectory && dDir.listFiles.isEmpty
+    } dDir.delete()
+    dataDir.listFiles.filter(f => f.isDirectory && f.listFiles.isEmpty).foreach(_.delete())
+    (orphans.size, bytes)
+  }
+
+  /** Snapshot history: (version, epoch millis, file count) ascending. */
+  def history(tableDir: String): Seq[(Int, Long, Int)] =
+    (1 to Snapshots.latestVersion(tableDir).getOrElse(0)).flatMap { v =>
+      Snapshots.files(tableDir, v).map { case (ts, fs) => (v, ts, fs.size) }
+    }
 }

@@ -44,6 +44,9 @@ object PageTable {
       .partitionBy("bucket", "day")
       .parquet(s"$dir/data")
     writeBucketMeta(dir, numBuckets)
+    // every write path commits a snapshot: CLI-built tables are immediately
+    // time-travelable (VERSION AS OF) and vacuum-able, same as catalog writes
+    Snapshots.record(dir)
   }
 
   /** The bucket count is part of the table's identity (the layout function

@@ -297,6 +297,37 @@ class PageTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pcat7.pages")
   }
 
+  test("vacuum removes failed-write orphans; history lists the snapshot log") {
+    val wh = s"$tmp/warehouse8"
+    PageTable.register(spark, "pcat8", wh)
+    PageTable.write(Corpus.pages(spark, 80L), s"$wh/pages", numBuckets = 4) // v1
+    // a layout with no snapshot log (pre-log writer): vacuum refuses to
+    // guess liveness
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmAll); f.delete()
+    }
+    rmAll(new java.io.File(s"$wh/pages/snapshots"))
+    intercept[IllegalStateException](graft.sources.Compact.vacuum(s"$wh/pages"))
+    Corpus.pages(spark, 30L, seed = 3L).writeTo("pcat8.pages").append() // v1
+    Corpus.pages(spark, 30L, seed = 4L).writeTo("pcat8.pages").append() // v2
+    val n = spark.read.table("pcat8.pages").count()
+    // plant the debris a killed write job leaves behind
+    val leaf = new java.io.File(s"$wh/pages/data").listFiles
+      .filter(_.getName.startsWith("bucket=")).head.listFiles
+      .filter(_.getName.startsWith("day=")).head
+    val orphan = new java.io.File(leaf, "part-dead-attempt.snappy.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val (removed, bytes) = graft.sources.Compact.vacuum(s"$wh/pages")
+    assert(removed == 1 && bytes == 3L && !orphan.exists())
+    assert(spark.read.table("pcat8.pages").count() == n) // live data untouched
+    // rerun is a no-op
+    assert(graft.sources.Compact.vacuum(s"$wh/pages") == ((0, 0L)))
+    val hist = graft.sources.Compact.history(s"$wh/pages")
+    assert(hist.map(_._1) == Seq(1, 2))
+    assert(hist.last._3 > hist.head._3) // append grew the file count
+    spark.sql("DROP TABLE pcat8.pages")
+  }
+
   test("kill-and-resume equals one-shot run; manifest carries lineage") {
     val pagesDir = s"$tmp/pages2"
     PageTable.write(Corpus.pages(spark, N), pagesDir, numBuckets = 8)
