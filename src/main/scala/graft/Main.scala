@@ -210,9 +210,11 @@ object Main {
           // cut between line dedup and the quality gate; `scrub-pii` fuses
           // the PII redaction stage into the final verdict/write pass
           import spark.implicits._
-          val flags = Set("cut-spans", "scrub-pii")
+          // `zratio-gate` adds the compression-ratio quality conjunct
+          val flags = Set("cut-spans", "scrub-pii", "zratio-gate")
           val cutSpans = args.contains("cut-spans")
           val scrubPii = args.contains("scrub-pii")
+          val zratioGate = args.contains("zratio-gate")
           val input =
             if (args(0) == "curate") {
               val seed = if (args.length > 3 && !flags(args(3))) args(3).toLong
@@ -220,7 +222,8 @@ object Main {
               Corpus.pages(spark, args(1).toLong, seed)
             } else spark.read.schema(Model.PAGES).parquet(args(1)).as[Page]
           val t0 = System.nanoTime()
-          val rep = graft.operators.Curate.run(spark, input, args(2), cutSpans, scrubPii)
+          val rep = graft.operators.Curate.run(spark, input, args(2), cutSpans,
+            scrubPii, zratioGate)
           val dt = (System.nanoTime() - t0) / 1e9
           println(f"  extracted        ${rep.extracted}%8d")
           println(f"  non-empty        ${rep.nonEmpty}%8d")

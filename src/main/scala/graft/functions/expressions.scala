@@ -24,6 +24,7 @@ object exprs {
   def decodeSniff(c: Column): Column = column(DecodeSniff(expression(c)))
   def decodeEntities(c: Column): Column = column(DecodeEntities(expression(c)))
   def nfcNormalize(c: Column): Column = column(NfcNormalize(expression(c)))
+  def deflateLen(c: Column): Column = column(DeflateLen(expression(c)))
 }
 
 /** binary payload → 'html' | 'pdf' | 'text' | 'empty' (F1 payload sniff). */
@@ -103,6 +104,49 @@ object NfcNormalize {
   }
 }
 
+/** DEFLATE length of the string's UTF-8 bytes (level 6, raw stream) — the
+  * codec half of the compression-ratio quality signal (`ta_zratio` and the
+  * opt-in curate gate): text whose `1000*deflate_len(text)` falls far below
+  * `octet_length(text)` is repetition/keyword-stuffing. As a native
+  * codegen'd expression the gate FUSES into the surrounding columnar pass —
+  * no typed mapPartitions boundary in the curate pipeline's one verdict
+  * stage. One `Deflater` per task thread (ThreadLocal, reset per call): the
+  * native-stream allocation is paid once per executor thread, not per row.
+  */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateLen.deflateLen(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeflateLen.deflateLen($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+  override def prettyName: String = "deflate_len"
+}
+
+object DeflateLen {
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+  private val bufLocal = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 16)
+  }
+
+  /** Codegen target: UTF8String → compressed byte count (level 6, nowrap). */
+  def deflateLen(u: UTF8String): Long = {
+    val d = local.get()
+    val buf = bufLocal.get()
+    d.reset()
+    d.setInput(u.getBytes)
+    d.finish()
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    n
+  }
+}
+
 /** SparkSessionExtensions hook registering the graft SQL functions. */
 object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -118,6 +162,9 @@ object GraftExtensions {
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)),
+    (FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (children: Seq[Expression]) => DeflateLen(children.head)),
     FreqSketchMG.registration
   )
 

@@ -32,6 +32,7 @@ object Curate {
   val MIN_TOKENS = 20L
   val MAX_DUP_LINE_X1000 = 300L
   val MAX_TOP_BIGRAM_X1000 = 200L
+  val MIN_ZRATIO_X1000 = 150L
 
   /** @param cutSpans opt-in EXACTSUBSTR stage (Lee et al. 2022): after line
     *                  dedup, every corpus-wide duplicated >= 8-token span is
@@ -48,8 +49,20 @@ object Curate {
     *                  Off by default so the committed funnel measurements
     *                  and rerun-determinism checks stay byte-comparable.
     */
+  /** @param zratioGate opt-in compression-ratio gate (CCNet/RefinedWeb): a
+    *                  doc fails quality when `1000*deflate_len(text) <
+    *                  MIN_ZRATIO_X1000 * octet_length(text)` — repetition/
+    *                  keyword-stuffing that the Gopher signals' line- and
+    *                  bigram-granularity can miss. The native codegen'd
+    *                  `deflate_len` expression keeps the check inside the
+    *                  same fused verdict pass (exact integer comparison by
+    *                  cross-multiplication — no division). Off by default:
+    *                  a deflate call per doc is real CPU (~the cost of
+    *                  re-tokenizing), so it's a knob, not a baseline stage.
+    */
   def run(spark: SparkSession, pages: Dataset[Page], outDir: String,
-          cutSpans: Boolean = false, scrubPii: Boolean = false): Report = {
+          cutSpans: Boolean = false, scrubPii: Boolean = false,
+          zratioGate: Boolean = false): Report = {
     import org.apache.spark.sql.expressions.Window
     def timed[T](stage: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -114,7 +127,11 @@ object Curate {
       .withColumn("quality_ok",
         col("n_tok") >= MIN_TOKENS &&
           col("dup_line_frac_x1000") <= MAX_DUP_LINE_X1000 &&
-          col("top_bigram_frac_x1000") <= MAX_TOP_BIGRAM_X1000)
+          col("top_bigram_frac_x1000") <= MAX_TOP_BIGRAM_X1000 &&
+          (if (!zratioGate) lit(true)
+           // exact integer cross-multiplication: 1000*n_def/n_raw >= τ
+           else lit(1000L) * graft.functions.exprs.deflateLen(col("text")) >=
+             lit(MIN_ZRATIO_X1000) * octet_length(col("text")).cast("long")))
 
     // exact dedup among quality survivors: first url per text fingerprint
     val w = Window.partitionBy("fp").orderBy("url")

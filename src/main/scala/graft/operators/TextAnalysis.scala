@@ -1413,23 +1413,14 @@ object TextAnalysis {
         .otherwise(col("text")))
   }
 
-  /** Production deflate pass: one Deflater per partition, reset per doc. */
-  private def zTable(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    zInput(spark).as[(String, String)].mapPartitions { it =>
-      val d = new java.util.zip.Deflater(6, true)
-      val buf = new Array[Byte](1 << 16)
-      it.map { case (url, text) =>
-        val raw = text.getBytes("UTF-8")
-        d.reset()
-        d.setInput(raw)
-        d.finish()
-        var n = 0L
-        while (!d.finished()) n += d.deflate(buf)
-        (url, raw.length.toLong, n)
-      }
-    }.toDF("url", "n_raw", "n_def")
-  }
+  /** Production deflate pass — the native codegen'd `deflate_len` expression
+    * ([[graft.functions.DeflateLen]]), so the whole pass stays inside
+    * WholeStageCodegen (also the exact code path the opt-in curate gate runs).
+    */
+  private def zTable(spark: SparkSession): DataFrame =
+    zInput(spark).select(col("url"),
+      octet_length(col("text")).cast("long").as("n_raw"),
+      graft.functions.exprs.deflateLen(col("text")).as("n_def"))
 
   @volatile private var zDone = false
   private def ensureZ(spark: SparkSession): Unit = synchronized {

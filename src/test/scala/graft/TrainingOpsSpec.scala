@@ -682,6 +682,39 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(Curate.run(spark, planted, out3, scrubPii = true) == rep)
   }
 
+  test("curate with zratio-gate: planted repetitive docs rejected, natural docs unaffected") {
+    import spark.implicits._
+    // text/plain pages of pure repetition: long enough to pass the length
+    // gate, line-UNIQUE and bigram-rotated so the Gopher signals (duplicate
+    // lines / top-bigram coverage) do NOT fire — only deflate sees the
+    // repetition. This is exactly the gap the CCNet/RefinedWeb ratio closes.
+    val spamPages = (0 until 6).map { i =>
+      // three 24-word stanza lines, each repeated 10x with a unique tail:
+      // no exact duplicate line, no hot bigram (each stanza bigram covers
+      // ~3% of chars) — but deflate back-references the whole stanza, so
+      // the ratio collapses far below the 150-permille threshold
+      val stanza = (0 until 3).map(s => (0 until 24).map(j => s"w${s}x$j").mkString(" "))
+      val text = (0 until 30).map(ln => s"${stanza(ln % 3)} u$i$ln").mkString("\n")
+      graft.Page(s"https://spam.example.org/z$i",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+        text.getBytes("UTF-8"), null, "en")
+    }.toDS()
+    val planted = graft.sources.Corpus.pages(spark, 300).unionByName(spamPages)
+    val outG = java.nio.file.Files.createTempDirectory("curate-z1").toString
+    val repG = Curate.run(spark, planted, outG, zratioGate = true)
+    val outN = java.nio.file.Files.createTempDirectory("curate-z2").toString
+    val repN = Curate.run(spark, planted, outN)
+    // the gate rejects all 6 planted docs and ONLY them
+    assert(repN.qualityKept - repG.qualityKept == 6,
+      s"gated=${repG.qualityKept} ungated=${repN.qualityKept}")
+    val keptG = spark.read.parquet(outG).select("url").as[String].collect().toSet
+    val keptN = spark.read.parquet(outN).select("url").as[String].collect().toSet
+    assert((keptN -- keptG) == spamPages.collect().map(_.url).toSet)
+    // deterministic rerun
+    val outG2 = java.nio.file.Files.createTempDirectory("curate-z3").toString
+    assert(Curate.run(spark, planted, outG2, zratioGate = true) == repG)
+  }
+
   test("streaming curate: cross-batch dedup against fingerprint history, resumable, no rescans") {
     import spark.implicits._
     val seed = graft.sources.Corpus.DEFAULT_SEED
