@@ -25,7 +25,11 @@ object Main {
     if (args.length < minArgs) {
       System.err.println(
         "usage: graft.Main extract <nPages> <outDir> [seed] | extract-dir <pagesDir> <outDir> | " +
-          "write-pages <n> <dir> | run <dir> <out> <manifest> | " +
+          "write-pages <n> <dir> | append-pages <from> <to> <dir> | run <dir> <out> <manifest> | " +
+          "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] | " +
+          "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
+          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | " +
+          "explain <query> [sfDir] | " +
           "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps]")
       sys.exit(2)
     }
@@ -145,7 +149,12 @@ object Main {
           println(s"compacted $leaves partitions: $before -> $after files")
           return
         case "vacuum" =>
-          val (n, bytes) = graft.sources.Compact.vacuum(args(1))
+          // vacuum <tableDir> [minAgeHours] — files younger than the floor
+          // are never deleted (see Compact.DEFAULT_VACUUM_MIN_AGE_MS)
+          val minAge =
+            if (args.length > 2) args(2).toLong * 3600 * 1000
+            else graft.sources.Compact.DEFAULT_VACUUM_MIN_AGE_MS
+          val (n, bytes) = graft.sources.Compact.vacuum(args(1), minAge)
           println(s"vacuumed $n orphan files ($bytes bytes)")
           return
         case "history" =>

@@ -16,21 +16,55 @@ import org.apache.spark.sql.functions._
   *      `(bucket, day)` — every leaf's rows land in exactly one task, so the
   *      partitioned write emits exactly ONE file per leaf (capped by
   *      `maxRecordsPerFile` if configured);
-  *   3. the rewritten leaf directories are swapped in whole (single-writer,
-  *      like every other maintenance path here) and a snapshot is committed —
-  *      current reads see the compacted layout; older snapshots referencing
-  *      the replaced files fail loudly per the [[Snapshots]] retention note.
+  *   3. leaves are swapped CRASH-SAFELY (single-writer): the old leaf is
+  *      renamed aside to a hidden `.graft-old-…` sibling (hidden paths are
+  *      invisible to scans and to [[Snapshots.walkData]]), the rewritten
+  *      leaf renamed in, then the aside removed. A crash in any window
+  *      loses nothing: the next `Compact.run` starts with [[repair]], which
+  *      restores an aside whose live leaf is missing and clears asides whose
+  *      swap had completed;
+  *   4. a snapshot is committed — current reads see the compacted layout;
+  *      older snapshots referencing the replaced files fail loudly per the
+  *      [[Snapshots]] retention note.
   *
   * Returns (leaves compacted, files before, files after).
   */
 object Compact {
 
+  private val ASIDE_PREFIX = ".graft-old-"
+  private val TMP_NAME = "data.compact.tmp"
+
+  /** Heal the layout after a killed maintenance run: every `.graft-old-…`
+    * aside either had its swap complete (live leaf exists → drop the aside)
+    * or not (live leaf missing → rename the aside back); stale rewrite
+    * output is removed. Idempotent; runs first in every [[run]] and
+    * [[vacuum]].
+    */
+  def repair(tableDir: String): Unit = {
+    val dataDir = new java.io.File(tableDir, "data")
+    if (dataDir.isDirectory) {
+      for {
+        bDir <- dataDir.listFiles.toSeq if bDir.isDirectory
+        aside <- bDir.listFiles.toSeq if aside.getName.startsWith(ASIDE_PREFIX)
+      } {
+        val live = new java.io.File(bDir, aside.getName.stripPrefix(ASIDE_PREFIX))
+        if (live.exists()) Snapshots.deleteRecursively(aside)
+        else if (!aside.renameTo(live))
+          throw new IllegalStateException(s"repair failed restoring $aside")
+      }
+    }
+    val tmp = new java.io.File(tableDir, TMP_NAME)
+    if (tmp.exists()) Snapshots.deleteRecursively(tmp)
+  }
+
   def run(spark: SparkSession, tableDir: String): (Int, Int, Int) = {
     val dataDir = new java.io.File(tableDir, "data")
     require(dataDir.isDirectory, s"no pages data under $tableDir")
+    repair(tableDir)
 
     def dataFiles(d: java.io.File): Array[java.io.File] =
-      d.listFiles.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (!d.isDirectory) Array.empty
+      else d.listFiles.filter(f => f.isFile && f.getName.endsWith(".parquet"))
 
     val fragmented =
       for {
@@ -43,7 +77,7 @@ object Compact {
     val filesBefore = fragmented.map(_._2).sum
 
     // one job over just the fragmented leaves; basePath restores bucket/day
-    val tmpOut = new java.io.File(tableDir, "data.compact.tmp")
+    val tmpOut = new java.io.File(tableDir, TMP_NAME)
     val paths = fragmented.map(_._1.toString)
     spark.read
       .option("basePath", dataDir.toString)
@@ -55,50 +89,63 @@ object Compact {
       .partitionBy("bucket", "day")
       .parquet(tmpOut.toString)
 
-    // swap each rewritten leaf in whole
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
     for ((oldLeaf, _) <- fragmented) {
       val rel = dataDir.toPath.relativize(oldLeaf.toPath).toString
       val newLeaf = new java.io.File(tmpOut, rel)
-      require(dataFiles(newLeaf).nonEmpty, s"compaction produced no file for $rel")
-      rm(oldLeaf)
-      if (!newLeaf.renameTo(oldLeaf))
-        throw new IllegalStateException(s"compaction swap failed for $rel")
+      if (!newLeaf.isDirectory || dataFiles(newLeaf).isEmpty) {
+        // every input file of this leaf held zero rows (aborted-batch
+        // debris): the rewrite produced no partition — dropping the leaf IS
+        // the compaction (no rows exist to lose)
+        Snapshots.deleteRecursively(oldLeaf)
+      } else {
+        val aside = new java.io.File(oldLeaf.getParentFile,
+          ASIDE_PREFIX + oldLeaf.getName)
+        if (!oldLeaf.renameTo(aside))
+          throw new IllegalStateException(s"compaction aside failed for $rel")
+        if (!newLeaf.renameTo(oldLeaf)) {
+          aside.renameTo(oldLeaf) // restore; nothing lost
+          throw new IllegalStateException(s"compaction swap failed for $rel")
+        }
+        Snapshots.deleteRecursively(aside)
+      }
     }
-    rm(tmpOut)
+    Snapshots.deleteRecursively(tmpOut)
 
     val filesAfter = fragmented.map { case (leaf, _) => dataFiles(leaf).length }.sum
     Snapshots.record(tableDir)
     (fragmented.size, filesBefore, filesAfter)
   }
 
-  /** VACUUM: delete data files NOT referenced by the latest snapshot —
-    * the cleanup op for debris from failed/killed writes (a parquet write
-    * that died mid-job leaves committed-looking part files the snapshot
-    * never adopted). Snapshot-less tables (bare [[PageTable.write]] layouts)
-    * are refused rather than guessed at. Older snapshots referencing live
-    * files are unaffected: vacuum only removes files in NO snapshot-current
-    * state, and the snapshot log itself is never touched.
-    *
-    * Returns (files removed, bytes removed).
+  /** Age floor for [[vacuum]]: files younger than this are NEVER deleted
+    * even when unreferenced (default 24 h). This is the Delta-VACUUM
+    * retention rule, and it is what makes vacuum safe against the stale-
+    * snapshot hazard: a run killed between its data swap and its
+    * `Snapshots.record` leaves live files the latest snapshot does not
+    * list — they are recent, so the floor protects them, and ANY subsequent
+    * write/compact records a fresh snapshot that adopts them. Only lower
+    * the floor (CLI arg) when no maintenance ran within the window.
     */
-  def vacuum(tableDir: String): (Int, Long) = {
+  val DEFAULT_VACUUM_MIN_AGE_MS: Long = 24L * 3600 * 1000
+
+  /** VACUUM: delete data files NOT referenced by the latest snapshot and
+    * older than `minAgeMs` — the cleanup op for debris from failed/killed
+    * writes. Snapshot-less tables (pre-log layouts) are refused rather than
+    * guessed at. Returns (files removed, bytes removed).
+    */
+  def vacuum(tableDir: String,
+             minAgeMs: Long = DEFAULT_VACUUM_MIN_AGE_MS): (Int, Long) = {
     val latest = Snapshots.latestVersion(tableDir).getOrElse(
       throw new IllegalStateException(
         s"$tableDir has no snapshot log; vacuum needs one to know what is live"))
+    repair(tableDir)
     val (_, live) = Snapshots.files(tableDir, latest).get
     val liveSet = live.toSet
     val dataDir = new java.io.File(tableDir, "data")
     val base = dataDir.toPath
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f)
-      else Seq.empty
-    val orphans = walk(dataDir)
+    val horizon = System.currentTimeMillis() - minAgeMs
+    val orphans = Snapshots.walkData(dataDir)
       .filterNot(f => liveSet.contains(base.relativize(f.toPath).toString))
+      .filter(_.lastModified() <= horizon)
     val bytes = orphans.map(_.length()).sum
     orphans.foreach(_.delete())
     // drop leaf/bucket dirs emptied by the cleanup

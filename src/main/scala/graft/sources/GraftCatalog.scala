@@ -141,11 +141,7 @@ class GraftCatalog extends TableCatalog {
     val d = tableDir(ident)
     if (!tableExists(ident)) false
     else {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete()
-      }
-      rm(d)
+      Snapshots.deleteRecursively(d)
       true
     }
   }
@@ -181,11 +177,37 @@ object Snapshots {
 
   private val VFILE = "v(\\d+)\\.txt".r
 
-  def latestVersion(tableDir: String): Option[Int] = {
-    val d = snapDir(tableDir)
-    if (!d.isDirectory) None
-    else d.listFiles.flatMap(f => VFILE.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      .sorted.lastOption
+  /** Committed versions only: the match is ANCHORED (whole file name), so
+    * crash leftovers like `.v3.txt.tmp` are never counted as versions.
+    */
+  private def versions(d: java.io.File): Seq[Int] =
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles.toSeq.map(_.getName).collect { case VFILE(n) => n.toInt }.sorted
+
+  def latestVersion(tableDir: String): Option[Int] =
+    versions(snapDir(tableDir)).lastOption
+
+  /** All data files under a table's data dir, skipping hidden/maintenance
+    * paths (`.`/`_` prefixes — the same rule Spark's file index applies).
+    * The ONE definition of "what counts as a data file", shared by
+    * [[record]] and [[Compact.vacuum]] so they can never disagree.
+    */
+  def walkData(dataDir: java.io.File): Seq[java.io.File] = {
+    def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (hidden(f.getName)) Seq.empty
+      else if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Seq.empty
+    if (dataDir.isDirectory) dataDir.listFiles.toSeq.flatMap(walk) else Seq.empty
+  }
+
+  /** Shared recursive delete (maintenance paths only — never reachable from
+    * user input without a tableDir the caller already owns).
+    */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
+    f.delete()
   }
 
   /** (recorded epoch millis, dataDir-relative file paths) of snapshot v. */
@@ -201,15 +223,10 @@ object Snapshots {
   }
 
   /** Newest version recorded at or before `tsMillis`. */
-  def versionAt(tableDir: String, tsMillis: Long): Option[Int] = {
-    val d = snapDir(tableDir)
-    if (!d.isDirectory) None
-    else d.listFiles
-      .flatMap(f => VFILE.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      .sorted
+  def versionAt(tableDir: String, tsMillis: Long): Option[Int] =
+    versions(snapDir(tableDir))
       .filter(v => files(tableDir, v).exists(_._1 <= tsMillis))
       .lastOption
-  }
 
   /** Record the table's current full file list as the next version (atomic
     * tmp+rename, single-writer like the rest of the engine).
@@ -217,11 +234,7 @@ object Snapshots {
   def record(tableDir: String): Int = {
     val dataDir = new java.io.File(tableDir, "data")
     val base = dataDir.toPath
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f)
-      else Seq.empty
-    val rel = walk(dataDir).map(f => base.relativize(f.toPath).toString).sorted
+    val rel = walkData(dataDir).map(f => base.relativize(f.toPath).toString).sorted
     val v = latestVersion(tableDir).getOrElse(0) + 1
     val d = snapDir(tableDir)
     d.mkdirs()
@@ -404,18 +417,23 @@ class PagesTable(tableName: String, dir: String,
   }
 
   private def evalPart(f: Filter, b: Int, d: String): Boolean = {
-    def cmp(attr: String, v: Any): Int = attr match {
-      case "bucket" => java.lang.Integer.compare(b, v.asInstanceOf[Number].intValue())
-      case "day" => d.compareTo(v.toString) // yyyy-MM-dd sorts chronologically
-    }
+    // null comparands (e.g. `day <=> NULL`, `IN (.., NULL)`) match nothing:
+    // partition values are never null in this layout — without the guard the
+    // compare would NPE mid-delete after some directories were already gone
+    def cmp(attr: String, v: Any): Option[Int] =
+      if (v == null) None
+      else Some(attr match {
+        case "bucket" => java.lang.Integer.compare(b, v.asInstanceOf[Number].intValue())
+        case "day" => d.compareTo(v.toString) // yyyy-MM-dd sorts chronologically
+      })
     f match {
-      case EqualTo(a, v) => cmp(a, v) == 0
-      case EqualNullSafe(a, v) => cmp(a, v) == 0
-      case LessThan(a, v) => cmp(a, v) < 0
-      case LessThanOrEqual(a, v) => cmp(a, v) <= 0
-      case GreaterThan(a, v) => cmp(a, v) > 0
-      case GreaterThanOrEqual(a, v) => cmp(a, v) >= 0
-      case In(a, vs) => vs.exists(v => cmp(a, v) == 0)
+      case EqualTo(a, v) => cmp(a, v).contains(0)
+      case EqualNullSafe(a, v) => cmp(a, v).contains(0)
+      case LessThan(a, v) => cmp(a, v).exists(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v).exists(_ <= 0)
+      case GreaterThan(a, v) => cmp(a, v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
+      case In(a, vs) => vs.exists(v => cmp(a, v).contains(0))
       case IsNull(_) => false // partition values are never null in this layout
       case IsNotNull(_) => true
       case And(l, r) => evalPart(l, b, d) && evalPart(r, b, d)
@@ -434,10 +452,7 @@ class PagesTable(tableName: String, dir: String,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val data = new java.io.File(dataDir)
     if (data.isDirectory) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete()
-      }
+      val rm = Snapshots.deleteRecursively _
       for {
         bDir <- data.listFiles.toSeq if bDir.getName.startsWith("bucket=")
         b = bDir.getName.stripPrefix("bucket=").toInt

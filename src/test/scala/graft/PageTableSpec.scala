@@ -168,6 +168,11 @@ class PageTableSpec extends AnyFunSuite {
       spark.sql("DELETE FROM pcat4.pages WHERE lang = 'en'"))
     assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
     assert(spark.read.table("pcat4.pages").count() == keep) // nothing removed
+    // null comparands match nothing (partition values are never null) —
+    // must not NPE mid-delete
+    spark.sql("DELETE FROM pcat4.pages WHERE day <=> NULL")
+    spark.sql(s"DELETE FROM pcat4.pages WHERE day IN ('1900-01-01', NULL)")
+    assert(spark.read.table("pcat4.pages").count() == keep)
     spark.sql("DROP TABLE pcat4.pages")
   }
 
@@ -317,15 +322,55 @@ class PageTableSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("day=")).head
     val orphan = new java.io.File(leaf, "part-dead-attempt.snappy.parquet")
     java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
-    val (removed, bytes) = graft.sources.Compact.vacuum(s"$wh/pages")
+    // crash leftover in the snapshot log itself must not register as a
+    // version (anchored match) nor break vacuum
+    val tmpSnap = new java.io.File(s"$wh/pages/snapshots/.v99.txt.tmp")
+    java.nio.file.Files.write(tmpSnap.toPath, "ts=0".getBytes)
+    assert(graft.sources.Snapshots.latestVersion(s"$wh/pages").contains(2))
+    // the DEFAULT age floor protects young unreferenced files — a run killed
+    // between its data swap and its snapshot record must not lose data
+    assert(graft.sources.Compact.vacuum(s"$wh/pages") == ((0, 0L)))
+    assert(orphan.exists())
+    // floor 0 (operator knows no maintenance is in flight): debris removed
+    val (removed, bytes) = graft.sources.Compact.vacuum(s"$wh/pages", 0L)
     assert(removed == 1 && bytes == 3L && !orphan.exists())
     assert(spark.read.table("pcat8.pages").count() == n) // live data untouched
     // rerun is a no-op
-    assert(graft.sources.Compact.vacuum(s"$wh/pages") == ((0, 0L)))
+    assert(graft.sources.Compact.vacuum(s"$wh/pages", 0L) == ((0, 0L)))
     val hist = graft.sources.Compact.history(s"$wh/pages")
     assert(hist.map(_._1) == Seq(1, 2))
     assert(hist.last._3 > hist.head._3) // append grew the file count
     spark.sql("DROP TABLE pcat8.pages")
+  }
+
+  test("compaction crash windows: repair restores asides; aside dirs invisible to scans") {
+    val wh = s"$tmp/warehouse9"
+    PageTable.register(spark, "pcat9", wh)
+    PageTable.write(Corpus.pages(spark, 60L), s"$wh/pages", numBuckets = 2)
+    val n = spark.read.table("pcat9.pages").count()
+    val data = new java.io.File(s"$wh/pages/data")
+    val leaf = data.listFiles.filter(_.getName.startsWith("bucket=")).head
+      .listFiles.filter(_.getName.startsWith("day=")).head
+    // simulate a crash between aside-rename and new-leaf-rename: the live
+    // leaf is gone, its data parked in the hidden aside
+    val aside = new java.io.File(leaf.getParentFile, s".graft-old-${leaf.getName}")
+    assert(leaf.renameTo(aside))
+    assert(spark.read.table("pcat9.pages").count() < n) // partition missing
+    graft.sources.Compact.repair(s"$wh/pages")
+    assert(leaf.isDirectory && !aside.exists())
+    assert(spark.read.table("pcat9.pages").count() == n) // fully restored
+    // simulate a crash AFTER the swap completed (both live leaf and aside
+    // exist): repair drops the aside; scans never double-count meanwhile
+    val aside2 = new java.io.File(leaf.getParentFile, s".graft-old-${leaf.getName}")
+    aside2.mkdirs()
+    val junk = new java.io.File(aside2, "part-stale.snappy.parquet")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](9))
+    assert(spark.read.table("pcat9.pages").count() == n) // hidden dir ignored
+    assert(!graft.sources.Snapshots.walkData(data).exists(_.getName == "part-stale.snappy.parquet"))
+    graft.sources.Compact.repair(s"$wh/pages")
+    assert(!aside2.exists())
+    assert(spark.read.table("pcat9.pages").count() == n)
+    spark.sql("DROP TABLE pcat9.pages")
   }
 
   test("kill-and-resume equals one-shot run; manifest carries lineage") {
