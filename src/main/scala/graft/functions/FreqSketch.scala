@@ -6,6 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -44,6 +45,14 @@ case class FreqSketchMG(
   with UnaryLike[Expression] {
 
   require(k >= 1, "mg_topk capacity must be >= 1")
+
+  // Registered in the session FunctionRegistry, so arbitrary SQL reaches
+  // update(); without this check a non-string child passes analysis and then
+  // every task dies on the asInstanceOf[UTF8String] mid-job.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mg_topk requires a STRING item column, got ${child.dataType.catalogString}")
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty[String, Long]

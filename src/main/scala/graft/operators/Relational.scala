@@ -1816,9 +1816,14 @@ object Relational {
   /** ANSI three-valued-logic pin: `NOT IN (subquery)` with a NULL in the
     * subquery never returns TRUE (every non-matching row compares UNKNOWN),
     * while NOT EXISTS is null-proof. Four legs over the same
-    * deterministically NULL-poisoned order list (every 97th key nulled):
-    * not_in_nulls (0 rows pass), not_in_clean / not_exists (the real
-    * no-order customers, equal), in_nulls (NULL can't block a TRUE match).
+    * deterministically NULL-poisoned order list — poisoned by CUSTOMER key
+    * (`o_custkey % 97 = 0`), so whole customers lose every order reference
+    * and not_in_clean / not_exists are provably > 0 at every SF (key 97
+    * exists from sf0.001 up); not_in_nulls stays 0 (UNKNOWN never passes),
+    * in_nulls is unaffected (NULL can't block a TRUE match). Poisoning by
+    * order key would be degenerate at small SFs: every customer keeps some
+    * unpoisoned order and all three anti legs collapse to 0, and a NOT IN
+    * implementation that wrongly stripped subquery NULLs would still pass.
     * Both engines implement the standard, so the hash agreement pins the
     * semantics end to end.
     *
@@ -1834,7 +1839,7 @@ object Relational {
     t(spark, sfDir, "orders").createOrReplaceTempView("v_ni_orders")
     spark.sql(
       """WITH poisoned AS (
-        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN CAST(NULL AS BIGINT)
+        |  SELECT CASE WHEN o_custkey % 97 = 0 THEN CAST(NULL AS BIGINT)
         |              ELSE o_custkey END AS k
         |  FROM v_ni_orders)
         |SELECT 'in_nulls' AS variant, CAST(count(*) AS BIGINT) AS n
@@ -1855,7 +1860,7 @@ object Relational {
 
   val qNotinSql: String =
     """WITH poisoned AS (
-      |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN CAST(NULL AS BIGINT)
+      |  SELECT CASE WHEN o_custkey % 97 = 0 THEN CAST(NULL AS BIGINT)
       |              ELSE o_custkey END AS k
       |  FROM orders)
       |SELECT 'in_nulls' AS variant, CAST(count(*) AS BIGINT) AS n

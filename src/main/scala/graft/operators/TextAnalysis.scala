@@ -1267,7 +1267,9 @@ object TextAnalysis {
     */
   def heavy(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(concat_ws(":", col("lang"), col("source")).as("key"))
+      // concat (not concat_ws): a NULL lang/source must yield a NULL key —
+      // the same three-valued semantics as the oracle's `lang || ':' || source`
+      .select(concat(col("lang"), lit(":"), col("source")).as("key"))
       .agg(graft.functions.FreqSketchMG.mgTopK(col("key"), 128).as("sk"))
       .select(explode(col("sk")).as("e"))
       .select(col("e.item").as("key"), col("e.cnt").as("n"))

@@ -112,6 +112,13 @@ class CatalystSurfaceSpec extends AnyFunSuite {
       "SELECT inline(mg_topk(w, 64)) FROM mg_in")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaSql == exact)
+    // non-string child must fail ANALYSIS (clean error), not crash each task
+    // on asInstanceOf[UTF8String] at execution
+    Seq(1L, 2L, 2L).toDF("k").createOrReplaceTempView("mg_bad")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT mg_topk(k, 8) FROM mg_bad").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string"))
   }
 
   test("extract plan shape: one url exchange per branch, filters pushed below") {

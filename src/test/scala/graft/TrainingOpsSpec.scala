@@ -118,8 +118,10 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(full >= (n + 2).toLong * (n + 1) / 2,
       "hot shingle must make the full index quadratic")
     assert(pruned < full / 10, s"prefix filter must collapse candidates ($pruned vs $full)")
-    // the hot shingle (highest df) appears in NO prefix: every doc here has
-    // >= 8 shingles, so its prefix (rarest-first) never reaches the hottest
+    // the hot shingle (highest df) appears in NO prefix: every filler doc has
+    // 9 tokens -> 7 shingles, so its prefix keeps 7-ceil(.5*7)+1 = 4 of 7
+    // (rarest-first) and stops 3 ranks short of the hottest; the two planted
+    // near-dups (10 tokens -> 8 shingles, prefix 5 of 8) likewise never reach it
     assert(prefix.filter(col("shingle") === lit(hot)).count() == 0)
     // completeness: the planted near-dup candidate pair survives pruning
     val cand = prefix.as("a")
