@@ -1996,7 +1996,65 @@ object Relational {
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  // ---- bucketed co-located join (zero-exchange repeat joins) --------------
+
+  private val BUCKETS = 8
+
+  /** Bucketed twins of orders+customer, both CLUSTERED BY custkey INTO the
+    * same bucket count — the lakehouse device that makes every future join
+    * on that key exchange-FREE at read time: bucket i of orders only ever
+    * meets bucket i of customer, so the sort-merge join plans with no
+    * ShuffleExchange on either side (pinned in CatalystSurfaceSpec with
+    * broadcast disabled). At 100 TB this is THE repeat-join amortizer: the
+    * fact table pays its shuffle once at write time, then every downstream
+    * join/aggregation on the bucket key is map-side. Staging is
+    * session-catalog-keyed (in-memory catalog): first call per JVM writes
+    * the bucketed layout under /tmp, later calls reuse it.
+    */
+  private[graft] def bucketedPair(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    synchronized {
+      val tag = java.lang.Long.toHexString(
+        java.lang.Integer.toUnsignedLong(sfDir.hashCode))
+      val base = s"/tmp/graft-bucketed-$tag"
+      def stage(name: String, keyCol: String): String = {
+        val tbl = s"graft_bkt_${name}_$tag"
+        if (!spark.catalog.tableExists(tbl)) {
+          t(spark, sfDir, name)
+            .repartition(BUCKETS, col(keyCol))
+            .write.mode("overwrite")
+            .bucketBy(BUCKETS, keyCol).sortBy(keyCol)
+            .option("path", s"$base/$name")
+            .format("parquet")
+            .saveAsTable(tbl)
+        }
+        tbl
+      }
+      (spark.table(stage("orders", "o_custkey")),
+        spark.table(stage("customer", "c_custkey")))
+    }
+
+  /** Per-mktsegment order rollup over the bucketed join. The RESULT is
+    * plan-independent (broadcast or SMJ give the same rows — that is what
+    * the oracle checks); the zero-exchange property is the plan test's job.
+    */
+  def qBucketJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ord, cust) = bucketedPair(spark, sfDir)
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")).as("sum_price_c"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qBucketJoinSql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) n_orders,
+      |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) sum_price_c
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucket_join" -> (qBucketJoin _),
     "q_notin" -> (qNotin _),
     "q_interp" -> (qInterp _),
     "q_ivm" -> (qIvm _),
@@ -2061,6 +2119,7 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bucket_join" -> qBucketJoinSql,
     "q_notin" -> qNotinSql,
     "q_interp" -> qInterpSql,
     "q_ivm" -> qIvmSql,

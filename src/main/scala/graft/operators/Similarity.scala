@@ -324,12 +324,150 @@ object Similarity {
        |  WHERE a.vec_id <> p.qid)
        |WHERE rank <= $IVF_K ORDER BY qid, rank""".stripMargin
 
+  // ---- product quantization (PQ) ANN --------------------------------------
+
+  private val PQ_M = 8        // subspaces
+  private val PQ_SUB = DIMS / PQ_M // dims per subspace (8)
+  private val PQ_CODES = 16   // codes per subspace codebook
+  private val PQ_QUERIES = 16 // query vectors: vec_id in [PQ_CODES, PQ_CODES+16)
+  private val PQ_K = 5        // neighbors returned per query
+
+  /** Exact squared-L2 between two quantized integer subvectors (ordered
+    * fold — bit-deterministic at any parallelism).
+    */
+  private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Product-quantization ANN — the memory-compression scale path that IVF
+    * alone lacks: each 64-dim vector is encoded as PQ_M=8 nibble-sized code
+    * ids (16 codes/subspace), i.e. ~8 bytes instead of 256 — the
+    * representation a 10^12-vector index actually stores. Codebooks are
+    * deterministic (seed = the first PQ_CODES vectors' subvectors, one
+    * integer-mean Lloyd step — `div` truncation identical in both engines,
+    * same device as `sim_ivf`), so no trained-model exchange and the DuckDB
+    * oracle is bit-exact. Queries score candidates by ASYMMETRIC distance
+    * (ADC, Jégou et al. TPAMI'11 shape): a per-query lookup table of exact
+    * squared-L2 from each query subvector to each code (PQ_M × PQ_CODES = 128
+    * rows/query) is joined onto the code table — sum over subspaces
+    * approximates the true distance without touching raw vectors.
+    *
+    * Scale shape: codebook training touches the corpus once (at 100 TB you
+    * train on a sample; noted, not load-bearing for correctness); ENCODING is
+    * a broadcast-codebook argmin folded map-side by a partial-agg
+    * `min(struct(d2, cid))` — one shuffle on (vec_id, m) whose payload is the
+    * 8-int subvector, never the full vector; ADC is a BROADCAST join of the
+    * tiny LUT onto the code table followed by a partial-agg'd sum — the
+    * encoded corpus never shuffles raw embeddings; top-k rides the
+    * bounded-heap TopKPerKey operator.
+    */
+  def pq(spark: SparkSession, sfDir: String): DataFrame =
+    pqFrom(quantized(spark, sfDir), PQ_CODES, PQ_CODES + PQ_QUERIES)
+
+  /** PQ over any pre-quantized frame; queries are vec_id in [qLo, qHi)
+    * (tests plant perturbed copies and query them directly).
+    */
+  private[graft] def pqFrom(e: DataFrame, qLo: Long, qHi: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one row per (vector, subspace): the 8-dim integer subvector
+    val sub = e.select(
+      col("vec_id"),
+      explode(array((0 until PQ_M).map { m =>
+        struct(lit(m).as("m"), slice(col("q"), m * PQ_SUB + 1, PQ_SUB).as("s"))
+      }: _*)).as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.s").as("s"))
+    val seed = sub.filter(col("vec_id") < PQ_CODES)
+      .select(col("m"), col("vec_id").as("cid"), col("s").as("c"))
+    // nearest-code assignment under a broadcast codebook: aggregate argmin
+    // (partial-agg combines map-side; ties break on lowest cid; `s` rides in
+    // struct position 3 and never reaches comparison because cid is unique)
+    def assign(codebook: DataFrame): DataFrame = sub
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("vec_id"), col("m"), struct(sqDist(col("s"), col("c")).as("d2"),
+        col("cid").as("cid"), col("s").as("s")).as("cand"))
+      .groupBy("vec_id", "m")
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("cid"), col("best.s").as("s"))
+    // one Lloyd step: per-(subspace, code) element-wise truncated integer mean
+    val cb = assign(seed)
+      .select(col("m"), col("cid"), posexplode(col("s")).as(Seq("pos", "v")))
+      .groupBy("m", "cid", "pos")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .selectExpr("m", "cid", "pos", "sv div cnt AS cv")
+      .groupBy("m", "cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pm"))
+      .select(col("m"), col("cid"), transform(col("pm"), x => x.getField("cv")).as("c"))
+    val codes = assign(cb).select("vec_id", "m", "cid")
+    // per-query ADC lookup table: exact d2 from query subvector to each code
+    val lut = sub
+      .filter(col("vec_id") >= qLo && col("vec_id") < qHi)
+      .join(broadcast(cb), Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("cid"),
+        sqDist(col("s"), col("c")).as("qd"))
+    val adc = codes
+      .join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("qd")).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
+    graft.plans.TopK
+      .perKey(adc, Seq(col("qid")), Seq(col("adist").asc, col("vec_id").asc), PQ_K)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("qid", "rank", "vec_id", "adist")
+      .orderBy("qid", "rank")
+  }
+
+  val pqSql: String = {
+    val d2 = (a: String, b: String) =>
+      s"CAST(list_dot_product($a,$a) + list_dot_product($b,$b) - 2*list_dot_product($a,$b) AS BIGINT)"
+    s"""WITH $SQL_QUANTIZED,
+       |sub AS (
+       |  SELECT vec_id, m, list_slice(q, m*$PQ_SUB + 1, m*$PQ_SUB + $PQ_SUB) s
+       |  FROM qn, generate_series(0, ${PQ_M - 1}) g(m)),
+       |seed AS (SELECT m, vec_id cid, s c FROM sub WHERE vec_id < $PQ_CODES),
+       |asg0 AS (
+       |  SELECT vec_id, m, s, cid FROM (
+       |    SELECT sub.vec_id, sub.m, sub.s, seed.cid,
+       |           row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |                              ORDER BY ${d2("sub.s", "seed.c")} ASC, seed.cid ASC) rn
+       |    FROM sub JOIN seed ON sub.m = seed.m)
+       |  WHERE rn = 1),
+       |cb AS (
+       |  SELECT m, cid, list(cv ORDER BY pos) c FROM (
+       |    SELECT a.m, a.cid, g.pos, CAST(sum(a.s[g.pos]) // count(*) AS BIGINT) cv
+       |    FROM asg0 a, generate_series(1, $PQ_SUB) g(pos)
+       |    GROUP BY a.m, a.cid, g.pos)
+       |  GROUP BY m, cid),
+       |codes AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT sub.vec_id, sub.m, cb.cid,
+       |           row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |                              ORDER BY ${d2("sub.s", "cb.c")} ASC, cb.cid ASC) rn
+       |    FROM sub JOIN cb ON sub.m = cb.m)
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT sub.vec_id qid, sub.m, cb.cid, ${d2("sub.s", "cb.c")} qd
+       |  FROM sub JOIN cb ON sub.m = cb.m
+       |  WHERE sub.vec_id >= $PQ_CODES AND sub.vec_id < ${PQ_CODES + PQ_QUERIES}),
+       |adc AS (
+       |  SELECT qid, vec_id, CAST(sum(qd) AS BIGINT) adist
+       |  FROM codes JOIN lut USING (m, cid)
+       |  WHERE vec_id <> qid
+       |  GROUP BY 1, 2)
+       |SELECT qid, rank, vec_id, adist FROM (
+       |  SELECT qid, vec_id, adist,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY adist ASC, vec_id ASC) rank
+       |  FROM adc)
+       |WHERE rank <= $PQ_K ORDER BY qid, rank""".stripMargin
+  }
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn" -> (knn _),
     "sim_lsh_nn" -> (lshNn _),
     "sim_ivf" -> (ivf _),
+    "sim_pq" -> (pq _),
     "dd_embed_cos" -> (embedCos _)
   )
 
@@ -337,6 +475,7 @@ object Similarity {
     "sim_knn" -> knnSql,
     "sim_lsh_nn" -> lshNnSql,
     "sim_ivf" -> ivfSql,
+    "sim_pq" -> pqSql,
     "dd_embed_cos" -> embedCosSql
   )
 }

@@ -1460,7 +1460,70 @@ object TextAnalysis {
        |       CAST(sum(CASE WHEN ratio_e3 < $ZFLAG THEN 1 ELSE 0 END) AS BIGINT) n_flagged
        |FROM r GROUP BY 1 ORDER BY rb""".stripMargin
 
+  // ---- bigram-LM fluency scoring (CCNet-style quality signal) --------------
+
+  /** Per-document n-gram language-model fluency score — the CCNet device
+    * (Wenzek et al. 2020): score each document by how predictable its word
+    * transitions are under an LM trained on the corpus itself, then gate or
+    * bucket on the score (their Wikipedia-perplexity head/middle/tail split).
+    * Here the LM is a bigram MLE over the same corpus and the score is the
+    * mean transition probability ×1e6 in EXACT integer arithmetic —
+    * `avg_b (1e6·c(w1,w2) div c(w1))` via `div`, no log/float drift — which
+    * ranks documents identically to mean log-probability for gating purposes
+    * and keeps the DuckDB oracle bit-exact.
+    *
+    * Scale shape: counts partial-aggregate map-side before their ONE shuffle
+    * each (bigram key / unigram key — both vocabulary-bounded after agg);
+    * per-document bigram multiplicities also pre-aggregate on
+    * (doc_id, w1, w2) so the model join touches distinct doc-bigrams, not
+    * token instances; c(w1) joins onto the aggregated bigram model first
+    * (vocab-sized build side), so the corpus-sized frame joins once, on the
+    * bigram key, with hot bigrams already collapsed to one row per doc.
+    */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Toks.tokens(col("text"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bg = docs.select(
+        col("doc_id"),
+        explode(zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // corpus model: c(w1,w2) and c(w1) (occurrences as a left context)
+    val cab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val ca = bg.groupBy("w1").agg(count(lit(1)).as("c_a"))
+    val model = cab.join(ca, Seq("w1"))
+      .selectExpr("w1", "w2", "(1000000 * c_ab) div c_a AS p_x1e6")
+    // per-doc distinct bigrams with multiplicity, scored under the model
+    bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+      .join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_pairs"),
+        sum(col("k") * col("p_x1e6")).as("mass"))
+      .selectExpr("doc_id", "n_pairs", "mass div n_pairs AS lm_x1e6")
+      .orderBy("doc_id")
+  }
+
+  val lmScoreSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${Toks.SQL_TOKENS} t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+       |cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) c_ab FROM bg GROUP BY 1, 2),
+       |ca AS (SELECT w1, CAST(count(*) AS BIGINT) c_a FROM bg GROUP BY 1),
+       |model AS (
+       |  SELECT cab.w1, cab.w2, (1000000 * c_ab) // c_a AS p_x1e6
+       |  FROM cab JOIN ca ON cab.w1 = ca.w1),
+       |db AS (
+       |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) k FROM bg GROUP BY 1, 2, 3)
+       |SELECT doc_id, CAST(sum(k) AS BIGINT) n_pairs,
+       |       CAST(sum(k * p_x1e6) AS BIGINT) // CAST(sum(k) AS BIGINT) AS lm_x1e6
+       |FROM db JOIN model USING (w1, w2)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_lm" -> (lmScore _),
     "ta_zratio" -> (zratio _),
     "ta_heavy" -> (heavy _),
     "ta_bpe" -> (bpe _),
@@ -1490,6 +1553,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_lm" -> lmScoreSql,
     "ta_zratio" -> zratioSql,
     "ta_heavy" -> heavySql,
     "ta_bpe" -> bpeSql,

@@ -101,7 +101,8 @@ object StreamingOps {
     */
   private[graft] def runToTable(
       df: DataFrame, name: String, mode: String,
-      requireSingleBatch: Boolean = false): DataFrame = {
+      requireSingleBatch: Boolean = false,
+      requireFeedingBatches: Int = 0): DataFrame = {
     require(mode == "append", s"parquet sink is append-only, got $mode")
     val out = freshDir("graft-sink", name)
     val q = df.writeStream
@@ -117,6 +118,12 @@ object StreamingOps {
       require(feeding == 1,
         s"$name expected exactly one data microbatch, saw $feeding — " +
           "staged source no longer single-file; the query's oracle assumes one batch")
+    }
+    if (requireFeedingBatches > 0) {
+      val feeding = q.recentProgress.count(_.numInputRows > 0)
+      require(feeding == requireFeedingBatches,
+        s"$name expected exactly $requireFeedingBatches data microbatches, saw $feeding — " +
+          "split staging / rate limit changed; the query's oracle assumes that batch count")
     }
     df.sparkSession.read.parquet(out)
   }
@@ -275,6 +282,117 @@ object StreamingOps {
       | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
       |ORDER BY v.user_id, view_id, click_id""".stripMargin
 
+  // ---- stream-stream LEFT OUTER join (watermark-evicted null emission) ----
+
+  /** Two-batch split point for the outer join's staged source. */
+  private val SPLIT = "2024-01-15 00:00:00"
+
+  /** Stage events as TWO mtime-ordered single-file halves split at [[SPLIT]]
+    * and stream them with `maxFilesPerTrigger = 1` — two microbatches in
+    * event-time order. The outer join NEEDS this: unmatched rows emit only
+    * when the watermark passes their join horizon, and the watermark only
+    * moves BETWEEN microbatches, so a single-batch source would never emit a
+    * single null row. Staging is keyed by source (mtime, size) like
+    * [[streamEvents]].
+    */
+  private def streamEventsSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val size = java.nio.file.Files.size(src)
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft-stream-events-split-${Integer.toHexString(sfDir.hashCode)}-$mtime-$size")
+    if (!java.nio.file.Files.exists(dir.resolve("_READY"))) {
+      java.nio.file.Files.createDirectories(dir)
+      val ev = spark.read.parquet(src.toString)
+      def half(pred: org.apache.spark.sql.Column, name: String, mt: Long): Unit = {
+        val tmp = dir.resolve(s"_tmp-$name")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"split staging: no parquet part under $tmp"))
+        val dst = dir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(mt) // file-source order = mtime order
+        tmp.toFile.listFiles.foreach(_.delete()); tmp.toFile.delete()
+      }
+      val cut = expr(s"timestamp_ntz'$SPLIT'")
+      half(col("ts") < cut, "a", 1700000000000L)
+      half(col("ts") >= cut, "b", 1700000060000L)
+      java.nio.file.Files.write(dir.resolve("_READY"), Array.emptyByteArray)
+    }
+    val ss = streamingSession(spark)
+    val schema = ss.read.parquet(dir.toString).schema
+    ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** Stream-stream LEFT OUTER join — the hard stateful-join surface: matched
+    * rows emit immediately (inner semantics), and a view with NO click in
+    * its 4-hour window emits a NULL-click row only when the global watermark
+    * passes `view_ts + 4h` and evicts it. On the two-batch staged source,
+    * batch 2 runs with watermark `wm2 = min(max view_ts, max click_ts in
+    * batch 1) − 1h` and emits the nulls for batch-1 views whose window
+    * closed; views still in state at termination never emit. BOTH engines
+    * therefore compare only views below a SAFE CUTOFF strictly inside the
+    * batch-2 eviction region — `wm2 − 4h − 1min` (the margin keeps any
+    * engine boundary off-by-one out of the compared set), computed
+    * deterministically from the static table on both sides. Safe-zone views
+    * are fully decided by the compared output: every potential click for
+    * such a view is itself below batch 1's end, so matches happened before
+    * any eviction could race them.
+    */
+  def stLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = streamEventsSplit(spark, sfDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val joined = views.join(clicks,
+        col("v_user") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 4 HOURS"),
+        "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"))
+    val res = runToTable(joined, "st_left_join", "append",
+      requireFeedingBatches = 2)
+    // safe cutoff = wm2 − 4h − 1min, from the static table (deterministic)
+    val cut = res.sparkSession.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("ts") < expr(s"timestamp_ntz'$SPLIT'"))
+      .agg((least(
+        max(when(col("event_type") === "view", col("ts"))),
+        max(when(col("event_type") === "click", col("ts"))))
+        .cast("timestamp") - expr("INTERVAL 5 HOURS 1 MINUTE")).as("cut"))
+    res.crossJoin(broadcast(cut))
+      .filter(col("view_ts") <= col("cut"))
+      .select("user_id", "view_id", "click_id")
+      .orderBy(col("user_id"), col("view_id"), col("click_id").asc_nulls_first)
+  }
+
+  val stLeftJoinSql: String =
+    s"""WITH m AS (
+       |  SELECT least(
+       |           max(ts) FILTER (WHERE event_type = 'view'),
+       |           max(ts) FILTER (WHERE event_type = 'click')) m1
+       |  FROM events WHERE ts < TIMESTAMP '$SPLIT'),
+       |v AS (SELECT user_id, event_id view_id, ts vts FROM events
+       |      WHERE event_type = 'view'),
+       |c AS (SELECT user_id, event_id click_id, ts cts FROM events
+       |      WHERE event_type = 'click')
+       |SELECT v.user_id, v.view_id, c.click_id
+       |FROM v LEFT JOIN c
+       |  ON v.user_id = c.user_id
+       | AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 4 HOUR
+       |WHERE v.vts <= (SELECT m1 - INTERVAL 5 HOUR - INTERVAL 1 MINUTE FROM m)
+       |ORDER BY v.user_id, v.view_id, c.click_id NULLS FIRST""".stripMargin
+
   // ---- ST5: stateful streaming dedup -------------------------------------
 
   /** `dropDuplicatesWithinWatermark`, not plain `dropDuplicates`: the latter
@@ -424,6 +542,7 @@ object StreamingOps {
     "st_session" -> (stSession _),
     "st_join" -> (stJoin _),
     "st_ss_join" -> (stSsJoin _),
+    "st_left_join" -> (stLeftJoin _),
     "st_seq" -> (stSeq _),
     "st_tws" -> (stTws _),
     "st_dedup" -> (stDedup _)
@@ -435,6 +554,7 @@ object StreamingOps {
     "st_session" -> stSessionSql,
     "st_join" -> stJoinSql,
     "st_ss_join" -> stSsJoinSql,
+    "st_left_join" -> stLeftJoinSql,
     "st_seq" -> stSeqSql,
     "st_tws" -> stTwsSql,
     "st_dedup" -> stDedupSql

@@ -174,6 +174,25 @@ class CatalystSurfaceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
   }
 
+  test("bucketed co-located join plans with ZERO exchanges (q_bucket_join)") {
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // broadcast off so the join must be a shuffled join — which bucketing
+    // then makes exchange-free: bucket i only ever meets bucket i
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (ord, cust) = graft.operators.Relational
+        .bucketedPair(spark, "/root/testdata/sf0.001")
+      val j = ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled join over bucketed sides:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed co-located join must plan with no Exchange on either side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+  }
+
   test("q_asof_join plan: union + LOCF runs on one event_type shuffle, no range join") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -225,6 +225,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(plantedRecall >= 0.80, f"planted near-dup recall degraded: $plantedRecall%.3f")
   }
 
+  test("PQ ADC ranks the planted near-copy top-1 (product-quantization recall)") {
+    // same planting device as the LSH test: one perturbed copy per 10th
+    // vector at cos ~ 0.98; the copies are the PQ QUERY set, and asymmetric-
+    // distance scoring over 8-byte codes must still put each copy's original
+    // at rank 1 — the property that makes a compressed 10^12-vector index
+    // usable for near-dup retrieval.
+    val dims = 64
+    val raw = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val rot = concat(slice(col("embedding"), 2, dims - 1), slice(col("embedding"), 1, 1))
+    val planted = raw.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("embedding"), rot, (x, y) => x + y * lit(0.2f)).as("embedding"))
+    val withDups = raw.unionByName(planted)
+    val top1 = Similarity.pqFrom(Similarity.quantizedFrom(withDups), 1000000L, 2000000L)
+      .filter(col("rank") === 1).select("qid", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = planted.count()
+    val recall = top1.count { case (q, v) => v == q - 1000000L }.toDouble / n
+    info(f"PQ planted near-dup recall@1 = $recall%.3f over $n copies")
+    assert(recall >= 0.80, f"PQ planted recall degraded: $recall%.3f")
+  }
+
   test("winnowing fingerprints: equal text -> equal set; deterministic") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
