@@ -237,21 +237,27 @@ object Similarity {
     * |probes|/|centroids| of the corpus, with more Lloyd steps / sqrt(n)
     * centroids as the quality levers.
     */
-  def ivf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Nearest-centroid assignment (rank by dot desc, cid asc) over a
+    * quantized frame `e` — shared by `sim_ivf` and `dd_semantic`.
+    */
+  private def assignNearest(e: DataFrame, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = quantized(spark, sfDir)
-    val cent0 = e.filter(col("vec_id") < N_CENT)
-      .select(col("vec_id").as("cid"), col("q").as("cq"))
-    // nearest-centroid assignment (rank by dot desc, cid asc)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
-    def assignTo(centroids: DataFrame): DataFrame = e
-      .crossJoin(broadcast(centroids))
+    e.crossJoin(broadcast(centroids))
       .withColumn("cdot", Toks.dotQ(col("q"), col("cq")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
-      .select(col("vec_id"), col("cid"), col("q"))
-    // one Lloyd step: per-centroid element-wise integer floor mean
-    val cent = assignTo(cent0)
+      .select(col("vec_id"), col("cid"), col("q"), col("nq"))
+  }
+
+  /** Deterministic integer-Lloyd codebook (seed = first N_CENT vectors, one
+    * truncated-integer-mean refinement) — shared by `sim_ivf` and
+    * `dd_semantic`, bit-identical across engines.
+    */
+  private def lloydCentroids(e: DataFrame): DataFrame = {
+    val cent0 = e.filter(col("vec_id") < N_CENT)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    assignNearest(e, cent0)
       .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
       .groupBy("cid", "pos")
       .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
@@ -259,7 +265,13 @@ object Similarity {
       .groupBy("cid")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("cq"))
-    val assign = assignTo(cent)
+  }
+
+  def ivf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = quantized(spark, sfDir)
+    val cent = lloydCentroids(e)
+    val assign = assignNearest(e, cent)
     // queries probe their top-N_PROBE centroids
     val wProbe = Window.partitionBy("qid").orderBy(col("cdot").desc, col("cid").asc)
     val probes = e.filter(col("vec_id") >= N_CENT && col("vec_id") < N_CENT + IVF_QUERIES)
@@ -280,9 +292,11 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  val ivfSql: String =
-    s"""WITH $SQL_QUANTIZED,
-       |cent0 AS (SELECT vec_id cid, q cq FROM qn WHERE vec_id < $N_CENT),
+  /** Shared Lloyd-codebook CTE chain (needs $SQL_QUANTIZED in scope):
+    * cent0 → assign0 → cent → assign (vec_id, cid, q, nq).
+    */
+  private val SQL_LLOYD =
+    s"""cent0 AS (SELECT vec_id cid, q cq FROM qn WHERE vec_id < $N_CENT),
        |assign0 AS (
        |  SELECT vec_id, cid, q FROM (
        |    SELECT e.vec_id, cent0.cid, e.q,
@@ -298,13 +312,17 @@ object Similarity {
        |    GROUP BY a.cid, g.pos)
        |  GROUP BY cid),
        |assign AS (
-       |  SELECT vec_id, cid, q FROM (
-       |    SELECT e.vec_id, cent.cid, e.q,
+       |  SELECT vec_id, cid, q, nq FROM (
+       |    SELECT e.vec_id, cent.cid, e.q, e.nq,
        |           row_number() OVER (PARTITION BY e.vec_id
        |                              ORDER BY CAST(list_dot_product(e.q, cent.cq) AS BIGINT) DESC,
        |                                       cent.cid ASC) arn
        |    FROM qn e CROSS JOIN cent)
-       |  WHERE arn = 1),
+       |  WHERE arn = 1)""".stripMargin
+
+  val ivfSql: String =
+    s"""WITH $SQL_QUANTIZED,
+       |$SQL_LLOYD,
        |probes AS (
        |  SELECT qid, qq, cid FROM (
        |    SELECT e.vec_id qid, e.q qq, cent.cid,
@@ -323,6 +341,70 @@ object Similarity {
        |  FROM probes p JOIN assign a ON p.cid = a.cid
        |  WHERE a.vec_id <> p.qid)
        |WHERE rank <= $IVF_K ORDER BY qid, rank""".stripMargin
+
+  // ---- SemDeDup: cluster-scoped semantic deduplication ---------------------
+
+  /** SemDeDup (Abbas et al. 2023 shape): k-means-cluster the embeddings,
+    * then deduplicate WITHIN each cluster — pairwise similarity is only ever
+    * computed inside a cluster, so the quadratic term is n·(n/k) rather than
+    * n², and clusters shard cleanly across executors (their LAION dedup runs
+    * exactly this way; at 10^12 scale k grows ~√n and centroids train on a
+    * sample). Keep-rule is the published one-pass greedy, made deterministic:
+    * a vector is DROPPED iff a lower-id vector in the same cluster sits
+    * within the similarity ball (cos² ≥ 0.09, exact integer arithmetic —
+    * same threshold device as `dd_embed_cos`); the reported keeper is the
+    * lowest such id. Cluster assignment reuses the shared integer-Lloyd
+    * codebook (bit-identical across engines), so the whole op is hash-
+    * oracled, not rows-only.
+    *
+    * vs `dd_embed_cos`: same pair arithmetic, different SCOPING — LSH
+    * buckets can split a true near-dup pair across buckets (recall loss),
+    * clusters bound the work differently (recall loss only at cluster
+    * boundaries) and are what the published pipeline uses when an IVF-style
+    * codebook already exists for search.
+    */
+  def semantic(spark: SparkSession, sfDir: String): DataFrame =
+    semanticFrom(quantized(spark, sfDir))
+
+  /** SemDeDup over any pre-quantized frame (tests plant perturbed copies). */
+  private[graft] def semanticFrom(e: DataFrame): DataFrame = {
+    val asg = assignNearest(e, lloydCentroids(e))
+    val pairs = asg.as("a")
+      .join(asg.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("keep_cand"),
+        col("b.vec_id").as("vec_id"),
+        Toks.dotQ(col("a.q"), col("b.q")).as("dot"),
+        col("a.nq").as("na"), col("b.nq").as("nb"))
+      .filter(col("dot") > 0)
+      .withColumn("cos2_e4",
+        expr("(dot * dot * 10000) div (na * nb)"))
+      .filter(col("cos2_e4") >= 900)
+    pairs
+      .groupBy("vec_id")
+      .agg(min(struct(col("keep_cand"), col("cos2_e4"))).as("k"))
+      .select(col("vec_id"), col("k.keep_cand").as("kept_id"),
+        col("k.cos2_e4").as("cos2_e4"))
+      .orderBy("vec_id")
+  }
+
+  val semanticSql: String =
+    s"""WITH $SQL_QUANTIZED,
+       |$SQL_LLOYD,
+       |pairs AS (
+       |  SELECT a.vec_id keep_cand, b.vec_id vec_id,
+       |         CAST(list_dot_product(a.q, b.q) AS BIGINT) dot,
+       |         a.nq na, b.nq nb
+       |  FROM assign a JOIN assign b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |close AS (
+       |  SELECT keep_cand, vec_id, (dot * dot * 10000) // (na * nb) cos2_e4
+       |  FROM pairs
+       |  WHERE dot > 0 AND (dot * dot * 10000) // (na * nb) >= 900)
+       |SELECT vec_id, min(keep_cand) kept_id,
+       |       CAST(min_by(cos2_e4, keep_cand) AS BIGINT) cos2_e4
+       |FROM close GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   // ---- product quantization (PQ) ANN --------------------------------------
 
@@ -468,7 +550,8 @@ object Similarity {
     "sim_lsh_nn" -> (lshNn _),
     "sim_ivf" -> (ivf _),
     "sim_pq" -> (pq _),
-    "dd_embed_cos" -> (embedCos _)
+    "dd_embed_cos" -> (embedCos _),
+    "dd_semantic" -> (semantic _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -476,6 +559,7 @@ object Similarity {
     "sim_lsh_nn" -> lshNnSql,
     "sim_ivf" -> ivfSql,
     "sim_pq" -> pqSql,
-    "dd_embed_cos" -> embedCosSql
+    "dd_embed_cos" -> embedCosSql,
+    "dd_semantic" -> semanticSql
   )
 }

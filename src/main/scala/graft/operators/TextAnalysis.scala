@@ -1460,6 +1460,71 @@ object TextAnalysis {
        |       CAST(sum(CASE WHEN ratio_e3 < $ZFLAG THEN 1 ELSE 0 END) AS BIGINT) n_flagged
        |FROM r GROUP BY 1 ORDER BY rb""".stripMargin
 
+  // ---- DSIR importance scoring (hashed n-gram domain selection) ------------
+
+  /** Data Selection via Importance Resampling (Xie et al. NeurIPS 2023
+    * shape): score every document by how much its hashed-unigram feature
+    * distribution looks like a TARGET domain (here: the `lang = 'en'` slice
+    * stands in for "looks like Wikipedia") relative to the raw corpus, then
+    * keep the top of the ranking as the selected pretraining subset. Tokens
+    * hash into 256 buckets (the same md5-hex→BIGINT digestion the embed /
+    * winnow oracles pin); bucket weights are add-1-smoothed frequency ratios
+    * `(1e6·(tgt_b+1)) div (raw_b+1)` and a document scores the MEAN weight
+    * of its token instances — an exact-integer, rank-preserving stand-in for
+    * DSIR's mean log-likelihood-ratio (documented deviation: sum of ratios,
+    * not sum of logs; no transcendental ever reaches an oracled column).
+    *
+    * Scale shape: the two bucket-count aggregations partial-agg map-side into
+    * ≤256 groups; per-doc bucket multiplicities pre-agg on (doc_id, bucket)
+    * before the weight join, and the weight table (256 rows) BROADCASTS — the
+    * corpus shuffles once, on (doc_id, bucket); the final top-100 is a
+    * TakeOrdered, never a global sort.
+    */
+  def dsir(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = 256
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val inst = docs.select(col("doc_id"), col("lang"),
+        explode(Toks.tokens(col("text"))).as("tok"))
+      .withColumn("b",
+        expr(s"pmod(CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT), $buckets)"))
+      .select("doc_id", "lang", "b")
+    val rawB = inst.groupBy("b").agg(count(lit(1)).as("raw_n"))
+    val tgtB = inst.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("tgt_n"))
+    val w = rawB.join(tgtB, Seq("b"), "left_outer")
+      .selectExpr("b",
+        "(1000000 * (coalesce(tgt_n, 0L) + 1)) div (raw_n + 1) AS w")
+    inst.groupBy("doc_id", "b").agg(count(lit(1)).as("k"))
+      .join(broadcast(w), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_tok"),
+        sum(col("k") * col("w")).as("mass"))
+      .selectExpr("doc_id", "n_tok", "mass div n_tok AS dsir_x1e6")
+      .orderBy(col("dsir_x1e6").desc, col("doc_id").asc)
+      .limit(100)
+  }
+
+  val dsirSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, ${Toks.SQL_TOKENS} t FROM documents),
+       |inst AS (
+       |  SELECT doc_id, lang,
+       |         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS b
+       |  FROM (SELECT doc_id, lang, unnest(t) AS tok FROM toks)),
+       |rawb AS (SELECT b, CAST(count(*) AS BIGINT) raw_n FROM inst GROUP BY 1),
+       |tgtb AS (SELECT b, CAST(count(*) AS BIGINT) tgt_n FROM inst
+       |         WHERE lang = 'en' GROUP BY 1),
+       |w AS (
+       |  SELECT rawb.b, (1000000 * (coalesce(tgt_n, 0) + 1)) // (raw_n + 1) AS w
+       |  FROM rawb LEFT JOIN tgtb ON rawb.b = tgtb.b),
+       |db AS (
+       |  SELECT doc_id, b, CAST(count(*) AS BIGINT) k FROM inst GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(k) AS BIGINT) n_tok,
+       |       CAST(sum(k * w) AS BIGINT) // CAST(sum(k) AS BIGINT) AS dsir_x1e6
+       |FROM db JOIN w USING (b)
+       |GROUP BY doc_id
+       |ORDER BY dsir_x1e6 DESC, doc_id ASC LIMIT 100""".stripMargin
+
   // ---- bigram-LM fluency scoring (CCNet-style quality signal) --------------
 
   /** Per-document n-gram language-model fluency score — the CCNet device
@@ -1524,6 +1589,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_lm" -> (lmScore _),
+    "ta_dsir" -> (dsir _),
     "ta_zratio" -> (zratio _),
     "ta_heavy" -> (heavy _),
     "ta_bpe" -> (bpe _),
@@ -1554,6 +1620,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "ta_lm" -> lmScoreSql,
+    "ta_dsir" -> dsirSql,
     "ta_zratio" -> zratioSql,
     "ta_heavy" -> heavySql,
     "ta_bpe" -> bpeSql,

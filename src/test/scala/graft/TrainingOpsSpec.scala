@@ -248,6 +248,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.80, f"PQ planted recall degraded: $recall%.3f")
   }
 
+  test("SemDeDup drops the planted near-copies inside their clusters") {
+    // planted copies sit at cos ~ 0.98 (cos2_e4 ~ 9600, far above the 900
+    // gate); a copy escapes only if Lloyd assigns it across a cluster
+    // boundary from every close lower-id vector — allow a small boundary
+    // leak, require >= 90 % dropped
+    val dims = 64
+    val raw = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val rot = concat(slice(col("embedding"), 2, dims - 1), slice(col("embedding"), 1, 1))
+    val planted = raw.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("embedding"), rot, (x, y) => x + y * lit(0.2f)).as("embedding"))
+    val dropped = Similarity.semanticFrom(
+        Similarity.quantizedFrom(raw.unionByName(planted)))
+      .filter(col("vec_id") >= 1000000L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val n = planted.count()
+    val recall = dropped.size.toDouble / n
+    info(f"SemDeDup planted drop rate = $recall%.3f over $n copies")
+    assert(recall >= 0.90, f"SemDeDup missed planted near-copies: $recall%.3f")
+  }
+
   test("winnowing fingerprints: equal text -> equal set; deterministic") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
