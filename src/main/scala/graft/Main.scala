@@ -26,7 +26,7 @@ object Main {
       System.err.println(
         "usage: graft.Main extract <nPages> <outDir> [seed] | extract-dir <pagesDir> <outDir> | " +
           "write-pages <n> <dir> | append-pages <from> <to> <dir> | run <dir> <out> <manifest> | " +
-          "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] | " +
+          "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] [near-dedup] | " +
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
           "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | " +
           "explain <query> [sfDir] | " +
@@ -220,10 +220,12 @@ object Main {
           // the PII redaction stage into the final verdict/write pass
           import spark.implicits._
           // `zratio-gate` adds the compression-ratio quality conjunct
-          val flags = Set("cut-spans", "scrub-pii", "zratio-gate")
+          // `near-dedup` adds the opt-in MinHash near-duplicate stage
+          val flags = Set("cut-spans", "scrub-pii", "zratio-gate", "near-dedup")
           val cutSpans = args.contains("cut-spans")
           val scrubPii = args.contains("scrub-pii")
           val zratioGate = args.contains("zratio-gate")
+          val nearDedup = args.contains("near-dedup")
           val input =
             if (args(0) == "curate") {
               val seed = if (args.length > 3 && !flags(args(3))) args(3).toLong
@@ -232,7 +234,7 @@ object Main {
             } else spark.read.schema(Model.PAGES).parquet(args(1)).as[Page]
           val t0 = System.nanoTime()
           val rep = graft.operators.Curate.run(spark, input, args(2), cutSpans,
-            scrubPii, zratioGate)
+            scrubPii, zratioGate, nearDedup)
           val dt = (System.nanoTime() - t0) / 1e9
           println(f"  extracted        ${rep.extracted}%8d")
           println(f"  non-empty        ${rep.nonEmpty}%8d")
@@ -240,6 +242,7 @@ object Main {
           println(f"  unique kept      ${rep.uniqueKept}%8d")
           println(f"  train/val/test   ${rep.train}%d/${rep.`val`}%d/${rep.test}%d")
           if (scrubPii) println(f"  pii-scrubbed     ${rep.piiDocs}%8d")
+          if (nearDedup) println(f"  near-dropped     ${rep.nearDropped}%8d")
           println(f"curated ${rep.uniqueKept}%d docs in $dt%.2f s -> ${args(2)}")
           return
         case _ => ()

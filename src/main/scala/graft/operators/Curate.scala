@@ -23,7 +23,7 @@ object Curate {
   case class Report(
       extracted: Long, nonEmpty: Long, qualityKept: Long,
       uniqueKept: Long, train: Long, `val`: Long, test: Long,
-      piiDocs: Long = 0L)
+      piiDocs: Long = 0L, nearDropped: Long = 0L)
 
   /** Quality thresholds (integer, documented in the report):
     * ≥ 20 whitespace tokens, ≤ 30 % duplicate lines, top bigram ≤ 20 % of
@@ -60,9 +60,23 @@ object Curate {
     *                  a deflate call per doc is real CPU (~the cost of
     *                  re-tokenizing), so it's a knob, not a baseline stage.
     */
+  /** @param nearDedup opt-in MinHash near-duplicate stage (the C4/RefinedWeb
+    *                  fuzzy-dedup step the default funnel's EXACT dedup does
+    *                  not cover): LSH band-collision candidates (>= 2 of 4
+    *                  bands — one 36-bit agreement is the precision knob;
+    *                  production would add an exact-Jaccard verify pass on
+    *                  the survivors) over the EXTRACTED text (pre line-dedup
+    *                  — see the stage comment for why), min-label-propagation
+    *                  connected components, keep the lexicographically-least
+    *                  url per cluster. The drop set
+    *                  joins into the SAME fused verdict pass on the url key
+    *                  the signals join already shuffles on. Off by default:
+    *                  the component loop is a multi-job iteration, and the
+    *                  committed funnel measurements are the default path.
+    */
   def run(spark: SparkSession, pages: Dataset[Page], outDir: String,
           cutSpans: Boolean = false, scrubPii: Boolean = false,
-          zratioGate: Boolean = false): Report = {
+          zratioGate: Boolean = false, nearDedup: Boolean = false): Report = {
     import org.apache.spark.sql.expressions.Window
     def timed[T](stage: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -117,11 +131,40 @@ object Curate {
         spark.read.parquet(cutDir)
       }
 
+    // optional MinHash near-dedup: candidates from >= 2 shared LSH bands,
+    // clustered to connected components, all but the least url dropped.
+    // Similarity is measured on the EXTRACTED text (pre line-dedup — the
+    // GPT-3/Pile fuzzy-dedup input): an exact re-serve of a page would
+    // otherwise shred at the line deduper (every line loses to the
+    // original's earlier occurrence) and die at the gate mislabeled
+    // "low quality" instead of "duplicate" — the distinction a curation
+    // audit needs. Reads the column-pruned extract artifact; the drop set
+    // lands as a tiny (url)-only table the fused pass joins on the url key
+    // it already shuffles on.
+    val nearDrop =
+      if (!nearDedup) None
+      else Some(timed("near-dedup") {
+        val pairs = Dedup.minhashPairsOver(
+            nonEmpty.select(col("url").as("doc_id"), col("text")))
+          .filter(col("n_bands") >= 2)
+          .select(col("doc_a"), col("doc_b"))
+        val labels = Dedup.componentsOver(pairs)
+        labels.filter(col("id") =!= col("comp"))
+          .select(col("id").as("url"))
+          // the drop set is cluster-overhead-sized; materialize it once so
+          // the verdict pass doesn't re-run the LSH join + component loop
+          .localCheckpoint()
+      })
+
     // Gopher repetition signals + length gate, as verdict columns
     val signals = TextAnalysis.gopherSignals(withText.select(col("url"), col("text")))
       .select(col("url"), col("dup_line_frac_x1000"), col("top_bigram_frac_x1000"))
-    val judged = withText
+    val judged0 = withText
       .join(signals, Seq("url"))
+    val judged = nearDrop.fold(judged0.withColumn("near_dup", lit(false))) { d =>
+      judged0.join(d.withColumn("near_dup", lit(true)), Seq("url"), "left_outer")
+        .withColumn("near_dup", coalesce(col("near_dup"), lit(false)))
+    }
       .withColumn("n_tok",
         size(filter(split(col("text"), " "), t => t =!= lit(""))).cast("long"))
       .withColumn("quality_ok",
@@ -138,10 +181,10 @@ object Curate {
     val flagged = judged
       // rejected rows get a per-row key: a shared NULL fp would funnel every
       // rejected document through one window partition (skew)
-      .withColumn("fp", when(col("quality_ok"), md5(col("text")))
+      .withColumn("fp", when(col("quality_ok") && !col("near_dup"), md5(col("text")))
         .otherwise(concat(lit("rejected:"), col("url"))))
       .withColumn("unique_ok",
-        col("quality_ok") && row_number().over(w) === 1)
+        col("quality_ok") && !col("near_dup") && row_number().over(w) === 1)
       .withColumn("split",
         when(!col("unique_ok"), lit(null).cast("string")).otherwise {
           val h = conv(substring(md5(col("url")), 1, 4), 16, 10).cast("long") % 100
@@ -167,7 +210,8 @@ object Curate {
         count(when(col("split") === "train", 1)).as("train"),
         count(when(col("split") === "val", 1)).as("val"),
         count(when(col("split") === "test", 1)).as("test"),
-        count(when(col("unique_ok") && col("n_pii") > 0, 1)).as("piiDocs"))
+        count(when(col("unique_ok") && col("n_pii") > 0, 1)).as("piiDocs"),
+        count(when(col("near_dup"), 1)).as("nearDropped"))
       .filter(col("unique_ok"))
       .select(col("split"), col("url"), col("warc_ts"), col("lang"),
         col("contentKind"), col("n_tok"), col("text"))
@@ -177,6 +221,7 @@ object Curate {
     Report(docs.count(), m("nonEmpty").asInstanceOf[Long],
       m("qualityKept").asInstanceOf[Long], m("uniqueKept").asInstanceOf[Long],
       m("train").asInstanceOf[Long], m("val").asInstanceOf[Long],
-      m("test").asInstanceOf[Long], m("piiDocs").asInstanceOf[Long])
+      m("test").asInstanceOf[Long], m("piiDocs").asInstanceOf[Long],
+      m("nearDropped").asInstanceOf[Long])
   }
 }

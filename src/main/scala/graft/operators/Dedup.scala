@@ -256,11 +256,18 @@ object Dedup {
   private val K = 12 // minhashes
   private val R = 3  // rows per band -> 4 bands
 
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairsOver(docsWithDups(spark, sfDir)).orderBy("doc_a", "doc_b")
+
+  /** MinHash+LSH candidate pairs over any (doc_id, text) frame — doc_id may
+    * be any orderable type (the curate stage passes urls). Returns
+    * (doc_a, doc_b, n_bands) with doc_a < doc_b, unordered.
+    */
+  private[graft] def minhashPairsOver(docs: DataFrame): DataFrame = {
     // signatures over the df-capped shingle sets (same cap as ngramJaccard):
     // near-universal shingles add no discriminating signal to a min-hash and
     // their postings are the skew hazard at corpus scale
-    val sh = cappedIndex(shingleIndex(docsWithDups(spark, sfDir)))
+    val sh = cappedIndex(shingleIndex(docs))
     // K permutations FOLDED into one aggregate of K conditional mins (r2
     // verdict note): no explode(0..K-1), so the shuffle carries |shingles|
     // rows instead of K×|shingles|, and the two-level (doc,j)→doc aggregate
@@ -288,7 +295,6 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
-      .orderBy("doc_a", "doc_b")
   }
 
   val minhashLshSql: String = {
@@ -337,6 +343,22 @@ object Dedup {
     val edges = ngramJaccard(spark, sfDir)
       .filter(col("jacc_pct") >= 50)
       .select(col("doc_a"), col("doc_b"))
+    val labels = componentsOver(edges)
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("comp"))
+      .select(
+        col("id").as("doc_id"),
+        col("comp").as("cluster_id"),
+        col("cluster_size"),
+        (col("id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label-propagation connected components over any (doc_a, doc_b)
+    * edge frame (ids of any orderable type). Returns (id, comp) labels for
+    * every vertex; comp = min id in the component.
+    */
+  private[graft] def componentsOver(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("doc_a").as("s"), col("doc_b").as("d"))
       .unionByName(edges.select(col("doc_b").as("s"), col("doc_a").as("d")))
       .localCheckpoint() // edges reused every round: compute the pairs once
@@ -371,14 +393,7 @@ object Dedup {
     require(changed == 0,
       s"connected components did not converge in $maxIters rounds " +
         s"($changed labels still changing) — raise -Dgraft.components.maxIters")
-    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("comp"))
-      .select(
-        col("id").as("doc_id"),
-        col("comp").as("cluster_id"),
-        col("cluster_size"),
-        (col("id") === col("comp")).as("is_canonical"))
-      .orderBy("doc_id")
+    labels
   }
 
   val componentsSql: String =

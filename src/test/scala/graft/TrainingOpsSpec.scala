@@ -675,6 +675,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("curate with near-dedup: planted page copies collapse to one kept doc per cluster") {
+    import spark.implicits._
+    val base = graft.sources.Corpus.pages(spark, 200)
+    // identical-html copies under a new url: the copy extracts to identical
+    // text, so LSH pairs it with its original in all 4 bands and the
+    // component keep-rule must keep exactly the lexicographically-least url
+    // (the original — its url is a strict prefix of the copy's)
+    val copies = base.filter(col("url").substr(-1, 1).isin("0", "4", "8"))
+      .as[graft.Page].map(p => p.copy(url = p.url + "?copy1"))
+    val planted = base.unionByName(copies)
+    val outN = java.nio.file.Files.createTempDirectory("curate-near").toString
+    val repN = Curate.run(spark, planted, outN, nearDedup = true)
+    assert(repN.nearDropped > 0, "no near-duplicates dropped on a planted corpus")
+    // no kept url coexists with its planted twin
+    val kept = spark.read.parquet(outN).select("url").collect().map(_.getString(0)).toSet
+    val twins = kept.filter(u => u.endsWith("?copy1") && kept(u.stripSuffix("?copy1")))
+    assert(twins.isEmpty, s"kept both members of ${twins.size} planted clusters")
+    // identical copies are caught by EXACT dedup too: the two paths must
+    // agree on the kept count for exact inputs
+    val outB = java.nio.file.Files.createTempDirectory("curate-nearbase").toString
+    val repB = Curate.run(spark, planted, outB)
+    assert(repN.uniqueKept == repB.uniqueKept,
+      s"near-dedup kept ${repN.uniqueKept}, exact-only kept ${repB.uniqueKept}")
+    // deterministic rerun
+    val outN2 = java.nio.file.Files.createTempDirectory("curate-near2").toString
+    assert(Curate.run(spark, planted, outN2, nearDedup = true) == repN)
+  }
+
   test("curate with cut-spans: duplicated spans removed before the gate, deterministic") {
     val base = java.nio.file.Files.createTempDirectory("curate-base").toString
     val cut = java.nio.file.Files.createTempDirectory("curate-cut").toString
