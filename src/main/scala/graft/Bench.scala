@@ -36,8 +36,8 @@ object Bench {
     "q_topk_per_key", "q_sessionize", "q_interval_join",
     "dd_exact", "dd_ngram_jaccard", "dd_allpairs", "dd_minhash_lsh", "dd_simhash", "dd_contam",
     "dd_components", "dd_lines", "dd_substr", "dd_bloom", "ta_gopher",
-    "sim_knn", "sim_ivf", "sim_pq", "dd_embed_cos", "ta_quality", "ta_tokens", "ta_ngrams",
-    "ta_tfidf", "ta_pii", "ta_search", "ta_bpe", "ta_lm", "q_funnel",
+    "sim_knn", "sim_ivf", "sim_pq", "dd_embed_cos", "dd_semantic", "ta_quality", "ta_tokens", "ta_ngrams",
+    "ta_tfidf", "ta_pii", "ta_search", "ta_bpe", "ta_lm", "ta_dsir", "q_funnel",
     "st_session"
   )
 

@@ -21,14 +21,14 @@ object Main {
   def main(args: Array[String]): Unit = {
     val minArgs =
       if (args.nonEmpty && Set("profile", "scale", "mat-bench", "explain",
-        "compact", "vacuum", "history").contains(args(0))) 2 else 3
+        "compact", "vacuum", "history", "changes").contains(args(0))) 2 else 3
     if (args.length < minArgs) {
       System.err.println(
         "usage: graft.Main extract <nPages> <outDir> [seed] | extract-dir <pagesDir> <outDir> | " +
           "write-pages <n> <dir> | append-pages <from> <to> <dir> | run <dir> <out> <manifest> | " +
           "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] [near-dedup] | " +
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
-          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | " +
+          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | changes <tableDir> <fromV> [toV] | " +
           "explain <query> [sfDir] | " +
           "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps]")
       sys.exit(2)
@@ -161,6 +161,17 @@ object Main {
           graft.sources.Compact.history(args(1)).foreach { case (v, ts, nf) =>
             println(s"v$v  ${java.time.Instant.ofEpochMilli(ts)}  $nf files")
           }
+          return
+        case "changes" =>
+          // incremental snapshot scan: rows appended after snapshot <fromV>
+          // (up to <toV>, default latest) — the consumption primitive of an
+          // incremental pipeline (see PageTable.readChanges)
+          val fromV = if (args.length > 2) args(2).toInt else -1
+          val toV = if (args.length > 3) args(3).toInt else -1
+          val delta = graft.sources.PageTable.readChanges(spark, args(1), fromV, toV)
+          val byDay = delta.groupBy("day").count().orderBy("day").collect()
+          println(s"changes since v$fromV: ${byDay.map(_.getLong(1)).sum} rows")
+          byDay.foreach(r => println(s"  ${r.getString(0)}  ${r.getLong(1)}"))
           return
         case "explain" =>
           // formatted physical plan of a SparkEntry query (plan-audit tool;

@@ -87,6 +87,40 @@ object PageTable {
   /** Raw frame including partition columns (for pruning / resume joins). */
   def readRaw(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/data")
+
+  /** Incremental snapshot scan (the Iceberg incremental-read / CDC-append
+    * shape): the rows ADDED between snapshot `fromV` (exclusive; -1 = from
+    * the beginning) and `toV` (inclusive; latest if omitted) — i.e. exactly
+    * the files present in `toV`'s manifest but not in `fromV`'s. This is the
+    * consumption primitive an incremental pipeline wants from a 100 TB pages
+    * table: each cycle reads ONLY the new crawl drop's files (planned as a
+    * normal pruned parquet scan with partition columns intact via basePath),
+    * never rescans the corpus, and is exact under concurrent appends because
+    * snapshot manifests are immutable once committed. Files REMOVED between
+    * the snapshots (compaction rewrites, deletes) are ignored — this is an
+    * append-changes read, not a row-level diff; a compaction between the two
+    * versions rewrites survivors into new files and would surface them
+    * again, so consumers checkpoint (version) pairs across maintenance
+    * windows, exactly as Iceberg documents for its incremental scans.
+    */
+  def readChanges(spark: SparkSession, dir: String,
+                  fromV: Int, toV: Int = -1): DataFrame = {
+    val to = if (toV >= 0) toV else Snapshots.latestVersion(dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots — nothing to read"))
+    val (_, toFiles) = Snapshots.files(dir, to).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshot v$to"))
+    val fromFiles: Set[String] =
+      if (fromV < 0) Set.empty
+      else Snapshots.files(dir, fromV).getOrElse(
+        throw new IllegalArgumentException(s"$dir has no snapshot v$fromV"))._2.toSet
+    val added = toFiles.filterNot(fromFiles)
+    val data = s"$dir/data"
+    if (added.isEmpty)
+      spark.read.option("basePath", data).parquet(data).limit(0)
+    else
+      spark.read.option("basePath", data)
+        .parquet(added.map(f => s"$data/$f"): _*)
+  }
 }
 
 /** Per-partition lineage + metrics manifest (SURVEY.md §2.1 S5): one row per

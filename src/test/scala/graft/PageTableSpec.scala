@@ -127,6 +127,41 @@ class PageTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pcat3.pages")
   }
 
+  test("incremental snapshot scan: readChanges returns exactly the appended rows") {
+    val wh = s"$tmp/warehouse-chg"
+    PageTable.register(spark, "pcatc", wh)
+    spark.sql(
+      """CREATE TABLE pcatc.pages (
+        |  url string, warc_ts timestamp, html binary, text string, lang string,
+        |  bucket int, day string
+        |) PARTITIONED BY (bucket, day)""".stripMargin)
+    Corpus.pages(spark, 30L).writeTo("pcatc.pages").append()               // v1
+    Corpus.pages(spark, 20L, seed = 42L).writeTo("pcatc.pages").append()   // v2
+    Corpus.pages(spark, 10L, seed = 7L).writeTo("pcatc.pages").append()    // v3
+    val dir = s"$wh/pages"
+    // v1→v2 delta is exactly batch 2
+    val b2 = Corpus.pages(spark, 20L, seed = 42L)
+      .select("url").as[String].collect().sorted.toSeq
+    val d12 = PageTable.readChanges(spark, dir, 1, 2)
+    assert(d12.select("url").as[String].collect().sorted.toSeq == b2)
+    // partition columns survive the delta scan (basePath)
+    assert(d12.columns.contains("bucket") && d12.columns.contains("day"))
+    // open-ended reads everything after the checkpointed version
+    assert(PageTable.readChanges(spark, dir, 1).count() == 30)
+    // from the beginning = the whole table; an empty window is empty
+    assert(PageTable.readChanges(spark, dir, -1).count() == 60)
+    assert(PageTable.readChanges(spark, dir, 3, 3).count() == 0)
+    // partition pruning reaches the delta scan
+    val plan = PageTable.readChanges(spark, dir, 1, 2)
+      .filter(col("bucket") === 3).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // unknown versions fail loudly
+    val e = intercept[IllegalArgumentException](
+      PageTable.readChanges(spark, dir, 1, 99))
+    assert(e.getMessage.contains("no snapshot v99"), e.getMessage)
+    spark.sql("DROP TABLE pcatc.pages")
+  }
+
   test("DSv2 catalog DELETE FROM: partition-scoped retention, data predicates refused") {
     val wh = s"$tmp/warehouse4"
     PageTable.register(spark, "pcat4", wh)
