@@ -2053,7 +2053,51 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---- ordered string aggregation + bitwise aggregates ---------------------
+
+  /** ANSI `LISTAGG ... WITHIN GROUP (ORDER BY ...)` (new in Spark 4) — the
+    * ordered string aggregation every report/export pipeline reaches for;
+    * the WITHIN GROUP order is what makes the result deterministic and
+    * hash-oracle-able (bare listagg is explicitly order-undefined).
+    */
+  def qListagg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "supplier")
+      .groupBy(col("s_nationkey"))
+      .agg(
+        expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)").as("names"),
+        count(lit(1)).as("n_supp"))
+      .orderBy("s_nationkey")
+
+  val qListaggSql: String =
+    """SELECT s_nationkey,
+      |       string_agg(s_name, ',' ORDER BY s_name) AS names,
+      |       CAST(count(*) AS BIGINT) AS n_supp
+      |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin
+
+  /** Bitwise aggregate family (`bit_and`/`bit_or`/`bit_xor` + `bit_count`)
+    * — flag-mask rollups and parity checksums; all order-insensitive, so
+    * exact at any parallelism with no sort.
+    */
+  def qBits(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("bit_and(o_orderkey)").as("b_and"),
+        expr("bit_or(o_orderkey)").as("b_or"),
+        expr("bit_xor(o_orderkey)").as("b_xor"),
+        sum(expr("bit_count(o_orderkey)").cast("long")).as("pop_sum"))
+      .orderBy("o_orderstatus")
+
+  val qBitsSql: String =
+    """SELECT o_orderstatus,
+      |       bit_and(o_orderkey) AS b_and, bit_or(o_orderkey) AS b_or,
+      |       bit_xor(o_orderkey) AS b_xor,
+      |       CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS pop_sum
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_listagg" -> (qListagg _),
+    "q_bits" -> (qBits _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_notin" -> (qNotin _),
     "q_interp" -> (qInterp _),
@@ -2119,6 +2163,8 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_listagg" -> qListaggSql,
+    "q_bits" -> qBitsSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_notin" -> qNotinSql,
     "q_interp" -> qInterpSql,
