@@ -28,7 +28,7 @@ object Main {
           "write-pages <n> <dir> | append-pages <from> <to> <dir> | run <dir> <out> <manifest> | " +
           "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] [near-dedup] | " +
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
-          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | changes <tableDir> <fromV> [toV] | " +
+          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
           "explain <query> [sfDir] | " +
           "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps]")
       sys.exit(2)
@@ -161,6 +161,31 @@ object Main {
           graft.sources.Compact.history(args(1)).foreach { case (v, ts, nf) =>
             println(s"v$v  ${java.time.Instant.ofEpochMilli(ts)}  $nf files")
           }
+          return
+        case "extract-incr" =>
+          // version-checkpointed incremental extraction: consume the pages
+          // table's snapshot delta since the last run, extract, land the
+          // window under a DETERMINISTIC path (rerun after a crash before
+          // the state save overwrites the same window — idempotent), then
+          // advance the checkpoint
+          import spark.implicits._
+          val dir = args(1); val out = args(2)
+          val state = new java.io.File(args(3))
+          val last =
+            if (state.isFile)
+              new String(java.nio.file.Files.readAllBytes(state.toPath)).trim.toInt
+            else -1
+          val latest = graft.sources.Snapshots.latestVersion(dir).getOrElse(-1)
+          if (latest <= last) { println(s"up to date at v$last"); return }
+          val delta = graft.sources.PageTable.readChanges(spark, dir, last, latest)
+            .select("url", "warc_ts", "html", "text", "lang").as[Page]
+          val window = s"$out/window=v${last + 1}-v$latest"
+          val docs = graft.operators.Extract.extract(delta).toDF()
+          docs.write.mode("overwrite").parquet(window)
+          val n = spark.read.parquet(window).count()
+          state.getParentFile match { case null => (); case d => d.mkdirs() }
+          java.nio.file.Files.write(state.toPath, latest.toString.getBytes)
+          println(s"extracted $n docs from v${last + 1}..v$latest -> $window")
           return
         case "changes" =>
           // incremental snapshot scan: rows appended after snapshot <fromV>

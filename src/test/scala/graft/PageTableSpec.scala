@@ -162,6 +162,29 @@ class PageTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pcatc.pages")
   }
 
+  test("incremental extract: snapshot delta extracts byte-identical to the drop itself") {
+    // the product composition S16 exists for: a crawl drop appends (-> new
+    // snapshot), extraction consumes ONLY the delta — and must produce
+    // exactly what extracting the drop directly produces
+    val wh = s"$tmp/warehouse-incx"
+    PageTable.register(spark, "pcatx", wh)
+    spark.sql(
+      """CREATE TABLE pcatx.pages (
+        |  url string, warc_ts timestamp, html binary, text string, lang string,
+        |  bucket int, day string
+        |) PARTITIONED BY (bucket, day)""".stripMargin)
+    Corpus.pages(spark, 30L).writeTo("pcatx.pages").append()             // v1
+    Corpus.pages(spark, 20L, seed = 42L).writeTo("pcatx.pages").append() // v2
+    val delta = PageTable.readChanges(spark, s"$wh/pages", 1, 2)
+      .select("url", "warc_ts", "html", "text", "lang").as[graft.Page]
+    val inc = graft.operators.Extract.extract(delta)
+      .collect().map(_.toString).sorted.toSeq
+    val ref = graft.operators.Extract.extract(Corpus.pages(spark, 20L, seed = 42L))
+      .collect().map(_.toString).sorted.toSeq
+    assert(inc == ref)
+    spark.sql("DROP TABLE pcatx.pages")
+  }
+
   test("DSv2 catalog DELETE FROM: partition-scoped retention, data predicates refused") {
     val wh = s"$tmp/warehouse4"
     PageTable.register(spark, "pcat4", wh)
