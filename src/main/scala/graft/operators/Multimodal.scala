@@ -400,7 +400,21 @@ object Multimodal {
   val PNG_PQ = s"read_parquet('$PNGSTATS/*.parquet')"
   val WAV_PQ = s"read_parquet('$WAVSTATS/*.parquet')"
   val PHASH_PQ = s"read_parquet('$PHASH/*.parquet')"
+  val WAVSAMP = s"$ORACLE_DIR/media-wav-samples"
+  val WAVSAMP_PQ = s"read_parquet('$WAVSAMP/*.parquet')"
   val N_MEDIA = 500L
+
+  /** Per-sample decoded PCM table (media_id, i, v) — lets the oracle
+    * recompute windowed signal MATH itself, the mm_resize pattern.
+    */
+  def wavSampleRows(rows: Dataset[MediaRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.filter(_.kind == "audio").flatMap { r =>
+      val (_, bb) = wavPcm(r.payload)
+      val ns = bb.capacity() / 2
+      (0 until ns).map(i => (r.media_id, i.toLong, bb.getShort(2 * i).toLong))
+    }.toDF("media_id", "i", "v")
+  }
 
   /** Per-image REAL pixel statistics from the decoded PNG (integer sums —
     * exact): (media_id, width, height, sum_lum, n_pix).
@@ -602,6 +616,7 @@ object Multimodal {
       pngStats(m).write.mode("overwrite").parquet(PNGSTATS)
       pngPixels(m).write.mode("overwrite").parquet(PIXELS)
       wavStats(m).write.mode("overwrite").parquet(WAVSTATS)
+      wavSampleRows(m).write.mode("overwrite").parquet(WAVSAMP)
       phashTable(pngWithDups(spark)).write.mode("overwrite").parquet(PHASH)
       graft.sources.OracleCorpus.writeMarker(marker, stamp)
     }
@@ -776,7 +791,8 @@ object Multimodal {
     "mm_png" -> (mmPng _),
     "mm_wav" -> (mmWav _),
     "mm_phash" -> (mmPhash _),
-    "mm_resize" -> (mmResize _)
+    "mm_resize" -> (mmResize _),
+    "mm_loudness" -> (mmLoudness _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -785,6 +801,53 @@ object Multimodal {
     "mm_png" -> mmPngSql,
     "mm_wav" -> mmWavSql,
     "mm_phash" -> mmPhashSql,
-    "mm_resize" -> mmResizeSql
+    "mm_resize" -> mmResizeSql,
+    "mm_loudness" -> mmLoudnessSql
   )
+
+  private val LOUD_WIN = 400 // samples = 50 ms at the corpus's 8 kHz rate
+
+  /** Windowed loudness profile over REAL decoded PCM — the audio curation
+    * feature (silence trimming / clipping detection run per window, not per
+    * clip): 50-ms windows, exact integer mean |amplitude| (e4, /32768 full
+    * scale) and peak per window. The Spark side re-runs the production JDK
+    * decode and folds windows in one pass over the sample buffer (never
+    * materializing per-sample rows); the DuckDB oracle recomputes the SAME
+    * window assignment and integer math from the materialized per-sample
+    * table — the window arithmetic is cross-checked end to end, not just a
+    * downstream tail.
+    */
+  def mmLoudness(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark)
+    import spark.implicits._
+    media(spark, N_MEDIA).filter(_.kind == "audio").flatMap { r =>
+      val (_, bb) = wavPcm(r.payload)
+      val ns = bb.capacity() / 2
+      (0 until ns by LOUD_WIN).map { w0 =>
+        val n = math.min(LOUD_WIN, ns - w0)
+        var i = 0
+        var sumAbs = 0L
+        var peak = 0L
+        while (i < n) {
+          val v = math.abs(bb.getShort(2 * (w0 + i)).toInt).toLong
+          sumAbs += v
+          if (v > peak) peak = v
+          i += 1
+        }
+        (r.media_id, (w0 / LOUD_WIN).toLong, n.toLong, sumAbs, peak)
+      }
+    }.toDF("media_id", "win", "n_in_win", "sum_abs", "peak")
+      .selectExpr("media_id", "win", "n_in_win", "sum_abs", "peak",
+        "(10000 * sum_abs) div (32768 * n_in_win) AS loud_e4")
+      .orderBy("media_id", "win")
+  }
+
+  val mmLoudnessSql: String =
+    s"""SELECT media_id, i // $LOUD_WIN AS win,
+       |       CAST(count(*) AS BIGINT) n_in_win,
+       |       CAST(sum(abs(v)) AS BIGINT) sum_abs,
+       |       CAST(max(abs(v)) AS BIGINT) peak,
+       |       CAST((10000 * sum(abs(v))) // (32768 * count(*)) AS BIGINT) loud_e4
+       |FROM $WAVSAMP_PQ
+       |GROUP BY 1, 2 ORDER BY media_id, win""".stripMargin
 }
