@@ -376,6 +376,44 @@ class CatalystSurfaceSpec extends AnyFunSuite {
     finally sys.props.remove("graft.topk.maxPartialKeys")
   }
 
+  test("AQE skew-join split fires at runtime on a Zipf-hot join key") {
+    // the OTHER half of the skew story (ex_skewjoin pins the explicit
+    // salt-fold): AQE must detect a runtime-skewed sort-merge join and
+    // split the hot partition — pinned by the `skew=true` marker the
+    // OptimizeSkewedJoin rule stamps on the join node
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 200k fact rows, 95% on ONE key; 100-row dim joined without broadcast
+      val fact = spark.range(200000L).select(
+        when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id") % 100L).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(100L).select(col("id").as("k"), (col("id") * 3L).as("w"))
+      // NOTE: no groupBy on the join key downstream — an agg reusing the
+      // join's hash distribution makes the skew split ILLEGAL (splitting a
+      // partition breaks the required clustering) and AQE rightly skips it
+      val j = fact.join(dim, Seq("k")).select((col("payload") + col("w")).as("x"))
+      // execute j ITSELF: AQE stamps skew markers on the executed plan only
+      assert(j.collect().length == 200000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join partition:\n$plan")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
+  }
+
   test("ex_skewjoin: salted shuffle join, no broadcast, equals unsalted join") {
     val salted = graft.operators.ExtractOracle.exSkewJoin(spark, "")
     val plan = salted.queryExecution.executedPlan.toString
