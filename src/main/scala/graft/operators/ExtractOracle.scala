@@ -463,6 +463,45 @@ object ExtractOracle {
        |SELECT agg.host AS host, n_gaps, min_gap_s, max_gap_s, median_gap_s
        |FROM agg JOIN med ON agg.host = med.host ORDER BY host""".stripMargin
 
+  // ---- crawl-frontier politeness scheduling --------------------------------
+
+  private val CRAWL_DELAY_S = 5L
+  private val N_WORKERS = 8L
+
+  /** Frontier SCHEDULING — the planning op upstream of the fetch fleet (the
+    * complement of `ex_crawlrate`'s after-the-fact cadence audit): per host,
+    * urls get deterministic fetch slots spaced by the politeness delay
+    * (crawl-delay semantics), and each host pins to ONE worker by hash so no
+    * two workers ever hit a host concurrently — the invariant every polite
+    * crawler ships. One window per host + a per-row hash; at 10^12 urls this
+    * is the standard host-sharded frontier build, and a hot host's long slot
+    * list is deliberate: the politeness delay, not the cluster, is the
+    * bottleneck there.
+    */
+  def exSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = OracleCorpus.docs(spark)
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+      .select(col("host"), col("url"))
+    val w = Window.partitionBy("host").orderBy(col("url"))
+    d.withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fetch_at_s", col("slot") * lit(CRAWL_DELAY_S))
+      .withColumn("worker",
+        expr(s"pmod(CAST(conv(substr(md5(host), 1, 8), 16, 10) AS BIGINT), $N_WORKERS)"))
+      .orderBy("host", "slot")
+  }
+
+  val exScheduleSql: String =
+    s"""WITH d AS (
+       |  SELECT regexp_extract(url, '^https?://([^/:]+)', 1) host, url FROM $D),
+       |s AS (
+       |  SELECT host, url,
+       |         CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS BIGINT) slot
+       |  FROM d)
+       |SELECT host, url, slot, slot * $CRAWL_DELAY_S AS fetch_at_s,
+       |       CAST(('0x' || substr(md5(host), 1, 8)) AS BIGINT) % $N_WORKERS AS worker
+       |FROM s ORDER BY host, slot""".stripMargin
+
   // ---- salted two-phase aggregation (explicit skew handling) -------------
 
   /** Per-host stats via SALTED two-phase aggregation — the explicit
@@ -789,6 +828,7 @@ object ExtractOracle {
     "ex_urldedup" -> (exUrlDedup _),
     "ex_robots" -> (exRobots _),
     "ex_crawlrate" -> (exCrawlRate _),
+    "ex_schedule" -> (exSchedule _),
     "ex_blocklist" -> (exBlocklist _),
     "ex_meta" -> (exMeta _),
     "ex_links" -> (exLinks _),
@@ -807,6 +847,7 @@ object ExtractOracle {
     "ex_urldedup" -> exUrlDedupSql,
     "ex_robots" -> exRobotsSql,
     "ex_crawlrate" -> exCrawlRateSql,
+    "ex_schedule" -> exScheduleSql,
     "ex_blocklist" -> exBlocklistSql,
     "ex_meta" -> exMetaSql,
     "ex_links" -> exLinksSql,
