@@ -2015,7 +2015,10 @@ object Relational {
     synchronized {
       val tag = java.lang.Long.toHexString(
         java.lang.Integer.toUnsignedLong(sfDir.hashCode))
-      val base = s"/tmp/graft-bucketed-$tag"
+      // per-process path: a concurrent JVM (suite + Verify run side by side)
+      // must never overwrite a layout this session's catalog already points
+      // at — staging is cheap, a torn read is not
+      val base = s"/tmp/graft-bucketed-$tag-${ProcessHandle.current().pid()}"
       def stage(name: String, keyCol: String): String = {
         val tbl = s"graft_bkt_${name}_$tag"
         if (!spark.catalog.tableExists(tbl)) {
