@@ -21,7 +21,9 @@ object Main {
   def main(args: Array[String]): Unit = {
     val minArgs =
       if (args.nonEmpty && Set("profile", "scale", "mat-bench", "explain",
-        "compact", "vacuum", "history", "changes").contains(args(0))) 2 else 3
+        "compact", "vacuum", "history", "changes").contains(args(0))) 2
+      else if (args.nonEmpty && args(0) == "extract-incr") 4
+      else 3
     if (args.length < minArgs) {
       System.err.println(
         "usage: graft.Main extract <nPages> <outDir> [seed] | extract-dir <pagesDir> <outDir> | " +
@@ -179,12 +181,22 @@ object Main {
           if (latest <= last) { println(s"up to date at v$last"); return }
           val delta = graft.sources.PageTable.readChanges(spark, dir, last, latest)
             .select("url", "warc_ts", "html", "text", "lang").as[Page]
-          val window = s"$out/window=v${last + 1}-v$latest"
+          // window path keyed by the START version only: a crash before the
+          // state save reruns with the SAME start version and overwrites the
+          // SAME window — idempotent even when new snapshots landed in the
+          // crash gap (an end-version-keyed path would orphan the stale
+          // window and double-count its docs)
+          val window = s"$out/window=v${last + 1}"
           val docs = graft.operators.Extract.extract(delta).toDF()
           docs.write.mode("overwrite").parquet(window)
           val n = spark.read.parquet(window).count()
           state.getParentFile match { case null => (); case d => d.mkdirs() }
-          java.nio.file.Files.write(state.toPath, latest.toString.getBytes)
+          // atomic tmp+rename (the Snapshots.record device): a crash mid-
+          // write must never leave a corrupt checkpoint that wedges reruns
+          val tmpState = new java.io.File(state.getParentFile, s".${state.getName}.tmp")
+          java.nio.file.Files.write(tmpState.toPath, latest.toString.getBytes)
+          if (!tmpState.renameTo(state))
+            throw new IllegalStateException(s"checkpoint commit failed: $state")
           println(s"extracted $n docs from v${last + 1}..v$latest -> $window")
           return
         case "changes" =>

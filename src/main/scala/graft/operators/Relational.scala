@@ -1999,6 +1999,7 @@ object Relational {
   // ---- bucketed co-located join (zero-exchange repeat joins) --------------
 
   private val BUCKETS = 8
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Bucketed twins of orders+customer, both CLUSTERED BY custkey INTO the
     * same bucket count — the lakehouse device that makes every future join
@@ -2017,8 +2018,17 @@ object Relational {
         java.lang.Integer.toUnsignedLong(sfDir.hashCode))
       // per-process path: a concurrent JVM (suite + Verify run side by side)
       // must never overwrite a layout this session's catalog already points
-      // at — staging is cheap, a torn read is not
+      // at — staging is cheap, a torn read is not. Cleaned on JVM exit so
+      // repeated runs don't accumulate per-pid copies in /tmp.
       val base = s"/tmp/graft-bucketed-$tag-${ProcessHandle.current().pid()}"
+      if (!cleanupRegistered.getAndSet(true))
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          new java.io.File("/tmp").listFiles((_, n) =>
+            n.startsWith("graft-bucketed-") &&
+              n.endsWith(s"-${ProcessHandle.current().pid()}")) match {
+            case null => ()
+            case ds => ds.foreach(graft.sources.Snapshots.deleteRecursively)
+          }))
       def stage(name: String, keyCol: String): String = {
         val tbl = s"graft_bkt_${name}_$tag"
         if (!spark.catalog.tableExists(tbl)) {

@@ -115,10 +115,14 @@ object PageTable {
         throw new IllegalArgumentException(s"$dir has no snapshot v$fromV"))._2.toSet
     val added = toFiles.filterNot(fromFiles)
     val data = s"$dir/data"
+    // schema PINNED like [[read]]: without it, partition-type inference
+    // turns day=yyyy-MM-dd into DateType and the delta frame's schema
+    // silently disagrees with every other read of the same table
+    val full = Model.PAGES.add("bucket", "int").add("day", "string")
     if (added.isEmpty)
-      spark.read.option("basePath", data).parquet(data).limit(0)
+      spark.read.schema(full).option("basePath", data).parquet(data).limit(0)
     else
-      spark.read.option("basePath", data)
+      spark.read.schema(full).option("basePath", data)
         .parquet(added.map(f => s"$data/$f"): _*)
   }
 }

@@ -293,15 +293,19 @@ object StreamingOps {
     * when the watermark passes their join horizon, and the watermark only
     * moves BETWEEN microbatches, so a single-batch source would never emit a
     * single null row. Staging is keyed by source (mtime, size) like
-    * [[streamEvents]].
+    * [[streamEvents]], plus the JVM pid (concurrent-staging isolation).
     */
   private def streamEventsSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
     val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
     val size = java.nio.file.Files.size(src)
+    // pid in the key: two JVMs staging concurrently (suite + Verify) would
+    // otherwise tear each other's halves inside the shared _tmp dirs and
+    // stamp _READY over corrupt data; events are tiny, per-JVM staging is free
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
-      s"graft-stream-events-split-${Integer.toHexString(sfDir.hashCode)}-$mtime-$size")
+      s"graft-stream-events-split-${Integer.toHexString(sfDir.hashCode)}" +
+        s"-$mtime-$size-${ProcessHandle.current().pid()}")
     if (!java.nio.file.Files.exists(dir.resolve("_READY"))) {
       java.nio.file.Files.createDirectories(dir)
       val ev = spark.read.parquet(src.toString)

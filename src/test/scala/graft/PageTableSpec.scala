@@ -144,8 +144,11 @@ class PageTableSpec extends AnyFunSuite {
       .select("url").as[String].collect().sorted.toSeq
     val d12 = PageTable.readChanges(spark, dir, 1, 2)
     assert(d12.select("url").as[String].collect().sorted.toSeq == b2)
-    // partition columns survive the delta scan (basePath)
-    assert(d12.columns.contains("bucket") && d12.columns.contains("day"))
+    // partition columns survive the delta scan (basePath) AND keep the
+    // pinned types — without the schema pin, inference turns day into
+    // DateType and the delta frame disagrees with every other table read
+    assert(d12.schema("day").dataType.typeName == "string", d12.schema.treeString)
+    assert(d12.schema("bucket").dataType.typeName == "integer", d12.schema.treeString)
     // open-ended reads everything after the checkpointed version
     assert(PageTable.readChanges(spark, dir, 1).count() == 30)
     // from the beginning = the whole table; an empty window is empty
