@@ -179,7 +179,31 @@ object Main {
             else -1
           val latest = graft.sources.Snapshots.latestVersion(dir).getOrElse(-1)
           if (latest <= last) { println(s"up to date at v$last"); return }
-          val delta = graft.sources.PageTable.readChanges(spark, dir, last, latest)
+          // compaction guard: readChanges is an append-only file diff, so a
+          // compaction between the checkpointed version and latest rewrites
+          // the SURVIVING corpus into "new" files and the delta would
+          // silently re-extract it all as duplicates. Detect it by diffing
+          // the manifests for REMOVED files; when found, anti-join the delta
+          // against urls already extracted into earlier windows (reads only
+          // the url column of prior windows — pruned scan, exact result).
+          val fromFiles: Set[String] =
+            if (last < 0) Set.empty
+            else graft.sources.Snapshots.files(dir, last)
+              .map(_._2.toSet).getOrElse(Set.empty)
+          val removed = fromFiles --
+            graft.sources.Snapshots.files(dir, latest).get._2.toSet
+          val delta0 = graft.sources.PageTable.readChanges(spark, dir, last, latest)
+          val delta1 =
+            if (removed.isEmpty) delta0
+            else {
+              System.err.println(s"[extract-incr] WARNING: ${removed.size} files " +
+                s"removed between v$last and v$latest (compaction/delete in the " +
+                "window) — anti-joining delta against already-extracted urls")
+              val prior = spark.read.option("basePath", out).parquet(out)
+                .select("url")
+              delta0.join(prior, Seq("url"), "left_anti")
+            }
+          val delta = delta1
             .select("url", "warc_ts", "html", "text", "lang").as[Page]
           // window path keyed by the START version only: a crash before the
           // state save reruns with the SAME start version and overwrites the

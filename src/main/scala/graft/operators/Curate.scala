@@ -34,6 +34,21 @@ object Curate {
   val MAX_TOP_BIGRAM_X1000 = 200L
   val MIN_ZRATIO_X1000 = 150L
 
+  /** Whitespace token count — shared by the verdict pass and the near-dedup
+    * keeper election so the two can never diverge on what "quality" means. */
+  private def nTokCol = size(filter(split(col("text"), " "), t => t =!= lit(""))).cast("long")
+
+  /** The quality gate predicate, over columns (n_tok, dup_line_frac_x1000,
+    * top_bigram_frac_x1000, text). One definition, two evaluation sites. */
+  private def qualityPred(zratioGate: Boolean) =
+    col("n_tok") >= MIN_TOKENS &&
+      col("dup_line_frac_x1000") <= MAX_DUP_LINE_X1000 &&
+      col("top_bigram_frac_x1000") <= MAX_TOP_BIGRAM_X1000 &&
+      (if (!zratioGate) lit(true)
+       // exact integer cross-multiplication: 1000*n_def/n_raw >= τ
+       else lit(1000L) * graft.functions.exprs.deflateLen(col("text")) >=
+         lit(MIN_ZRATIO_X1000) * octet_length(col("text")).cast("long"))
+
   /** @param cutSpans opt-in EXACTSUBSTR stage (Lee et al. 2022): after line
     *                  dedup, every corpus-wide duplicated >= 8-token span is
     *                  cut from its documents before the quality gate judges
@@ -149,8 +164,27 @@ object Curate {
           .filter(col("n_bands") >= 2)
           .select(col("doc_a"), col("doc_b"))
         val labels = Dedup.componentsOver(pairs)
-        labels.filter(col("id") =!= col("comp"))
-          .select(col("id").as("url"))
+        // keeper election among GATE-PASSING members: the naive rule (keep
+        // the component label = least url) lets a low-quality canonical
+        // erase its whole cluster — the keeper fails the gate AND every
+        // other member is dropped as a near-dup. Re-judge just the cluster
+        // members (a cluster-overhead-sized set) on the SAME line-deduped
+        // text + thresholds the verdict pass uses, then keep the least
+        // quality-passing url per component; least url overall when no
+        // member passes (outcome identical — the gate drops them all).
+        val members = withText.select(col("url"), col("text"))
+          .join(labels.withColumnRenamed("id", "url"), Seq("url"))
+        val sig = TextAnalysis.gopherSignals(members.select(col("url"), col("text")))
+          .select(col("url"), col("dup_line_frac_x1000"), col("top_bigram_frac_x1000"))
+        val judgedM = members.join(sig, Seq("url"))
+          .withColumn("n_tok", nTokCol)
+          .withColumn("ok", qualityPred(zratioGate))
+        val w = Window.partitionBy("comp")
+        judgedM
+          .withColumn("keeper", coalesce(
+            min(when(col("ok"), col("url"))).over(w), min(col("url")).over(w)))
+          .filter(col("url") =!= col("keeper"))
+          .select("url")
           // the drop set is cluster-overhead-sized; materialize it once so
           // the verdict pass doesn't re-run the LSH join + component loop
           .localCheckpoint()
@@ -165,16 +199,8 @@ object Curate {
       judged0.join(d.withColumn("near_dup", lit(true)), Seq("url"), "left_outer")
         .withColumn("near_dup", coalesce(col("near_dup"), lit(false)))
     }
-      .withColumn("n_tok",
-        size(filter(split(col("text"), " "), t => t =!= lit(""))).cast("long"))
-      .withColumn("quality_ok",
-        col("n_tok") >= MIN_TOKENS &&
-          col("dup_line_frac_x1000") <= MAX_DUP_LINE_X1000 &&
-          col("top_bigram_frac_x1000") <= MAX_TOP_BIGRAM_X1000 &&
-          (if (!zratioGate) lit(true)
-           // exact integer cross-multiplication: 1000*n_def/n_raw >= τ
-           else lit(1000L) * graft.functions.exprs.deflateLen(col("text")) >=
-             lit(MIN_ZRATIO_X1000) * octet_length(col("text")).cast("long")))
+      .withColumn("n_tok", nTokCol)
+      .withColumn("quality_ok", qualityPred(zratioGate))
 
     // exact dedup among quality survivors: first url per text fingerprint
     val w = Window.partitionBy("fp").orderBy("url")

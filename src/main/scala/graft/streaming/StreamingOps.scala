@@ -295,10 +295,23 @@ object StreamingOps {
     * single null row. Staging is keyed by source (mtime, size) like
     * [[streamEvents]], plus the JVM pid (concurrent-staging isolation).
     */
+  private val splitCleanupRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def streamEventsSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
     val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
     val size = java.nio.file.Files.size(src)
+    // per-pid staging accumulates forever without this: delete THIS JVM's
+    // copies on exit (the same device Relational.bucketedPair uses)
+    if (!splitCleanupRegistered.getAndSet(true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        new java.io.File(sys.props("java.io.tmpdir")).listFiles((_, n) =>
+          n.startsWith("graft-stream-events-split-") &&
+            n.endsWith(s"-${ProcessHandle.current().pid()}")) match {
+          case null => ()
+          case ds => ds.foreach(graft.sources.Snapshots.deleteRecursively)
+        }))
     // pid in the key: two JVMs staging concurrently (suite + Verify) would
     // otherwise tear each other's halves inside the shared _tmp dirs and
     // stamp _READY over corrupt data; events are tiny, per-JVM staging is free
@@ -349,6 +362,22 @@ object StreamingOps {
     * any eviction could race them.
     */
   def stLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // staging assumption made LOUD: the safe-cutoff construction needs both
+    // event types in the batch-1 (pre-SPLIT) slice — with no clicks (or no
+    // views) there, the global watermark never advances past epoch and no
+    // null rows emit, while the oracle's least() skips the NULL max and
+    // still includes views below the cutoff. A degenerate regenerated
+    // corpus must fail HERE, not as an opaque hash diff downstream.
+    val pre = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("ts") < expr(s"timestamp_ntz'$SPLIT'"))
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("nv"),
+        count(when(col("event_type") === "click", 1)).as("nc"))
+      .head()
+    require(pre.getLong(0) > 0 && pre.getLong(1) > 0,
+      s"stLeftJoin staging assumption violated: batch-1 slice (ts < $SPLIT) " +
+        s"has ${pre.getLong(0)} views / ${pre.getLong(1)} clicks — both must " +
+        "be > 0 for the watermark to advance and the cutoff to be meaningful")
     val ev = streamEventsSplit(spark, sfDir)
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
