@@ -1313,9 +1313,11 @@ object Relational {
       |       CAST(sum(c) AS BIGINT) sum_c
       |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin
 
-  // ---- approximate aggregates (engine-specific — rows-only check) --------
+  // ---- approximate aggregates (bound-violation oracle form) --------------
 
-  def qApprox(spark: SparkSession, sfDir: String): DataFrame =
+  /** The raw sketch values per group — used by the suite's rank/error pins
+    * and as the input to [[qApprox]]'s violation filter. */
+  private[graft] def qApproxSketches(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
@@ -1323,6 +1325,71 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price")
       )
       .orderBy("l_returnflag")
+
+  /** Approximate aggregates with a REAL cross-engine oracle: sketch values
+    * (HLL++, KLL/GK) are engine-specific and can never hash-match DuckDB, so
+    * the query returns the groups where the approximation VIOLATES its
+    * configured error bound — expected result EMPTY, and empty==empty is an
+    * exact hash match. Each engine checks ITS OWN sketch against ITS OWN
+    * exact recomputation under the SAME rule:
+    *   - `hll`: |approx_count_distinct − exact distinct| must stay within
+    *     4σ = 4·rsd·exact (rsd 0.02 Spark-side; DuckDB's default HLL is
+    *     tighter, ~0.4%) → violation when 100·|Δ| > 8·exact.
+    *   - `p95`: the approx 95th-percentile price (accuracy 10000 → rank
+    *     error 1e-4 Spark-side) must lie within the exact [p94, p96] value
+    *     envelope (±1% RANK margin, covering ties/plateaus) → violation when
+    *     outside [floor(p94), ceil(p96)].
+    * Price space is exact integer cents so floor/ceil edges cannot drift
+    * between engines. One hash-partial groupBy (3 groups), no extra shuffle
+    * for the exact side — it rides the same exchange as the sketches.
+    */
+  def qApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = t(spark, sfDir, "lineitem")
+      .withColumn("c", (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("c"), lit(0.95), lit(10000)).as("p95a"),
+        expr("percentile(c, 0.94)").as("p94e"),
+        expr("percentile(c, 0.96)").as("p96e"))
+    val hll = g
+      .filter(expr("100 * abs(approx_parts - exact_parts) > 8 * exact_parts"))
+      .select(col("l_returnflag"), lit("hll").as("kind"),
+        col("approx_parts").cast("long").as("approx_v"),
+        expr("CAST(ceil(0.92 * exact_parts) AS BIGINT)").as("lo"),
+        expr("CAST(floor(1.08 * exact_parts) AS BIGINT)").as("hi"))
+    val p95 = g
+      .filter(col("p95a") < expr("floor(p94e)") || col("p95a") > expr("ceil(p96e)"))
+      .select(col("l_returnflag"), lit("p95").as("kind"),
+        col("p95a").cast("long").as("approx_v"),
+        expr("CAST(floor(p94e) AS BIGINT)").as("lo"),
+        expr("CAST(ceil(p96e) AS BIGINT)").as("hi"))
+    hll.union(p95).orderBy("l_returnflag", "kind")
+  }
+
+  val qApproxSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_partkey,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) c
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT l_returnflag,
+      |         approx_count_distinct(l_partkey) AS approx_parts,
+      |         count(DISTINCT l_partkey) AS exact_parts,
+      |         approx_quantile(c, 0.95) AS p95a,
+      |         quantile_cont(c, 0.94) AS p94e,
+      |         quantile_cont(c, 0.96) AS p96e
+      |  FROM c GROUP BY 1)
+      |SELECT l_returnflag, 'hll' AS kind, CAST(approx_parts AS BIGINT) AS approx_v,
+      |       CAST(ceil(0.92 * exact_parts) AS BIGINT) AS lo,
+      |       CAST(floor(1.08 * exact_parts) AS BIGINT) AS hi
+      |FROM g WHERE 100 * abs(approx_parts - exact_parts) > 8 * exact_parts
+      |UNION ALL
+      |SELECT l_returnflag, 'p95', CAST(p95a AS BIGINT),
+      |       CAST(floor(p94e) AS BIGINT), CAST(ceil(p96e) AS BIGINT)
+      |FROM g WHERE p95a < floor(p94e) OR p95a > ceil(p96e)
+      |ORDER BY l_returnflag, kind""".stripMargin
 
   // ---- contract surface --------------------------------------------------
 
@@ -2014,8 +2081,10 @@ object Relational {
     */
   private[graft] def bucketedPair(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
     synchronized {
-      val tag = java.lang.Long.toHexString(
-        java.lang.Integer.toUnsignedLong(sfDir.hashCode))
+      // tag = the FULL sanitized path, not a hash: two sfDirs can never
+      // collide onto one staged layout (a hashCode collision would silently
+      // serve the first directory's data for the second)
+      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
       // per-process path: a concurrent JVM (suite + Verify run side by side)
       // must never overwrite a layout this session's catalog already points
       // at — staging is cheap, a torn read is not. Cleaned on JVM exit so
@@ -2031,14 +2100,26 @@ object Relational {
           }))
       def stage(name: String, keyCol: String): String = {
         val tbl = s"graft_bkt_${name}_$tag"
+        val path = s"$base/$name"
         if (!spark.catalog.tableExists(tbl)) {
-          t(spark, sfDir, name)
-            .repartition(BUCKETS, col(keyCol))
-            .write.mode("overwrite")
-            .bucketBy(BUCKETS, keyCol).sortBy(keyCol)
-            .option("path", s"$base/$name")
-            .format("parquet")
-            .saveAsTable(tbl)
+          if (new java.io.File(path, "_SUCCESS").isFile) {
+            // another SparkSession in this JVM already staged the layout
+            // (tableExists is session-scoped): register the existing files
+            // WITHOUT rewriting — a mode=overwrite here would tear the
+            // first session's reads out from under its catalog entry
+            val ddl = t(spark, sfDir, name).schema.toDDL
+            spark.sql(s"CREATE TABLE $tbl ($ddl) USING parquet " +
+              s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $BUCKETS BUCKETS " +
+              s"LOCATION '$path'")
+          } else {
+            t(spark, sfDir, name)
+              .repartition(BUCKETS, col(keyCol))
+              .write.mode("overwrite")
+              .bucketBy(BUCKETS, keyCol).sortBy(keyCol)
+              .option("path", path)
+              .format("parquet")
+              .saveAsTable(tbl)
+          }
         }
         tbl
       }
@@ -2238,7 +2319,10 @@ object Relational {
     "q_ranks" -> qRanksSql,
     "q_unpivot" -> qUnpivotSql,
     "q_nav" -> qNavSql,
-    "q_union" -> qUnionSql
-    // q_approx: HLL++/KLL sketches are engine-specific — rows-only check
+    "q_union" -> qUnionSql,
+    // q_approx: sketch VALUES are engine-specific, so the query returns
+    // bound-VIOLATION rows (expected empty) — each engine re-derives the
+    // exact side and the bound; empty==empty is a real hash match
+    "q_approx" -> qApproxSql
   )
 }

@@ -279,11 +279,13 @@ class TrainingOpsSpec extends AnyFunSuite {
   }
 
   test("q_approx sketches stay within configured error vs exact (sf0.01 + sf0.1)") {
-    // the driver entry is rows-only (sketch values are engine-specific), so
-    // bound the sketches here: HLL++ rsd=0.02 (allow 4 sigma) and
-    // percentile_approx accuracy=10000 (allow +-1% rank, covering ties)
+    // the driver entry returns bound-VIOLATION rows (expected empty); bound
+    // the raw sketches here independently: HLL++ rsd=0.02 (allow 4 sigma)
+    // and percentile_approx accuracy=10000 (allow +-1% rank, covering ties)
     for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
-      val approx = Relational.qApprox(spark, sf).collect()
+      assert(Relational.qApprox(spark, sf).count() == 0L,
+        s"$sf: q_approx bound-violation rows must be empty")
+      val approx = Relational.qApproxSketches(spark, sf).collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
       val li = spark.read.parquet(s"$sf/lineitem.parquet")
       val exact = li.groupBy("l_returnflag")
