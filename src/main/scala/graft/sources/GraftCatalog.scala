@@ -50,6 +50,14 @@ class GraftCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
+  /** Column defaults are how narrow (5-column) writes resolve against the
+    * 7-column schema — bucket/day default to NULL and the write derives
+    * them (see [[PagesTable.FULL]]).
+    */
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def tableDir(ident: Identifier): java.io.File = {
     require(ident.namespace.isEmpty || ident.namespace.sameElements(Array("default")),
       s"single-level namespace only: $ident")
@@ -75,6 +83,9 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident).toString
+    // roll FORWARD any merge commit a crash left half-applied (idempotent;
+    // see RowLevelCommit scaladoc) before anyone plans a scan over the dir
+    RowLevelCommit.replay(dir)
     // the bucket count recorded at write time is authoritative — deriving
     // bucket with any other modulus on append would silently break the
     // layout function readers use to locate a url
@@ -155,8 +166,22 @@ class GraftCatalog extends TableCatalog {
 }
 
 object PagesTable {
-  /** Contract columns (B:15) plus the two physical partition columns. */
-  val FULL: StructType = Model.PAGES.add("bucket", "int").add("day", "string")
+  /** Contract columns (B:15) plus the two physical partition columns.
+    * bucket/day carry a NULL column DEFAULT (catalog capability
+    * `SUPPORT_COLUMN_DEFAULT_VALUE`): a 5-column append or MERGE INSERT
+    * resolves cleanly against the 7-column schema — the analyzer pads the
+    * partition columns with NULL and the write derives them from url /
+    * warc_ts (hidden partitioning without `ACCEPT_ANY_SCHEMA`, which would
+    * block MergeIntoTable resolution entirely).
+    */
+  val FULL: StructType = {
+    import org.apache.spark.sql.types.{IntegerType, Metadata, MetadataBuilder, StructField}
+    def dflt: Metadata = new MetadataBuilder()
+      .putString("CURRENT_DEFAULT", "NULL").putString("EXISTS_DEFAULT", "NULL").build()
+    Model.PAGES
+      .add(StructField("bucket", IntegerType, nullable = true, metadata = dflt))
+      .add(StructField("day", org.apache.spark.sql.types.StringType, nullable = true, metadata = dflt))
+  }
 }
 
 /** Snapshot log for catalog time travel: after every successful catalog
@@ -319,9 +344,12 @@ class PagesTable(tableName: String, dir: String,
     numBuckets: Int = PageTable.DEFAULT_BUCKETS,
     pinned: Option[(Int, Seq[String])] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  private val dataDir = s"$dir/data"
+  private[sources] val tableDir = dir
+  private[sources] val dataDir = s"$dir/data"
+  private[sources] def bucketCount = numBuckets
 
   override def name(): String =
     pinned.fold(tableName) { case (v, _) => s"$tableName@v$v" }
@@ -339,14 +367,37 @@ class PagesTable(tableName: String, dir: String,
     m
   }
 
+  // NO ACCEPT_ANY_SCHEMA: that capability makes the analyzer skip
+  // MergeIntoTable expression resolution entirely (the merge fails as
+  // "unresolved t.url"). Narrow appends resolve through the bucket/day
+  // NULL column defaults instead (see PagesTable.FULL).
   override def capabilities(): util.Set[TableCapability] =
     if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE)
+
+  /** The raw delegate parquet ScanBuilder over the live table's data dir —
+    * the row-level MERGE/UPDATE/DELETE scan builds on this WITHOUT the
+    * pushdown surface (copy-on-write must read every row of an affected
+    * group; see [[GraftRowLevelOperation]]).
+    */
+  private[sources] def delegateScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    new java.io.File(dataDir).mkdirs()
+    ParquetTable(name(), spark, options, Seq(dataDir),
+      Some(PagesTable.FULL), classOf[ParquetFileFormat]).newScanBuilder(options)
+  }
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty,
+      s"cannot run row-level ${info.command} on time-travel snapshot ${name()}")
+    () => new GraftRowLevelOperation(this, info.command)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -479,11 +530,17 @@ class PagesTable(tableName: String, dir: String,
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val missing = Model.PAGES.fieldNames.filterNot(data.columns.contains)
               require(missing.isEmpty, s"pages insert missing columns: ${missing.mkString(",")}")
+              // partition columns are DERIVED whenever absent or null (the
+              // NULL column default pads narrow appends; hidden partitioning)
               val withBucket =
-                if (data.columns.contains("bucket")) data
+                if (data.columns.contains("bucket"))
+                  data.withColumn("bucket",
+                    coalesce(col("bucket"), PageTable.bucketCol(numBuckets)))
                 else data.withColumn("bucket", PageTable.bucketCol(numBuckets))
               val withDay =
-                if (withBucket.columns.contains("day")) withBucket
+                if (withBucket.columns.contains("day"))
+                  withBucket.withColumn("day",
+                    coalesce(col("day"), date_format(col("warc_ts"), "yyyy-MM-dd")))
                 else withBucket.withColumn("day", date_format(col("warc_ts"), "yyyy-MM-dd"))
               withDay
                 .repartition(col("bucket"))
