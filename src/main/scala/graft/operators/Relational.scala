@@ -2189,7 +2189,94 @@ object Relational {
       |       CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS pop_sum
       |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  // ---- SQL MERGE INTO on the pages catalog (row-level upsert) --------------
+
+  private val mergeCleanupRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** End-to-end `MERGE INTO` through the DSv2 catalog
+    * ([[graft.sources.GraftCatalog]], `SupportsRowLevelOperations`): a
+    * pages table staged from `documents` takes a deterministic upsert feed
+    * (every doc_id %7 row re-texted + 50 brand-new urls) and the MERGED
+    * table is read back. The DuckDB oracle computes the same post-merge
+    * state as a full-outer join over the raw parquet — hash agreement
+    * proves the copy-on-write rewrite (group-confined by runtime bucket
+    * filtering) reproduced exactly the logical merge semantics, survivors
+    * included.
+    *
+    * Scale shape: the rewrite touches only url-hash buckets containing
+    * matches (here: all 8 at sf0.01 — the feed is corpus-wide by design;
+    * PageTableSpec pins the untouched-bucket byte-identity property on a
+    * narrow feed). Staging is per-call and per-process; cleaned on exit.
+    */
+  def qMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val wh = s"/tmp/graft-mergeq-${ProcessHandle.current().pid()}-$id"
+    if (!mergeCleanupRegistered.getAndSet(true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        new java.io.File("/tmp").listFiles((_, n) =>
+          n.startsWith(s"graft-mergeq-${ProcessHandle.current().pid()}-")) match {
+          case null => ()
+          case ds => ds.foreach(graft.sources.Snapshots.deleteRecursively)
+        }))
+    val cat = s"gmerge_$id"
+    graft.sources.PageTable.register(spark, cat, wh)
+    val docs = t(spark, sfDir, "documents")
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2025-07-01 00:00:00")
+    val target = docs.select(
+      concat(lit("https://docs.example/"), col("doc_id")).as("url"),
+      lit(t0).as("warc_ts"),
+      lit(null).cast("binary").as("html"),
+      col("text"),
+      col("lang")).as[graft.Page]
+    graft.sources.PageTable.write(target, s"$wh/pages", numBuckets = 8)
+    val srcView = s"merge_src_$id"
+    docs.filter(col("doc_id") % 7 === 0).select(
+        concat(lit("https://docs.example/"), col("doc_id")).as("url"),
+        lit(t1).as("warc_ts"),
+        lit(null).cast("binary").as("html"),
+        concat(lit("MERGED::"), col("text")).as("text"),
+        col("lang"))
+      .unionByName(
+        spark.range(50).select(
+          concat(lit("https://merge-new.example/"), col("id")).as("url"),
+          lit(t1).as("warc_ts"),
+          lit(null).cast("binary").as("html"),
+          concat(lit("NEWDOC-"), col("id")).as("text"),
+          lit("en").as("lang")))
+      .createOrReplaceTempView(srcView)
+    spark.sql(
+      s"""MERGE INTO $cat.pages t USING $srcView s ON t.url = s.url
+         |WHEN MATCHED THEN UPDATE SET text = s.text
+         |WHEN NOT MATCHED THEN INSERT (url, warc_ts, html, text, lang)
+         |  VALUES (s.url, s.warc_ts, s.html, s.text, s.lang)""".stripMargin)
+    spark.table(s"$cat.pages")
+      .select(col("url"), col("text"), col("lang"))
+      .orderBy("url")
+  }
+
+  val qMergeSql: String =
+    """WITH tgt AS (
+      |  SELECT 'https://docs.example/' || doc_id AS url, text, lang
+      |  FROM documents),
+      |src AS (
+      |  SELECT 'https://docs.example/' || doc_id AS url,
+      |         'MERGED::' || text AS text, lang
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 'https://merge-new.example/' || i AS url,
+      |         'NEWDOC-' || i AS text, 'en' AS lang
+      |  FROM range(50) r(i))
+      |SELECT coalesce(t.url, s.url) AS url,
+      |       coalesce(s.text, t.text) AS text,
+      |       coalesce(t.lang, s.lang) AS lang
+      |FROM tgt t FULL OUTER JOIN src s ON t.url = s.url
+      |ORDER BY url""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge" -> (qMerge _),
     "q_listagg" -> (qListagg _),
     "q_bits" -> (qBits _),
     "q_bucket_join" -> (qBucketJoin _),
@@ -2257,6 +2344,7 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_merge" -> qMergeSql,
     "q_listagg" -> qListaggSql,
     "q_bits" -> qBitsSql,
     "q_bucket_join" -> qBucketJoinSql,
