@@ -147,8 +147,17 @@ object Main {
           }
           return
         case "compact" =>
-          val (leaves, before, after) = graft.sources.Compact.run(spark, args(1))
-          println(s"compacted $leaves partitions: $before -> $after files")
+          // compact <tableDir> [--zorder d1,d2 [maxRecordsPerFile]]
+          if (args.length > 2 && args(2) == "--zorder") {
+            val dims = if (args.length > 3) args(3).split(',') else Array("url", "warc_ts")
+            val maxRec = if (args.length > 4) args(4).toLong else 0L
+            val (leaves, after) = graft.sources.Compact.zorder(
+              spark, args(1), (dims(0), dims(1)), maxRec)
+            println(s"zordered $leaves partitions on (${dims.mkString(",")}): $after files")
+          } else {
+            val (leaves, before, after) = graft.sources.Compact.run(spark, args(1))
+            println(s"compacted $leaves partitions: $before -> $after files")
+          }
           return
         case "vacuum" =>
           // vacuum <tableDir> [minAgeHours] — files younger than the floor

@@ -116,6 +116,126 @@ object Compact {
     (fragmented.size, filesBefore, filesAfter)
   }
 
+  /** `OPTIMIZE ZORDER BY (d1, d2)` — rewrite every leaf with rows sorted
+    * along a Morton (Z-order) curve over two query dimensions, split into
+    * bounded files, so each file covers a NARROW range of BOTH dimensions
+    * and footer min/max stats skip most files for predicates on EITHER
+    * (a single-column sort gives the second dimension world-wide ranges
+    * per file; [[graft.operators.Relational.qZorder]] computes this job's
+    * profile as a query).
+    *
+    * Dimension encoding is sample-based quantile binning — the same
+    * range-binning a production OPTIMIZE uses instead of a global
+    * per-column sort: a seeded ≤100k-row sample yields 255 cut points per
+    * dimension (bounded driver state), each row's 8-bit bin is its cut
+    * rank (monotone in the column's natural order, so locality is
+    * preserved for strings and timestamps alike), and the two bins
+    * interleave into a 16-bit z key. The rewrite itself is ONE job: hash-
+    * repartition by (bucket, day) — each leaf lands in one task — sort
+    * within task by (bucket, day, z), write with `maxRecordsPerFile`
+    * splitting each leaf into z-contiguous files. Leaves swap with the
+    * same crash-safe aside dance as [[run]]; a snapshot is committed.
+    *
+    * At 100 TB: sampling is one cheap scan-and-discard pass, the rewrite
+    * shuffles each row once, and every leaf is rewritten independently —
+    * no global sort, no driver state beyond 2×255 cut points.
+    *
+    * Supported dimension types: string (natural order) and anything
+    * castable to BIGINT losslessly for ordering (ints, timestamps).
+    * Returns (leaves rewritten, files after).
+    */
+  def zorder(spark: SparkSession, tableDir: String,
+             dims: (String, String) = ("url", "warc_ts"),
+             maxRecordsPerFile: Long = 0L): (Int, Int) = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.StringType
+    val dataDir = new java.io.File(tableDir, "data")
+    require(dataDir.isDirectory, s"no pages data under $tableDir")
+    repair(tableDir)
+
+    val full = spark.read
+      .option("basePath", dataDir.toString)
+      .schema(PagesTable.FULL)
+      .parquet(dataDir.toString)
+
+    // 255 cut points per dimension from a seeded sample; bin = cut rank
+    // (size(filter(cuts, c <= x))) — 255 codegen'd comparisons per row, the
+    // honest small-N stand-in for a binary-search expression
+    val n = full.count()
+    def binExpr(dim: String): Column = {
+      val isStr = full.schema(dim).dataType == StringType
+      val c = if (isStr) col(dim) else col(dim).cast("long")
+      val frac = math.min(1.0, 100000.0 / math.max(n, 1L))
+      val sampled = full.select(c.as("v")).where(col("v").isNotNull)
+        .sample(withReplacement = false, frac, seed = 42L)
+      def cutsOf[T: Ordering](vals: Seq[T]): Seq[T] = {
+        val s = vals.sorted
+        if (s.isEmpty) Seq.empty
+        else (1 to 255).map(i => s(((i.toLong * s.size) / 256).toInt.min(s.size - 1))).distinct
+      }
+      val cutsArr: Column =
+        if (isStr) {
+          val cuts = cutsOf(sampled.collect().map(_.getString(0)).toSeq)
+          typedlit(cuts)
+        } else {
+          val cuts = cutsOf(sampled.collect().map(_.getLong(0)).toSeq)
+          typedlit(cuts)
+        }
+      when(c.isNull, lit(0L))
+        .otherwise(size(filter(cutsArr, cut => cut <= c)).cast("long"))
+    }
+
+    val bx = binExpr(dims._1)
+    val by = binExpr(dims._2)
+    // Morton interleave of two 8-bit bins → 16-bit z (same fold as qZorder)
+    val z = expr(
+      "aggregate(sequence(0, 7), 0L, (acc, i) -> acc" +
+        " + shiftleft((__zx div shiftleft(1L, i)) % 2, 2*i)" +
+        " + shiftleft((__zy div shiftleft(1L, i)) % 2, 2*i+1))")
+
+    val tmpOut = new java.io.File(tableDir, TMP_NAME)
+    full
+      .withColumn("__zx", bx).withColumn("__zy", by)
+      .withColumn("__z", z)
+      .repartition(col("bucket"), col("day"))
+      .sortWithinPartitions(col("bucket"), col("day"), col("__z"))
+      .drop("__zx", "__zy", "__z")
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bucket", "day")
+      .parquet(tmpOut.toString)
+
+    def dataFiles(d: java.io.File): Array[java.io.File] =
+      if (!d.isDirectory) Array.empty
+      else d.listFiles.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+    val leaves =
+      for {
+        bDir <- dataDir.listFiles.toSeq if bDir.getName.startsWith("bucket=")
+        dDir <- bDir.listFiles.toSeq if dDir.getName.startsWith("day=")
+        if dataFiles(dDir).nonEmpty
+      } yield dDir
+    for (oldLeaf <- leaves) {
+      val rel = dataDir.toPath.relativize(oldLeaf.toPath).toString
+      val newLeaf = new java.io.File(tmpOut, rel)
+      require(newLeaf.isDirectory && dataFiles(newLeaf).nonEmpty,
+        s"zorder rewrite lost leaf $rel")
+      val aside = new java.io.File(oldLeaf.getParentFile, ASIDE_PREFIX + oldLeaf.getName)
+      if (!oldLeaf.renameTo(aside))
+        throw new IllegalStateException(s"zorder aside failed for $rel")
+      if (!newLeaf.renameTo(oldLeaf)) {
+        aside.renameTo(oldLeaf)
+        throw new IllegalStateException(s"zorder swap failed for $rel")
+      }
+      Snapshots.deleteRecursively(aside)
+    }
+    Snapshots.deleteRecursively(tmpOut)
+    val filesAfter = leaves.map(l => dataFiles(l).length).sum
+    Snapshots.record(tableDir)
+    (leaves.size, filesAfter)
+  }
+
   /** Age floor for [[vacuum]]: files younger than this are NEVER deleted
     * even when unreferenced (default 24 h). This is the Delta-VACUUM
     * retention rule, and it is what makes vacuum safe against the stale-

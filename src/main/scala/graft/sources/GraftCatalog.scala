@@ -283,6 +283,35 @@ case class BucketInputPartition(key: InternalRow, filePart: FilePartition)
   override def preferredLocations(): Array[String] = filePart.preferredLocations
 }
 
+/** JVM-wide cache of exact parquet footer row counts keyed by
+  * (path, size, mtime) — the ANALYZE a lakehouse persists per snapshot,
+  * amortized here per file: a footer is a metadata-only read, and an
+  * immutable-file layout (append/replace, never in-place edit) makes the
+  * cache key exact. Any failure degrades to "row count unknown", never to
+  * a wrong count.
+  */
+object TableStats {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
+
+  def rowCount(paths: Seq[java.nio.file.Path]): Option[Long] =
+    try {
+      var total = 0L
+      paths.map(_.toString).distinct.foreach { p =>
+        val f = new java.io.File(p)
+        val key = (p, f.length(), f.lastModified())
+        total += cache.computeIfAbsent(key, _ => {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p),
+            new org.apache.hadoop.conf.Configuration())
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try java.lang.Long.valueOf(r.getRecordCount) finally r.close()
+        })
+      }
+      Some(total)
+    } catch { case _: Exception => None }
+}
+
 /** Storage-partitioned-join scan over the bucket/day layout: the delegate
   * parquet scan's file splits are regrouped into ONE input partition per
   * bucket (carrying the bucket as its partition key) and the scan reports
@@ -293,9 +322,34 @@ case class BucketInputPartition(key: InternalRow, filePart: FilePartition)
   * every co-keyed join free thereafter.
   */
 class BucketedPagesScan(delegate: Scan, numBuckets: Int)
-    extends Scan with SupportsReportPartitioning {
+    extends Scan with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = s"bucketed(${delegate.description()})"
+
+  /** ANALYZE-shaped statistics: sizeInBytes forwarded from the delegate
+    * parquet scan (sum of planned file lengths) and an EXACT rowCount from
+    * the parquet footers of the planned files — metadata-only reads, cached
+    * per (path, size, mtime) in [[TableStats]], so repeated planning pays
+    * nothing. Without this the SPJ scan fell back to
+    * `spark.sql.defaultSizeInBytes` (Long.MaxValue) and poisoned every
+    * sizing decision downstream of a bucketed read.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val size: java.util.OptionalLong = delegate match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics().sizeInBytes()
+      case _ => java.util.OptionalLong.empty()
+    }
+    val rows = TableStats.rowCount(
+      planned.flatMap(_.asInstanceOf[BucketInputPartition].filePart.files)
+        .map(f => java.nio.file.Paths.get(f.pathUri)).toSeq)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = size
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
 
   private lazy val delegateBatch: Batch = delegate.toBatch
   private lazy val planned: Array[InputPartition] = {
