@@ -78,6 +78,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pdf parser: truncations and mutations of VALID fixtures never throw, classify deterministically") {
+    // SURVEY §5.2: the adversarial case is not random bytes but a REAL pdf
+    // damaged in transit — cut mid-xref, mid-stream, or bit-flipped. The
+    // parser must return Some(runs) or None (-> pdf_unsupported), never
+    // throw, and the same bytes must classify the same way every time.
+    val fixtures = Seq(
+      Corpus.pdfBytes(Corpus.pdfContent(7L, 1L, "en"), flate = false, badFilter = false),
+      Corpus.pdfBytes(Corpus.pdfContent(7L, 2L, "en"), flate = true, badFilter = false),
+      Corpus.pdfBytes(Seq(Corpus.pdfContent(7L, 3L, "en", 0),
+        Corpus.pdfContent(7L, 3L, "en", 1)), flate = true, badFilter = false))
+    val gen = for {
+      f <- Gen.choose(0, fixtures.size - 1)
+      cut <- Gen.choose(0, fixtures(f).length)
+      nMut <- Gen.choose(0, 8)
+      muts <- Gen.listOfN(nMut, Gen.zip(Gen.choose(0, math.max(cut - 1, 0)), Gen.choose(0, 255)))
+    } yield {
+      val b = java.util.Arrays.copyOfRange(fixtures(f), 0, cut)
+      muts.foreach { case (pos, v) => if (b.nonEmpty) b(pos % b.length) = v.toByte }
+      b
+    }
+    samples(gen, 400).foreach { b =>
+      val r1 = PdfRuns.parse(b)
+      val r2 = PdfRuns.parse(b)
+      assert(r1 == r2, "pdf parse not deterministic on damaged input")
+      r1.foreach(runs => runs.foreach(r => assert(r.text != null)))
+    }
+    // untouched fixtures still parse (the generator really is damaging
+    // working inputs, not dead ones)
+    fixtures.foreach(f => assert(PdfRuns.parse(f).nonEmpty))
+  }
+
   test("scalar extraction is total and deterministic over the corpus space") {
     val gen = Gen.zip(Gen.choose(0L, 100000L), Gen.choose(1L, 1000L))
     samples(gen, 200).foreach { case (i, seed) =>
