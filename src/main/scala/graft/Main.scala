@@ -287,10 +287,19 @@ object Main {
           // fingerprint table at <outDir>-fp, appends curated docs
           val (pagesDir, outDir) = (args(1), args(2))
           val t0 = System.nanoTime()
-          val cur = graft.streaming.StreamingCurate.runOnce(
+          val q = graft.streaming.StreamingCurate.start(
             spark, pagesDir, outDir, s"$outDir-ckpt", s"$outDir-fp")
+          q.awaitTermination()
+          val rowsIn = q.recentProgress.map(_.numInputRows).sum
           val dt = (System.nanoTime() - t0) / 1e9
-          println(f"curated stream: ${cur.count()}%d docs total (all runs) in $dt%.2f s -> $outDir")
+          if (rowsIn == 0)
+            // no new files: skip the full count over the accumulated table —
+            // the no-op rerun should cost session startup, not a corpus scan
+            println(f"curated stream: no new files (0 rows in) in $dt%.2f s -> $outDir")
+          else {
+            val n = spark.read.parquet(outDir).count()
+            println(f"curated stream: $n%d docs total (all runs) in $dt%.2f s -> $outDir")
+          }
           return
         case "curate" | "curate-dir" =>
           // the full curation pipeline:
