@@ -21,7 +21,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     val minArgs =
       if (args.nonEmpty && Set("profile", "scale", "mat-bench", "explain",
-        "compact", "vacuum", "history", "changes").contains(args(0))) 2
+        "compact", "vacuum", "history", "changes", "soak").contains(args(0))) 2
       else if (args.nonEmpty && args(0) == "extract-incr") 4
       else 3
     if (args.length < minArgs) {
@@ -32,7 +32,8 @@ object Main {
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
           "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
           "explain <query> [sfDir] | " +
-          "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps]")
+          "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps] | " +
+          "soak <outBase> [mults] [reps]")
       sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
@@ -144,6 +145,51 @@ object Main {
             val med = times.map(_._1).sorted.apply(reps / 2)
             val n = times.head._2
             println(f"MAT mode=$mode%-10s median=$med%6.2f s  throughput=${n / med}%.0f docs/s  ($n docs x $reps reps)")
+          }
+          return
+        case "soak" =>
+          // heavy-tail scaling soak (VERDICT r3 item 3): stage deterministic
+          // documents/embeddings tables at several multiples of the sf0.1
+          // row counts, run the iterative/quadratic-risk queries at each,
+          // and report wall times + the fitted scaling exponent between
+          // consecutive scale points (t ~ n^e  =>  e = ln(t2/t1)/ln(n2/n1)).
+          //   soak <outBase> [mults=1,3,10] [reps=2]
+          val outBase = args(1)
+          val mults = (if (args.length > 2) args(2) else "1,3,10")
+            .split(',').map(_.toDouble).sorted
+          val soakReps = if (args.length > 3) args(3).toInt else 2
+          val heavy = Seq("dd_allpairs", "dd_substr", "dd_components",
+            "q_pagerank", "ta_bpe", "dd_semantic")
+          val dirs = mults.map { m =>
+            val d = s"$outBase/x$m"
+            val (nd, nv) = graft.sources.SoakData.stage(spark, d, m)
+            println(s"staged $d: $nd docs, $nv vectors")
+            (m, d)
+          }
+          val times = collection.mutable.Map.empty[(String, Double), Double]
+          heavy.foreach { q =>
+            val fn = SparkEntry.queries(q)
+            fn(spark, dirs.head._2).count() // JIT warm-up at the smallest scale
+            dirs.foreach { case (m, d) =>
+              val best = (1 to soakReps).map { _ =>
+                val t0 = System.nanoTime()
+                val n = fn(spark, d).count()
+                val dt = (System.nanoTime() - t0) / 1e9
+                println(f"  $q%-14s x$m%-5.1f $dt%7.2f s  ($n rows)")
+                dt
+              }.min
+              times((q, m)) = best
+            }
+          }
+          println(f"${"query"}%-14s " + mults.map(m => f"x$m%-8.1f").mkString +
+            mults.sliding(2).map(p => f"${f"e(${p(0)}%.0f->${p(1)}%.0f)"}%-10s").mkString)
+          heavy.foreach { q =>
+            val row = mults.map(m => f"${times((q, m))}%-8.2f").mkString
+            val exps = mults.sliding(2).map { p =>
+              val e = math.log(times((q, p(1))) / times((q, p(0)))) / math.log(p(1) / p(0))
+              f"$e%-10.2f"
+            }.mkString
+            println(f"$q%-14s $row$exps")
           }
           return
         case "compact" =>
