@@ -153,13 +153,15 @@ object Main {
           // row counts, run the iterative/quadratic-risk queries at each,
           // and report wall times + the fitted scaling exponent between
           // consecutive scale points (t ~ n^e  =>  e = ln(t2/t1)/ln(n2/n1)).
-          //   soak <outBase> [mults=1,3,10] [reps=2]
+          //   soak <outBase> [mults=1,3,10] [reps=2] [queriesCsv]
           val outBase = args(1)
           val mults = (if (args.length > 2) args(2) else "1,3,10")
             .split(',').map(_.toDouble).sorted
           val soakReps = if (args.length > 3) args(3).toInt else 2
-          val heavy = Seq("dd_allpairs", "dd_substr", "dd_components",
-            "q_pagerank", "ta_bpe", "dd_semantic")
+          val heavy =
+            if (args.length > 4) args(4).split(',').toSeq
+            else Seq("dd_allpairs", "dd_substr", "dd_components",
+              "q_pagerank", "ta_bpe", "dd_semantic")
           val dirs = mults.map { m =>
             val d = s"$outBase/x$m"
             val (nd, nv) = graft.sources.SoakData.stage(spark, d, m)

@@ -171,9 +171,11 @@ object Dedup {
     * verification touches full sets only for surviving candidates (≈ output
     * volume, not n²).
     */
-  /** The (doc_id, shingle, n) prefix index: each doc's n − ⌈t·n⌉ + 1 rarest
-    * shingles under the global (df, shingle) order. Factored out so the
-    * candidate-volume claim is testable in isolation.
+  /** The (doc_id, shingle, n, r) prefix index: each doc's n − ⌈t·n⌉ + 1
+    * rarest shingles under the global (df, shingle) order, with `r` = the
+    * shingle's 1-based position in that order (the PPJoin positional-filter
+    * input). Factored out so the candidate-volume claim is testable in
+    * isolation.
     */
   private[graft] def apPrefix(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -183,11 +185,17 @@ object Dedup {
         row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("r") <= col("n") - expr(s"($AP_T * n + 99) div 100") + 1)
-      .select("doc_id", "shingle", "n")
+      .select("doc_id", "shingle", "n", "r")
   }
 
-  def allpairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleIndex(docsWithDups(spark, sfDir))
+  def allpairs(spark: SparkSession, sfDir: String): DataFrame =
+    allpairsOver(docsWithDups(spark, sfDir))
+
+  /** The prefix+positional-filtered join over any (doc_id, text) frame
+    * (tests drive it with planted corpora).
+    */
+  private[graft] def allpairsOver(docs: DataFrame): DataFrame = {
+    val sh = shingleIndex(docs)
     val prefix = apPrefix(sh)
     val cand = prefix.as("a")
       .join(
@@ -195,7 +203,19 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
           // length filter: t·max(|x|,|y|) ≤ min(|x|,|y|) is necessary for J ≥ t
           && lit(100L) * least(col("a.n"), col("b.n"))
-            >= lit(AP_T.toLong) * greatest(col("a.n"), col("b.n")))
+            >= lit(AP_T.toLong) * greatest(col("a.n"), col("b.n"))
+          // PPJoin positional filter (Xiao et al. WWW'08), lossless: J ≥ t
+          // needs |x∩y| ≥ ⌈t(|x|+|y|)/(1+t)⌉, and at a pair's FIRST common
+          // prefix shingle every shared element sits at or after (r_a, r_b)
+          // in the shared global order (an earlier common element would be
+          // in both prefixes — an earlier meeting), so
+          // |x∩y| ≤ 1 + min(n_a−r_a, n_b−r_b). Meetings whose positional
+          // bound can't reach the required overlap are pruned; a qualifying
+          // pair always survives via its first meeting, where the bound
+          // dominates the true intersection. Integer form of the ceil:
+          // ⌈T(na+nb)/(100+T)⌉ = (T(na+nb) + 99 + T) div (100 + T).
+          && lit(1L) + least(col("a.n") - col("a.r"), col("b.n") - col("b.r"))
+            >= expr(s"(${AP_T}L * (a.n + b.n) + ${99 + AP_T}L) div ${100 + AP_T}L"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sets = sh.groupBy("doc_id")

@@ -250,12 +250,12 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("q"), col("nq"))
   }
 
-  /** Deterministic integer-Lloyd codebook (seed = first N_CENT vectors, one
-    * truncated-integer-mean refinement) — shared by `sim_ivf` and
-    * `dd_semantic`, bit-identical across engines.
+  /** Deterministic integer-Lloyd codebook (seed = first `nCent` vectors, one
+    * truncated-integer-mean refinement) — shared by `sim_ivf` (fixed
+    * N_CENT) and `dd_semantic` (adaptive ~√n), bit-identical across engines.
     */
-  private def lloydCentroids(e: DataFrame): DataFrame = {
-    val cent0 = e.filter(col("vec_id") < N_CENT)
+  private def lloydCentroids(e: DataFrame, nCent: Long = N_CENT): DataFrame = {
+    val cent0 = e.filter(col("vec_id") < nCent)
       .select(col("vec_id").as("cid"), col("q").as("cq"))
     assignNearest(e, cent0)
       .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
@@ -293,10 +293,12 @@ object Similarity {
   }
 
   /** Shared Lloyd-codebook CTE chain (needs $SQL_QUANTIZED in scope):
-    * cent0 → assign0 → cent → assign (vec_id, cid, q, nq).
+    * cent0 → assign0 → cent → assign (vec_id, cid, q, nq). `cent` is the
+    * seed-codebook size as SQL text — a literal for `sim_ivf`, a scalar
+    * subquery (~√n) for `dd_semantic`.
     */
-  private val SQL_LLOYD =
-    s"""cent0 AS (SELECT vec_id cid, q cq FROM qn WHERE vec_id < $N_CENT),
+  private def sqlLloyd(cent: String): String =
+    s"""cent0 AS (SELECT vec_id cid, q cq FROM qn WHERE vec_id < $cent),
        |assign0 AS (
        |  SELECT vec_id, cid, q FROM (
        |    SELECT e.vec_id, cent0.cid, e.q,
@@ -319,6 +321,8 @@ object Similarity {
        |                                       cent.cid ASC) arn
        |    FROM qn e CROSS JOIN cent)
        |  WHERE arn = 1)""".stripMargin
+
+  private val SQL_LLOYD = sqlLloyd(N_CENT.toString)
 
   val ivfSql: String =
     s"""WITH $SQL_QUANTIZED,
@@ -366,9 +370,23 @@ object Similarity {
   def semantic(spark: SparkSession, sfDir: String): DataFrame =
     semanticFrom(quantized(spark, sfDir))
 
-  /** SemDeDup over any pre-quantized frame (tests plant perturbed copies). */
+  /** SemDeDup over any pre-quantized frame (tests plant perturbed copies).
+    *
+    * The codebook size is ADAPTIVE: k = max(N_CENT, ⌈√n⌉). With fixed k the
+    * within-cluster pair term grows n²/k — quadratic (measured: soak
+    * exponent ≈1.9 at 3–10× the bench scale). k ~ √n balances the n·k
+    * assignment term against the n²/k pair term so both grow n^1.5 — the
+    * SemDeDup paper's regime (their k also grows sublinearly; at 10^12 the
+    * assignment side would move to the IVF index instead of a crossJoin).
+    * n is a driver-side scalar parameter (same device as q_pagerank's
+    * graph size); the oracle computes the identical k via a scalar
+    * subquery — ⌈√n⌉ on an exact integer count is bit-equal in both
+    * engines (IEEE-correctly-rounded sqrt).
+    */
   private[graft] def semanticFrom(e: DataFrame): DataFrame = {
-    val asg = assignNearest(e, lloydCentroids(e))
+    val eC = e.localCheckpoint() // n + codebook + pairs reuse one frame
+    val k = math.max(N_CENT.toLong, math.ceil(math.sqrt(eC.count().toDouble)).toLong)
+    val asg = assignNearest(eC, lloydCentroids(eC, k))
     val pairs = asg.as("a")
       .join(asg.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
@@ -391,7 +409,7 @@ object Similarity {
 
   val semanticSql: String =
     s"""WITH $SQL_QUANTIZED,
-       |$SQL_LLOYD,
+       |${sqlLloyd(s"(SELECT GREATEST($N_CENT, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM qn)")},
        |pairs AS (
        |  SELECT a.vec_id keep_cand, b.vec_id vec_id,
        |         CAST(list_dot_product(a.q, b.q) AS BIGINT) dot,

@@ -131,6 +131,38 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(cand.filter(col("da") === 100L && col("db") === 101L).count() == 1)
   }
 
+  test("allpairs positional filter: prunes late meetings, never a qualifying pair") {
+    import spark.implicits._
+    // a family of docs sharing a long common suffix of shingles (late
+    // positions in the df order) but differing heads: shingle meetings
+    // happen, yet the positional bound 1 + min(n_a-r_a, n_b-r_b) falls
+    // short of the required overlap for the dissimilar pairs — PPJoin
+    // prunes them before the distinct, the length/prefix filters alone
+    // would not. The one genuinely similar pair must still come through.
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ")
+    val docs = ((0 until 20).map { i =>
+      val head = (1 to 14).map(j => s"head${i}_$j").mkString(" ")
+      (i.toLong, s"$head $shared")
+    } :+ (100L, s"near dup body one two three $shared") :+
+      (101L, s"near dup body one two four $shared")).toDF("doc_id", "text")
+    val result = Dedup.allpairsOver(docs)
+    val pairs = result.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 101L)), "qualifying pair must survive the positional filter")
+    // exactness: agree with the naive uncapped inverted-index join + full verify
+    val sh = Dedup.shingleIndex(docs)
+    val naive = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      .join(sh.groupBy("doc_id").agg(count(lit(1)).as("n")).as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sh.groupBy("doc_id").agg(count(lit(1)).as("n")).as("nb"), col("doc_b") === col("nb.doc_id"))
+      .join(sh.groupBy("doc_id").agg(collect_set("shingle").as("s")).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.groupBy("doc_id").agg(collect_set("shingle").as("s")).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.s"), col("sb.s"))).cast("long"))
+      .filter(expr(s"(100 * inter) div (na.n + nb.n - inter) >= ${Dedup.AP_T}"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == naive, s"positional filter must be lossless (${pairs.size} vs ${naive.size})")
+  }
+
   test("connected components: injected dup pairs cluster with min-id canonical") {
     val r = Dedup.components(spark, SF).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
