@@ -108,7 +108,19 @@ object Extract {
 
     val wParent = Window.partitionBy("url", "parentSeq")
     val wUrl = Window.partitionBy("url")
-    val wSeq = Window.partitionBy("url").orderBy("seq")
+    // The neighborhood-smoothing window orders by the SAME unified reading-
+    // order keys as the downstream [[lines]] windows (HTML: (0,seq,0,0) ≡
+    // seq — identical smoothing; PDF: `kept` is constant true, so its
+    // lag/lead operand is value-irrelevant). The keys are MATERIALIZED as
+    // columns (`ord0..ord3`, added below) rather than inlined expressions:
+    // WindowExec projects non-attribute order-by expressions into fresh
+    // `_w` columns per Window node, which defeats ordering reuse — with
+    // attribute keys, every reading-order window downstream (smoothing
+    // here, line-break + lineId in [[lines]]) is satisfied by ONE sort.
+    // Plan effect: the classify branch runs 2 full-width sorts (parentSeq
+    // scoring + reading order) instead of 5 (pinned by the plan test).
+    val wSeq = Window.partitionBy("url")
+      .orderBy(col("ord0").asc, col("ord1").asc, col("ord2").asc, col("ord3").asc)
 
     cand
       .withColumn("ld", ((lit(100) * col("linkChars")) / col("textLen")).cast("int"))
@@ -137,6 +149,12 @@ object Extract {
           col("textLen") >= Classify.BOOST_MIN_LEN && isHtml
       )
       .withColumn("base", col("dense") || col("boost"))
+      // materialized reading-order keys — defined AFTER the scoring stage so
+      // they don't widen the (url, parentSeq) sort's buffer rows
+      .withColumn("ord0", when(isPdf, col("depth")).otherwise(lit(0)))
+      .withColumn("ord1", when(isPdf, -col("y")).otherwise(col("seq")))
+      .withColumn("ord2", when(isPdf, col("x")).otherwise(lit(0)))
+      .withColumn("ord3", when(isPdf, col("seq")).otherwise(lit(0)))
       .withColumn(
         "kept",
         isPdf || col("base") || (
@@ -156,22 +174,29 @@ object Extract {
     */
   def lines(classified: DataFrame): DataFrame = {
     val isPdf = col("kind") === Charset.KIND_PDF
-    val k0 = when(isPdf, col("depth")).otherwise(lit(0))
-    val k1 = when(isPdf, -col("y")).otherwise(col("seq"))
-    val k2 = when(isPdf, col("x")).otherwise(lit(0))
-    val k3 = when(isPdf, col("seq")).otherwise(lit(0))
-    val wOrd = Window.partitionBy("url").orderBy(k0.asc, k1.asc, k2.asc, k3.asc)
+    // Reuse the materialized reading-order keys when the input comes from
+    // [[classifyCandidates]] (the production path — keeps every window here
+    // on the ordering its sort already produced); compute them otherwise.
+    val withOrd =
+      if (classified.columns.contains("ord0")) classified
+      else classified
+        .withColumn("ord0", when(isPdf, col("depth")).otherwise(lit(0)))
+        .withColumn("ord1", when(isPdf, -col("y")).otherwise(col("seq")))
+        .withColumn("ord2", when(isPdf, col("x")).otherwise(lit(0)))
+        .withColumn("ord3", when(isPdf, col("seq")).otherwise(lit(0)))
+    val wOrd = Window.partitionBy("url")
+      .orderBy(col("ord0").asc, col("ord1").asc, col("ord2").asc, col("ord3").asc)
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    classified
+    withOrd
       .filter(col("kept"))
       .withColumn("prevY", lag(col("y"), 1).over(wOrd))
-      .withColumn("prevPage", lag(k0, 1).over(wOrd))
+      .withColumn("prevPage", lag(col("ord0"), 1).over(wOrd))
       .withColumn(
         "newLine",
         when(!isPdf, lit(1))
           .when(col("prevY").isNull, lit(1))
-          .when(col("prevPage") =!= k0, lit(1))
+          .when(col("prevPage") =!= col("ord0"), lit(1))
           .when(col("prevY") - col("y") > Classify.PDF_LINE_GAP, lit(1))
           .otherwise(lit(0))
       )

@@ -139,6 +139,14 @@ class CatalystSurfaceSpec extends AnyFunSuite {
       assert(allExchanges == 2, s"no shuffle beyond the two branch exchanges:\n$plan")
       // branch filters sit BELOW the exchanges (shuffle only what's needed)
       assert(!plan.contains("ReusedExchange"))
+      // the classify branch runs exactly TWO full-width sorts — (url,
+      // parentSeq) for the scoring windows and the materialized reading-
+      // order keys (url, ord0..ord3) for smoothing + line assembly; every
+      // other window rides one of those orderings (the keys are attribute
+      // references, so WindowExec does not inject per-node `_w` projections
+      // that would defeat ordering reuse)
+      val sorts = "Sort \\[".r.findAllIn(plan).length
+      assert(sorts == 2, s"expected exactly 2 sorts in the extract plan:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
