@@ -335,14 +335,24 @@ object Main {
           // fingerprint table at <outDir>-fp, appends curated docs
           val (pagesDir, outDir) = (args(1), args(2))
           val t0 = System.nanoTime()
+          // fast no-op path: when the input listing matches the committed
+          // marker there is nothing to ingest — skip the stream bootstrap
+          // (a no-data AvailableNow cycle still costs a full microbatch
+          // plan execution) and answer from one directory listing
+          if (graft.streaming.StreamingCurate.upToDate(pagesDir, s"$outDir-ckpt")) {
+            val dt = (System.nanoTime() - t0) / 1e9
+            println(f"curated stream: input unchanged (listing match) in $dt%.2f s -> $outDir")
+            return
+          }
           val q = graft.streaming.StreamingCurate.start(
             spark, pagesDir, outDir, s"$outDir-ckpt", s"$outDir-fp")
           q.awaitTermination()
+          graft.streaming.StreamingCurate.commitListing(pagesDir, s"$outDir-ckpt")
           val rowsIn = q.recentProgress.map(_.numInputRows).sum
           val dt = (System.nanoTime() - t0) / 1e9
           if (rowsIn == 0)
-            // no new files: skip the full count over the accumulated table —
-            // the no-op rerun should cost session startup, not a corpus scan
+            // marker was missing/stale but the stream found nothing new:
+            // skip the full count over the accumulated table
             println(f"curated stream: no new files (0 rows in) in $dt%.2f s -> $outDir")
           else {
             val n = spark.read.parquet(outDir).count()

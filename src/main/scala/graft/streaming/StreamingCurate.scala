@@ -94,6 +94,62 @@ object StreamingCurate {
       .start()
   }
 
+  /** Stable fingerprint of the input file set (name+size per data file,
+    * sorted). Written after a successful run; compared before the next one:
+    * when the listing is unchanged there is nothing to ingest and the
+    * stream (whose no-data AvailableNow cycle still costs a ~30 s microbatch
+    * bootstrap) is skipped entirely — the no-op rerun's cost drops to one
+    * directory listing. A REPLACED file (compaction) changes the listing,
+    * so the stream runs and its checkpoint does the exact accounting.
+    */
+  def listingFingerprint(pagesDir: String): String = {
+    val root = java.nio.file.Paths.get(pagesDir, "data")
+    if (!java.nio.file.Files.isDirectory(root)) return ""
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) && {
+          val n = p.getFileName.toString
+          !n.startsWith(".") && !n.startsWith("_")
+        })
+        // path RELATIVE to the table (partition dirs included) + size: a
+        // file appended into any bucket/day partition changes the print
+        .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}")
+        .toSeq.sorted.mkString("\n")
+    } finally walk.close()
+  }
+
+  private def markerFile(checkpointDir: String) =
+    new java.io.File(checkpointDir, "graft-input-listing")
+
+  /** True when the checkpointed listing equals the current one — i.e. a
+    * rerun with zero new files. Missing marker (first run, or a crash
+    * before the marker commit) reads as "maybe new": the stream runs and
+    * its own checkpoint guarantees idempotence.
+    */
+  def upToDate(pagesDir: String, checkpointDir: String): Boolean = {
+    val m = markerFile(checkpointDir)
+    m.isFile && new String(
+      java.nio.file.Files.readAllBytes(m.toPath),
+      java.nio.charset.StandardCharsets.UTF_8) == listingFingerprint(pagesDir)
+  }
+
+  /** Commit the current listing after a successful run (atomic tmp+rename —
+    * a crash mid-write must never leave a corrupt marker; a torn marker or
+    * none at all only costs one redundant no-data stream cycle).
+    */
+  def commitListing(pagesDir: String, checkpointDir: String): Unit = {
+    val m = markerFile(checkpointDir)
+    m.getParentFile.mkdirs()
+    val tmp = new java.io.File(m.getParentFile, s".${m.getName}.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      listingFingerprint(pagesDir).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, m.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Run to completion and return the curated table so far. */
   def runOnce(spark: SparkSession, pagesDir: String, outDir: String,
               checkpointDir: String, fpDir: String,

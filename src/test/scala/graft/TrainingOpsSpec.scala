@@ -845,6 +845,12 @@ class TrainingOpsSpec extends AnyFunSuite {
       .runOnce(spark, pagesDir, outDir, ckpt, fpDir, filesPerTrigger = 8)
     assert(r1b.count() == r1.count())
 
+    // listing marker (the CLI's fast no-op path): absent -> not up to date;
+    // committed -> up to date; any appended file invalidates it
+    assert(!graft.streaming.StreamingCurate.upToDate(pagesDir, ckpt))
+    graft.streaming.StreamingCurate.commitListing(pagesDir, ckpt)
+    assert(graft.streaming.StreamingCurate.upToDate(pagesDir, ckpt))
+
     // drop 2: pages 200..349 — 100 exact RECRAWLS of drop 1 plus 50 new
     val drop2 = spark.range(200, 350).map(i => graft.sources.Corpus.page(seed, i))
     drop2.toDF()
@@ -852,6 +858,8 @@ class TrainingOpsSpec extends AnyFunSuite {
       .withColumn("day", date_format(col("warc_ts"), "yyyy-MM-dd"))
       .write.mode("append").partitionBy("bucket", "day")
       .parquet(s"$pagesDir/data")
+    // the appended drop invalidated the committed listing marker
+    assert(!graft.streaming.StreamingCurate.upToDate(pagesDir, ckpt))
     val r2 = graft.streaming.StreamingCurate
       .runOnce(spark, pagesDir, outDir, ckpt, fpDir, filesPerTrigger = 8)
 
