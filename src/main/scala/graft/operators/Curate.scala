@@ -174,9 +174,7 @@ object Curate {
         // member passes (outcome identical — the gate drops them all).
         val members = withText.select(col("url"), col("text"))
           .join(labels.withColumnRenamed("id", "url"), Seq("url"))
-        val sig = TextAnalysis.gopherSignals(members.select(col("url"), col("text")))
-          .select(col("url"), col("dup_line_frac_x1000"), col("top_bigram_frac_x1000"))
-        val judgedM = members.join(sig, Seq("url"))
+        val judgedM = TextAnalysis.withGopherSignals(members)
           .withColumn("n_tok", nTokCol)
           .withColumn("ok", qualityPred(zratioGate))
         val w = Window.partitionBy("comp")
@@ -190,11 +188,11 @@ object Curate {
           .localCheckpoint()
       })
 
-    // Gopher repetition signals + length gate, as verdict columns
-    val signals = TextAnalysis.gopherSignals(withText.select(col("url"), col("text")))
-      .select(col("url"), col("dup_line_frac_x1000"), col("top_bigram_frac_x1000"))
-    val judged0 = withText
-      .join(signals, Seq("url"))
+    // Gopher repetition signals + length gate, as verdict columns — computed
+    // IN PLACE (every signal is a per-row expression): the former url-keyed
+    // self-join shuffled the full corpus text twice and scanned the artifact
+    // twice just to attach columns derivable from the row itself
+    val judged0 = TextAnalysis.withGopherSignals(withText)
     val judged = nearDrop.fold(judged0.withColumn("near_dup", lit(false))) { d =>
       judged0.join(d.withColumn("near_dup", lit(true)), Seq("url"), "left_outer")
         .withColumn("near_dup", coalesce(col("near_dup"), lit(false)))

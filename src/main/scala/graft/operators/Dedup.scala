@@ -656,33 +656,46 @@ object Dedup {
 
   /** Core of [[lineDedup]] over any (url, text) frame — unit-testable. */
   private[graft] def lineDedupOver(d: DataFrame): DataFrame = {
+    // The dedup DECISION shuffles 16-byte line keys, never line text: the
+    // old formulation shuffled the full line text three times (keeper
+    // groupBy + keeper join, both keyed BY the line string, then kept-line
+    // reassembly by url) — ~3x the corpus through the wire. Here the keeper
+    // election and its join carry (url, pos, key) marker rows, the kept
+    // POSITIONS aggregate to one int array per doc (tiny), and the text
+    // crosses the wire exactly once, in the final url-keyed join that
+    // rebuilds text_dedup by O(1) position lookups into the split array.
+    // Key = (length, murmur3-32, xxhash64): independent hash families plus
+    // the length discriminator, ~96 collision bits — a cross-family
+    // collision (P ≈ n²/2^97; ~0.006 even at 3x10^13 corpus lines) costs
+    // one wrongly-dropped duplicate line, never a crash. The SQL oracle
+    // deduplicates by the line string itself, so the correctness gate also
+    // re-checks the no-collision envelope at test scale.
     val lines = d
       .select(col("url"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .filter(col("line") =!= "")
-    val keeper = lines
-      .groupBy("line")
+    val marks = lines.select(col("url"), col("pos"),
+      struct(length(col("line")).as("len"), hash(col("line")).as("h32"),
+        xxhash64(col("line")).as("h64")).as("lk"))
+    val keeper = marks
+      .groupBy("lk")
       .agg(min(struct(col("url"), col("pos"))).as("first_occ"))
-    val kept = lines
-      .join(keeper, "line")
+    val keptPos = marks
+      .join(keeper, Seq("lk"))
       .filter(struct(col("url"), col("pos")) === col("first_occ"))
-    val agg = kept
       .groupBy("url")
-      .agg(
-        count(lit(1)).as("n_kept"),
-        concat_ws("\n",
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("line")))),
-            s => s("line"))).as("text_dedup"))
-    d.select(
-      col("url"),
-      size(filter(split(col("text"), "\n"), l => l =!= lit(""))).cast("long")
-        .as("n_lines"))
-      .join(agg, Seq("url"), "left")
+      .agg(sort_array(collect_list(col("pos"))).as("kept_pos"))
+    d.withColumn("la", split(col("text"), "\n"))
+      .join(keptPos, Seq("url"), "left")
       .select(
-        col("url"), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+        col("url"),
+        size(filter(col("la"), l => l =!= lit(""))).cast("long").as("n_lines"),
+        coalesce(size(col("kept_pos")).cast("long"), lit(0L)).as("n_kept"),
+        (size(filter(col("la"), l => l =!= lit(""))).cast("long") -
+          coalesce(size(col("kept_pos")).cast("long"), lit(0L))).as("n_dropped"),
+        coalesce(
+          concat_ws("\n",
+            transform(col("kept_pos"), p => element_at(col("la"), p + lit(1)))),
+          lit("")).as("text_dedup"))
   }
 
   val lineDedupSql: String = {

@@ -432,7 +432,23 @@ object TextAnalysis {
     * order — the signal computation itself is exchange-free (pinned by test);
     * the public query adds `orderBy(url)` for the deterministic dump.
     */
-  private[graft] def gopherSignals(d: DataFrame): DataFrame = {
+  private[graft] def gopherSignals(d: DataFrame): DataFrame =
+    withGopherSignals(d.select(col("url"), col("text")))
+      .select(col("url"), col("n_lines"), col("dup_line_frac_x1000"),
+        col("dup_char_frac_x1000"), col("top_bigram_n"),
+        col("top_bigram_frac_x1000"))
+
+  /** [[gopherSignals]] as APPENDED columns: every signal is a per-row
+    * expression, so a consumer that already holds the text (the curate
+    * verdict pass) gets the signals in place — no url-keyed self-join that
+    * would shuffle the full corpus text to attach columns derivable from
+    * the row itself. Appends n_lines, dup_line_frac_x1000,
+    * dup_char_frac_x1000, top_bigram_n, top_bigram_frac_x1000.
+    */
+  private[graft] def withGopherSignals(d: DataFrame): DataFrame = {
+    val scratch = Seq("lines", "uniq_lines", "line_chars", "uniq_chars", "bgs", "top")
+    require(!d.columns.exists(scratch.contains),
+      s"withGopherSignals scratch-column clash: ${d.columns.toSeq}")
     // NB: explicit `functions.split` — the local `split` method (ta_split)
     // shadows the SQL function inside this object
     val fsplit = org.apache.spark.sql.functions.split(_: Column, _: String)
@@ -445,17 +461,14 @@ object TextAnalysis {
           i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
       ).otherwise(array().cast("array<string>"))
     }
-    d.select(
-      col("url"),
-      filter(fsplit(col("text"), "\n"), l => l =!= lit("")).as("lines"))
-      .select(
-        col("url"),
-        size(col("lines")).cast("long").as("n_lines"),
-        size(array_distinct(col("lines"))).cast("long").as("uniq_lines"),
-        aggregate(col("lines"), lit(0L), (a, x) => a + length(x)).as("line_chars"),
-        aggregate(array_distinct(col("lines")), lit(0L), (a, x) => a + length(x))
-          .as("uniq_chars"),
-        flatten(transform(col("lines"), bigramsOf)).as("bgs"))
+    d.withColumn("lines", filter(fsplit(col("text"), "\n"), l => l =!= lit("")))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("uniq_lines", size(array_distinct(col("lines"))).cast("long"))
+      .withColumn("line_chars",
+        aggregate(col("lines"), lit(0L), (a, x) => a + length(x)))
+      .withColumn("uniq_chars",
+        aggregate(array_distinct(col("lines")), lit(0L), (a, x) => a + length(x)))
+      .withColumn("bgs", flatten(transform(col("lines"), bigramsOf)))
       .withColumn(
         "top", {
           // top bigram via sort + linear run-length fold — O(B log B) per
@@ -489,13 +502,14 @@ object TextAnalysis {
                 when(close, acc("cb")).otherwise(acc("bb")).as("bg"))
             })
         })
-      .selectExpr(
-        "url",
-        "n_lines",
-        "(1000 * (n_lines - uniq_lines)) div greatest(n_lines, 1) AS dup_line_frac_x1000",
-        "(1000 * (line_chars - uniq_chars)) div greatest(line_chars, 1) AS dup_char_frac_x1000",
-        "coalesce(top.c, 0L) AS top_bigram_n",
-        "(1000 * coalesce(top.c, 0L) * coalesce(length(top.bg), 0)) div greatest(line_chars, 1) AS top_bigram_frac_x1000")
+      .withColumn("dup_line_frac_x1000",
+        expr("(1000 * (n_lines - uniq_lines)) div greatest(n_lines, 1)"))
+      .withColumn("dup_char_frac_x1000",
+        expr("(1000 * (line_chars - uniq_chars)) div greatest(line_chars, 1)"))
+      .withColumn("top_bigram_n", expr("coalesce(top.c, 0L)"))
+      .withColumn("top_bigram_frac_x1000",
+        expr("(1000 * coalesce(top.c, 0L) * coalesce(length(top.bg), 0)) div greatest(line_chars, 1)"))
+      .drop("lines", "uniq_lines", "line_chars", "uniq_chars", "bgs", "top")
   }
 
   val gopherSql: String = {
