@@ -344,10 +344,14 @@ object Main {
             println(f"curated stream: input unchanged (listing match) in $dt%.2f s -> $outDir")
             return
           }
+          // capture BEFORE starting: a file appended mid-run must invalidate
+          // the marker at the next rerun (see commitListing)
+          val listingAtStart =
+            graft.streaming.StreamingCurate.listingFingerprint(pagesDir)
           val q = graft.streaming.StreamingCurate.start(
             spark, pagesDir, outDir, s"$outDir-ckpt", s"$outDir-fp")
           q.awaitTermination()
-          graft.streaming.StreamingCurate.commitListing(pagesDir, s"$outDir-ckpt")
+          graft.streaming.StreamingCurate.commitListing(listingAtStart, s"$outDir-ckpt")
           val rowsIn = q.recentProgress.map(_.numInputRows).sum
           val dt = (System.nanoTime() - t0) / 1e9
           if (rowsIn == 0)

@@ -135,16 +135,24 @@ object StreamingCurate {
       java.nio.charset.StandardCharsets.UTF_8) == listingFingerprint(pagesDir)
   }
 
-  /** Commit the current listing after a successful run (atomic tmp+rename —
-    * a crash mid-write must never leave a corrupt marker; a torn marker or
-    * none at all only costs one redundant no-data stream cycle).
+  /** Commit a listing fingerprint after a successful run (atomic tmp+rename
+    * — a crash mid-write must never leave a corrupt marker; a torn marker
+    * or none at all only costs one redundant no-data stream cycle).
+    *
+    * IMPORTANT: commit the fingerprint captured BEFORE the stream started,
+    * never a fresh one — a file appended mid-run is NOT in the stream's
+    * planned batch, and fingerprinting it at commit time would mark it
+    * processed and skip it forever. With the start-time print, a mid-run
+    * append mismatches at the next rerun and the stream ingests it (a file
+    * landing between capture and stream start costs one redundant cycle —
+    * the checkpoint keeps that idempotent).
     */
-  def commitListing(pagesDir: String, checkpointDir: String): Unit = {
+  def commitListing(listingAtStart: String, checkpointDir: String): Unit = {
     val m = markerFile(checkpointDir)
     m.getParentFile.mkdirs()
     val tmp = new java.io.File(m.getParentFile, s".${m.getName}.tmp")
     java.nio.file.Files.write(tmp.toPath,
-      listingFingerprint(pagesDir).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      listingAtStart.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp.toPath, m.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

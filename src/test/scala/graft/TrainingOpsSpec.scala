@@ -848,7 +848,8 @@ class TrainingOpsSpec extends AnyFunSuite {
     // listing marker (the CLI's fast no-op path): absent -> not up to date;
     // committed -> up to date; any appended file invalidates it
     assert(!graft.streaming.StreamingCurate.upToDate(pagesDir, ckpt))
-    graft.streaming.StreamingCurate.commitListing(pagesDir, ckpt)
+    graft.streaming.StreamingCurate.commitListing(
+      graft.streaming.StreamingCurate.listingFingerprint(pagesDir), ckpt)
     assert(graft.streaming.StreamingCurate.upToDate(pagesDir, ckpt))
 
     // drop 2: pages 200..349 — 100 exact RECRAWLS of drop 1 plus 50 new
