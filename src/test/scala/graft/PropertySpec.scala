@@ -167,6 +167,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("line dedup equals the brute-force reference on random corpora (property)") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    // small line alphabet forces heavy cross-doc duplication; empty lines,
+    // single-line docs, and all-dup docs all occur
+    val lineGen = Gen.oneOf("alpha", "beta b", "g", "", "alpha", "d d d", "e")
+    val docGen = for {
+      n <- Gen.choose(0, 8)
+      ls <- Gen.listOfN(n, lineGen)
+    } yield ls.mkString("\n")
+    for (trial <- 0 until 3) {
+      val docs = samples(Gen.listOfN(40, docGen), 1).head.zipWithIndex
+        .map { case (t, i) => (f"u$i%03d", t) }
+      // brute-force reference: global first occurrence by (url, pos) order
+      val seen = scala.collection.mutable.Set[String]()
+      val ref = docs.sortBy(_._1).map { case (u, t) =>
+        val ls = t.split("\n", -1).zipWithIndex.filter(_._1.nonEmpty)
+        val kept = ls.filter { case (l, _) => seen.add(l) }
+        (u, ls.length.toLong, kept.length.toLong,
+          (ls.length - kept.length).toLong, kept.map(_._1).mkString("\n"))
+      }
+      val got = graft.operators.Dedup.lineDedupOver(docs.toDF("url", "text").repartition(7))
+        .orderBy("url").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      assert(got.toSeq == ref, s"trial=$trial")
+    }
+  }
+
   test("WARC record framing round-trips arbitrary payload bytes; truncation fails cleanly") {
     import graft.sources.Warc
     val rnd = new scala.util.Random(4242)
