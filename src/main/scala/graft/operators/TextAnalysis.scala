@@ -446,9 +446,13 @@ object TextAnalysis {
     * dup_char_frac_x1000, top_bigram_n, top_bigram_frac_x1000.
     */
   private[graft] def withGopherSignals(d: DataFrame): DataFrame = {
-    val scratch = Seq("lines", "uniq_lines", "line_chars", "uniq_chars", "bgs", "top")
-    require(!d.columns.exists(scratch.contains),
-      s"withGopherSignals scratch-column clash: ${d.columns.toSeq}")
+    // guard scratch AND output names: withColumn would silently replace an
+    // existing column of the same name instead of failing
+    val reserved = Seq("lines", "uniq_lines", "line_chars", "uniq_chars",
+      "bgs", "top", "n_lines", "dup_line_frac_x1000", "dup_char_frac_x1000",
+      "top_bigram_n", "top_bigram_frac_x1000")
+    require(!d.columns.exists(reserved.contains),
+      s"withGopherSignals column clash: ${d.columns.toSeq}")
     // NB: explicit `functions.split` — the local `split` method (ta_split)
     // shadows the SQL function inside this object
     val fsplit = org.apache.spark.sql.functions.split(_: Column, _: String)
