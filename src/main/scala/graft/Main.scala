@@ -30,7 +30,7 @@ object Main {
           "write-pages <n> <dir> | append-pages <from> <to> <dir> | run <dir> <out> <manifest> | " +
           "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] [near-dedup] | " +
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
-          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
+          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | rollback <tableDir> <version> | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
           "explain <query> [sfDir] | " +
           "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps] | " +
           "soak <outBase> [mults] [reps]")
@@ -206,6 +206,13 @@ object Main {
             val (leaves, before, after) = graft.sources.Compact.run(spark, args(1))
             println(s"compacted $leaves partitions: $before -> $after files")
           }
+          return
+        case "rollback" =>
+          // rollback <tableDir> <version> — restore the live table state to
+          // snapshot <version> (files added since are moved aside, hidden
+          // from scans; the restored list commits as a NEW snapshot)
+          val (v, moved) = graft.sources.Snapshots.rollback(args(1), args(2).toInt)
+          println(s"rolled back ${args(1)} to v${args(2)} as v$v ($moved files moved aside)")
           return
         case "vacuum" =>
           // vacuum <tableDir> [minAgeHours] — files younger than the floor

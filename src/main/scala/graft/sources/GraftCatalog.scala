@@ -253,6 +253,46 @@ object Snapshots {
       .filter(v => files(tableDir, v).exists(_._1 <= tsMillis))
       .lastOption
 
+  /** Restore the table's LIVE state to snapshot `version` (Delta
+    * `RESTORE TABLE ... VERSION AS OF` semantics): data files the target
+    * snapshot does not reference are moved aside into a hidden
+    * `rollback-aside-v<new>` directory under the TABLE root (never under
+    * `data/`, so directory scans and [[walkData]] cannot see them), and the
+    * restored file list is committed as a NEW snapshot — history stays
+    * append-only, and rolling back a rollback works. Fails loudly when the
+    * target references files that no longer exist (vacuumed after a
+    * compaction/overwrite). Snapshots BETWEEN the target and the rollback
+    * that reference moved files fail at scan time with the missing paths —
+    * the same documented retention caveat as INSERT OVERWRITE; the aside
+    * directory preserves the bytes for manual recovery until deleted.
+    *
+    * @return (new committed version, number of files moved aside)
+    */
+  def rollback(tableDir: String, version: Int): (Int, Int) = {
+    val want = files(tableDir, version).getOrElse(
+      throw new IllegalArgumentException(s"$tableDir has no snapshot v$version"))._2
+    val dataDir = new java.io.File(tableDir, "data")
+    val base = dataDir.toPath
+    val live = walkData(dataDir).map(f => base.relativize(f.toPath).toString)
+    val wantSet = want.toSet
+    val missing = wantSet -- live.toSet
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot roll back to v$version: ${missing.size} referenced files no " +
+          s"longer exist (vacuumed?), e.g. ${missing.take(3).mkString(", ")}")
+    val extra = live.filterNot(wantSet)
+    val asideRoot = new java.io.File(tableDir,
+      s"rollback-aside-v${latestVersion(tableDir).getOrElse(0) + 1}").toPath
+    extra.foreach { rel =>
+      val src = base.resolve(rel)
+      val dst = asideRoot.resolve(rel)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(src, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    (record(tableDir), extra.size)
+  }
+
   /** Record the table's current full file list as the next version (atomic
     * tmp+rename, single-writer like the rest of the engine).
     */

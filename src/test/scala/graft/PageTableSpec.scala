@@ -565,6 +565,42 @@ class PageTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pcat9.pages")
   }
 
+  test("rollback restores the live table to an earlier snapshot; history stays append-only") {
+    val wh = s"$tmp/warehouse-rb"
+    PageTable.register(spark, "pcatrb", wh)
+    spark.sql(
+      """CREATE TABLE pcatrb.pages (
+        |  url string, warc_ts timestamp, html binary, text string, lang string,
+        |  bucket int, day string
+        |) PARTITIONED BY (bucket, day)""".stripMargin)
+    Corpus.pages(spark, 30L).writeTo("pcatrb.pages").append() // -> v1
+    Corpus.pages(spark, 20L, seed = 42L).writeTo("pcatrb.pages").append() // -> v2
+    assert(spark.read.table("pcatrb.pages").count() == 50)
+    val batch1Urls = Corpus.pages(spark, 30L)
+      .select("url").as[String].collect().sorted.toSeq
+
+    val dir = s"$wh/pages"
+    val (v, moved) = graft.sources.Snapshots.rollback(dir, 1)
+    assert(v == 3 && moved > 0, s"v=$v moved=$moved")
+    // the LIVE table (directory scan) is back to batch 1, bit-for-bit urls
+    assert(spark.read.table("pcatrb.pages")
+      .select("url").as[String].collect().sorted.toSeq == batch1Urls)
+    // history is append-only: v1 and the rollback v3 both still time-travel
+    assert(spark.sql("SELECT * FROM pcatrb.pages VERSION AS OF 1").count() == 30)
+    assert(spark.sql("SELECT * FROM pcatrb.pages VERSION AS OF 3").count() == 30)
+    // rolling FORWARD works too: v2's files were moved aside, so scanning it
+    // fails loudly (the documented retention caveat) — but a rollback TO the
+    // rollback (no-op) commits cleanly
+    val (v4, moved4) = graft.sources.Snapshots.rollback(dir, 3)
+    assert(v4 == 4 && moved4 == 0)
+    // appends after a rollback continue the history
+    Corpus.pages(spark, 10L, seed = 7L).writeTo("pcatrb.pages").append() // -> v5
+    assert(spark.read.table("pcatrb.pages").count() == 40)
+    // unknown version fails loudly; target referencing missing files fails
+    intercept[IllegalArgumentException](graft.sources.Snapshots.rollback(dir, 99))
+    intercept[IllegalStateException](graft.sources.Snapshots.rollback(dir, 2))
+  }
+
   test("kill-and-resume equals one-shot run; manifest carries lineage") {
     val pagesDir = s"$tmp/pages2"
     PageTable.write(Corpus.pages(spark, N), pagesDir, numBuckets = 8)
