@@ -345,16 +345,18 @@ object Main {
           // fast no-op path: when the input listing matches the committed
           // marker there is nothing to ingest — skip the stream bootstrap
           // (a no-data AvailableNow cycle still costs a full microbatch
-          // plan execution) and answer from one directory listing
-          if (graft.streaming.StreamingCurate.upToDate(pagesDir, s"$outDir-ckpt")) {
+          // plan execution). The tree is walked ONCE; the same fingerprint
+          // serves the check here and the post-run commit below (capturing
+          // BEFORE the stream starts, so a mid-run append invalidates the
+          // marker at the next rerun — see commitListing)
+          val listingAtStart =
+            graft.streaming.StreamingCurate.listingFingerprint(pagesDir)
+          if (graft.streaming.StreamingCurate
+              .committedListing(s"$outDir-ckpt").contains(listingAtStart)) {
             val dt = (System.nanoTime() - t0) / 1e9
             println(f"curated stream: input unchanged (listing match) in $dt%.2f s -> $outDir")
             return
           }
-          // capture BEFORE starting: a file appended mid-run must invalidate
-          // the marker at the next rerun (see commitListing)
-          val listingAtStart =
-            graft.streaming.StreamingCurate.listingFingerprint(pagesDir)
           val q = graft.streaming.StreamingCurate.start(
             spark, pagesDir, outDir, s"$outDir-ckpt", s"$outDir-fp")
           q.awaitTermination()

@@ -635,17 +635,21 @@ object Dedup {
     * of [[exact]]: it strips the shared template boilerplate ("all rights
     * reserved" navs/footers) that whole-document hashing can never catch.
     *
-    * Scale shape (verified on the executed plan): the keeper per line is
-    * `min(struct(url, pos))` — a PARTIAL-AGG-friendly aggregate, so the
-    * hottest boilerplate line combines map-side and the line-key exchange
-    * carries at most one row per distinct line per map partition. For the
-    * join back, Catalyst folds the `struct(url,pos) === first_occ` keep
-    * filter INTO the join as a second equi key, so the physical join keys
-    * are ((url,pos), line) — unique on BOTH sides: the probe-side shuffle
-    * of a line occurring millions of times spreads uniformly over reducers
-    * by its (url,pos), i.e. the hot-line skew a
-    * `row_number() OVER (PARTITION BY line)` formulation would pile onto
-    * one reducer never exists in this plan. Reassembly is one url shuffle.
+    * Scale shape (verified on the executed plan): the dedup DECISION rides
+    * 16-byte (length, murmur3-32, xxhash64) line keys — the corpus text
+    * never shuffles for it. The keeper per key is `min(struct(url, pos))`,
+    * a PARTIAL-AGG-friendly aggregate, so the hottest boilerplate line
+    * combines map-side and the key exchange carries at most one row per
+    * distinct line per map partition. For the join back, Catalyst folds the
+    * `struct(url,pos) === first_occ` keep filter INTO the join as a second
+    * equi key, so the physical join keys are ((url,pos), lk) — unique on
+    * BOTH sides: the probe-side shuffle of a line occurring millions of
+    * times spreads uniformly over reducers by its (url,pos), i.e. the
+    * hot-line skew a `row_number() OVER (PARTITION BY line)` formulation
+    * would pile onto one reducer never exists in this plan. Kept POSITIONS
+    * aggregate to one int array per doc; the text crosses the wire exactly
+    * once, in the url-keyed rebuild join (collision envelope documented in
+    * [[lineDedupOver]]).
     */
   def lineDedup(spark: SparkSession, sfDir: String): DataFrame =
     // the oracle dump needs a deterministic total order; the pipeline form

@@ -84,6 +84,19 @@ object Extract {
   def saltedPages(pages: Dataset[Page], numPartitions: Int, salt: Long): Dataset[Page] =
     pages.repartition(numPartitions, pmod(xxhash64(col("url"), lit(salt)), lit(numPartitions)))
 
+  /** The unified reading-order keys (HTML: document order; PDF: page, -y, x,
+    * seq), materialized as columns so every downstream window shares one
+    * sort. ONE definition — [[classifyCandidates]] (production) and the
+    * [[lines]] fallback (oracle path) must never drift on row order.
+    */
+  private def withOrdKeys(df: DataFrame): DataFrame = {
+    val isPdf = col("kind") === Charset.KIND_PDF
+    df.withColumn("ord0", when(isPdf, col("depth")).otherwise(lit(0)))
+      .withColumn("ord1", when(isPdf, -col("y")).otherwise(col("seq")))
+      .withColumn("ord2", when(isPdf, col("x")).otherwise(lit(0)))
+      .withColumn("ord3", when(isPdf, col("seq")).otherwise(lit(0)))
+  }
+
   /** Blocks DataFrame with all classification columns (the SQL-expressible
     * middle of the pipeline — also materialized for the DuckDB oracle).
     */
@@ -149,12 +162,9 @@ object Extract {
           col("textLen") >= Classify.BOOST_MIN_LEN && isHtml
       )
       .withColumn("base", col("dense") || col("boost"))
-      // materialized reading-order keys — defined AFTER the scoring stage so
+      // materialized reading-order keys — added AFTER the scoring stage so
       // they don't widen the (url, parentSeq) sort's buffer rows
-      .withColumn("ord0", when(isPdf, col("depth")).otherwise(lit(0)))
-      .withColumn("ord1", when(isPdf, -col("y")).otherwise(col("seq")))
-      .withColumn("ord2", when(isPdf, col("x")).otherwise(lit(0)))
-      .withColumn("ord3", when(isPdf, col("seq")).otherwise(lit(0)))
+      .transform(withOrdKeys)
       .withColumn(
         "kept",
         isPdf || col("base") || (
@@ -179,11 +189,7 @@ object Extract {
     // on the ordering its sort already produced); compute them otherwise.
     val withOrd =
       if (classified.columns.contains("ord0")) classified
-      else classified
-        .withColumn("ord0", when(isPdf, col("depth")).otherwise(lit(0)))
-        .withColumn("ord1", when(isPdf, -col("y")).otherwise(col("seq")))
-        .withColumn("ord2", when(isPdf, col("x")).otherwise(lit(0)))
-        .withColumn("ord3", when(isPdf, col("seq")).otherwise(lit(0)))
+      else withOrdKeys(classified)
     val wOrd = Window.partitionBy("url")
       .orderBy(col("ord0").asc, col("ord1").asc, col("ord2").asc, col("ord3").asc)
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -83,9 +83,10 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident).toString
-    // roll FORWARD any merge commit a crash left half-applied (idempotent;
-    // see RowLevelCommit scaladoc) before anyone plans a scan over the dir
+    // roll FORWARD any merge commit or rollback a crash left half-applied
+    // (both idempotent) before anyone plans a scan over the dir
     RowLevelCommit.replay(dir)
+    Snapshots.replayRollback(dir)
     // the bucket count recorded at write time is authoritative — deriving
     // bucket with any other modulus on append would silently break the
     // layout function readers use to locate a url
@@ -269,6 +270,13 @@ object Snapshots {
     * @return (new committed version, number of files moved aside)
     */
   def rollback(tableDir: String, version: Int): (Int, Int) = {
+    // same crash-recovery preludes as every other maintenance/scan entry:
+    // roll forward a half-applied MERGE and restore compaction asides, so
+    // the file set we diff against is a real committed state — and complete
+    // any rollback a crash left half-moved before starting a new one
+    RowLevelCommit.replay(tableDir)
+    Compact.repair(tableDir)
+    replayRollback(tableDir)
     val want = files(tableDir, version).getOrElse(
       throw new IllegalArgumentException(s"$tableDir has no snapshot v$version"))._2
     val dataDir = new java.io.File(tableDir, "data")
@@ -281,16 +289,72 @@ object Snapshots {
         s"cannot roll back to v$version: ${missing.size} referenced files no " +
           s"longer exist (vacuumed?), e.g. ${missing.take(3).mkString(", ")}")
     val extra = live.filterNot(wantSet)
-    val asideRoot = new java.io.File(tableDir,
-      s"rollback-aside-v${latestVersion(tableDir).getOrElse(0) + 1}").toPath
+    // write-ahead intent (the RowLevelCommit device): a crash mid-move is
+    // rolled FORWARD by the next rollback/loadTable via replayRollback —
+    // the live dir is never left in a state matching no snapshot without
+    // a recorded way out
+    val aside = s"rollback-aside-v${latestVersion(tableDir).getOrElse(0) + 1}"
+    val intent = new java.io.File(tableDir, "_rollback_pending")
+    val tmp = new java.io.File(tableDir, "._rollback_pending.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      ((s"target=$version" +: s"aside=$aside" +: extra.map(r => s"mv\t$r"))
+        .mkString("\n")).getBytes("UTF-8"))
+    if (!tmp.renameTo(intent))
+      throw new IllegalStateException(s"rollback intent commit failed: $intent")
+    val v = applyRollback(tableDir, version, aside, extra)
+    (v, extra.size)
+  }
+
+  /** Complete a crash-interrupted [[rollback]] (no-op without the intent
+    * file). Idempotent: moves skip already-moved files, the snapshot is
+    * recorded only if the latest does not already equal the target set.
+    * Called by [[rollback]] and by [[GraftCatalog.loadTable]].
+    */
+  def replayRollback(tableDir: String): Unit = {
+    val intent = new java.io.File(tableDir, "_rollback_pending")
+    if (!intent.isFile) return
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(intent.toPath), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+    val target = lines.head.stripPrefix("target=").toInt
+    val aside = lines(1).stripPrefix("aside=")
+    val moves = lines.drop(2).collect { case l if l.startsWith("mv\t") => l.drop(3) }
+    applyRollback(tableDir, target, aside, moves)
+    ()
+  }
+
+  private def applyRollback(
+      tableDir: String, target: Int, aside: String, extra: Seq[String]): Int = {
+    val dataDir = new java.io.File(tableDir, "data")
+    val base = dataDir.toPath
+    val asideRoot = new java.io.File(tableDir, aside).toPath
     extra.foreach { rel =>
       val src = base.resolve(rel)
-      val dst = asideRoot.resolve(rel)
-      java.nio.file.Files.createDirectories(dst.getParent)
-      java.nio.file.Files.move(src, dst,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (java.nio.file.Files.isRegularFile(src)) { // skip = already moved
+        val dst = asideRoot.resolve(rel)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(src, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
     }
-    (record(tableDir), extra.size)
+    // a crash AFTER record but BEFORE the intent delete must not record a
+    // duplicate snapshot: only record when latest != target's file set
+    val want = files(tableDir, target).get._2
+    val v = latestVersion(tableDir) match {
+      case Some(l) if files(tableDir, l).exists(_._2 == want) => l
+      case _ => record(tableDir)
+    }
+    new java.io.File(tableDir, "_rollback_pending").delete()
+    // prune partition dirs the moves emptied (the vacuum convention —
+    // stale bucket=/day= values must not linger in directory listings)
+    Option(dataDir.listFiles).getOrElse(Array.empty).foreach { b =>
+      if (b.isDirectory) {
+        Option(b.listFiles).getOrElse(Array.empty)
+          .filter(d => d.isDirectory && d.listFiles.isEmpty).foreach(_.delete())
+        if (b.listFiles.isEmpty) b.delete()
+      }
+    }
+    v
   }
 
   /** Record the table's current full file list as the next version (atomic

@@ -123,17 +123,24 @@ object StreamingCurate {
   private def markerFile(checkpointDir: String) =
     new java.io.File(checkpointDir, "graft-input-listing")
 
+  /** The committed marker's content, if any. Exposed so a caller can walk
+    * the (possibly huge) input tree ONCE and reuse the same fingerprint for
+    * both the up-to-date check and the post-run commit.
+    */
+  def committedListing(checkpointDir: String): Option[String] = {
+    val m = markerFile(checkpointDir)
+    if (!m.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(m.toPath),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** True when the checkpointed listing equals the current one — i.e. a
     * rerun with zero new files. Missing marker (first run, or a crash
     * before the marker commit) reads as "maybe new": the stream runs and
     * its own checkpoint guarantees idempotence.
     */
-  def upToDate(pagesDir: String, checkpointDir: String): Boolean = {
-    val m = markerFile(checkpointDir)
-    m.isFile && new String(
-      java.nio.file.Files.readAllBytes(m.toPath),
-      java.nio.charset.StandardCharsets.UTF_8) == listingFingerprint(pagesDir)
-  }
+  def upToDate(pagesDir: String, checkpointDir: String): Boolean =
+    committedListing(checkpointDir).contains(listingFingerprint(pagesDir))
 
   /** Commit a listing fingerprint after a successful run (atomic tmp+rename
     * — a crash mid-write must never leave a corrupt marker; a torn marker

@@ -589,13 +589,35 @@ class PageTableSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM pcatrb.pages VERSION AS OF 1").count() == 30)
     assert(spark.sql("SELECT * FROM pcatrb.pages VERSION AS OF 3").count() == 30)
     // rolling FORWARD works too: v2's files were moved aside, so scanning it
-    // fails loudly (the documented retention caveat) — but a rollback TO the
-    // rollback (no-op) commits cleanly
+    // fails loudly (the documented retention caveat) — a rollback TO the
+    // rollback is a no-op that records NOTHING new (latest already equals
+    // the target's file set)
     val (v4, moved4) = graft.sources.Snapshots.rollback(dir, 3)
-    assert(v4 == 4 && moved4 == 0)
+    assert(v4 == 3 && moved4 == 0, s"v4=$v4 moved4=$moved4")
     // appends after a rollback continue the history
-    Corpus.pages(spark, 10L, seed = 7L).writeTo("pcatrb.pages").append() // -> v5
+    Corpus.pages(spark, 10L, seed = 7L).writeTo("pcatrb.pages").append() // -> v4
     assert(spark.read.table("pcatrb.pages").count() == 40)
+    // crash-window recovery: a half-applied rollback (intent present, one
+    // file moved by hand) is rolled FORWARD by the next loadTable
+    val base = java.nio.file.Paths.get(dir, "data")
+    val (_, wantV1) = graft.sources.Snapshots.files(dir, 1).get
+    val liveNow = graft.sources.Snapshots.walkData(base.toFile)
+      .map(f => base.relativize(f.toPath).toString)
+    val extras = liveNow.filterNot(wantV1.toSet)
+    assert(extras.nonEmpty)
+    val intent = new java.io.File(dir, "_rollback_pending")
+    java.nio.file.Files.write(intent.toPath,
+      ((s"target=1" +: s"aside=rollback-aside-crash" +: extras.map(r => s"mv\t$r"))
+        .mkString("\n")).getBytes("UTF-8"))
+    // simulate the crash having moved ONE file already
+    val first = extras.head
+    val dst = java.nio.file.Paths.get(dir, "rollback-aside-crash").resolve(first)
+    java.nio.file.Files.createDirectories(dst.getParent)
+    java.nio.file.Files.move(base.resolve(first), dst)
+    // next catalog read completes the rollback and plans a consistent scan
+    assert(spark.read.table("pcatrb.pages")
+      .select("url").as[String].collect().sorted.toSeq == batch1Urls)
+    assert(!intent.isFile, "intent must be consumed by the roll-forward")
     // unknown version fails loudly; target referencing missing files fails
     intercept[IllegalArgumentException](graft.sources.Snapshots.rollback(dir, 99))
     intercept[IllegalStateException](graft.sources.Snapshots.rollback(dir, 2))
