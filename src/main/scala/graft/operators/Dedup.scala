@@ -279,28 +279,30 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairsOver(docsWithDups(spark, sfDir)).orderBy("doc_a", "doc_b")
 
-  /** MinHash+LSH candidate pairs over any (doc_id, text) frame — doc_id may
-    * be any orderable type (the curate stage passes urls). Returns
-    * (doc_a, doc_b, n_bands) with doc_a < doc_b, unordered.
+  /** (doc_id, band, sig) LSH band keys over any (doc_id, text) frame — the
+    * shape of an at-rest signature table. Signatures over the df-capped
+    * shingle sets (same cap as ngramJaccard): near-universal shingles add no
+    * discriminating signal to a min-hash and their postings are the skew
+    * hazard at corpus scale. The df cap is computed WITHIN the given frame,
+    * so a side banded separately (the incremental history table) keeps a
+    * self-contained, reproducible semantics.
+    *
+    * K permutations FOLDED into one aggregate of K conditional mins (r2
+    * verdict note): no explode(0..K-1), so the shuffle carries |shingles|
+    * rows instead of K×|shingles|, and the two-level (doc,j)→doc aggregate
+    * collapses to a single doc_id groupBy whose partial agg leaves one
+    * K-column row per doc per partition. Hash inputs are unchanged
+    * (md5("j:shingle") with the same int→string cast), so signatures,
+    * bands, and the oracle output are bit-identical to the exploded form.
     */
-  private[graft] def minhashPairsOver(docs: DataFrame): DataFrame = {
-    // signatures over the df-capped shingle sets (same cap as ngramJaccard):
-    // near-universal shingles add no discriminating signal to a min-hash and
-    // their postings are the skew hazard at corpus scale
+  private[graft] def bandsOver(docs: DataFrame): DataFrame = {
     val sh = cappedIndex(shingleIndex(docs))
-    // K permutations FOLDED into one aggregate of K conditional mins (r2
-    // verdict note): no explode(0..K-1), so the shuffle carries |shingles|
-    // rows instead of K×|shingles|, and the two-level (doc,j)→doc aggregate
-    // collapses to a single doc_id groupBy whose partial agg leaves one
-    // K-column row per doc per partition. Hash inputs are unchanged
-    // (md5("j:shingle") with the same int→string cast), so signatures,
-    // bands, and the oracle output are bit-identical to the exploded form.
     val minExprs = (0 until K).map(k =>
       min(md5(concat_ws(":", lit(k), col("shingle")))).as(s"s$k"))
     val sig = sh
       .groupBy("doc_id")
       .agg(minExprs.head, minExprs.tail: _*)
-    val bands = sig.select(
+    sig.select(
       col("doc_id"),
       explode(array((0 until K / R).map { b =>
         struct(
@@ -309,6 +311,14 @@ object Dedup {
         )
       }: _*)).as("bs")
     ).select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** MinHash+LSH candidate pairs over any (doc_id, text) frame — doc_id may
+    * be any orderable type (the curate stage passes urls). Returns
+    * (doc_a, doc_b, n_bands) with doc_a < doc_b, unordered.
+    */
+  private[graft] def minhashPairsOver(docs: DataFrame): DataFrame = {
+    val bands = bandsOver(docs)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -852,6 +862,109 @@ object Dedup {
       |FROM batch b LEFT JOIN hist h ON b.fp = h.fp
       |ORDER BY doc_id""".stripMargin
 
+  // ---- incremental NEAR-dup (new batch vs banded history) ------------------
+
+  /** Incremental near-dedup — the LSH complement of [[incremental]]: the
+    * accumulated corpus is summarized as an at-rest (doc_id, band, sig)
+    * MinHash band table ([[bandsOver]]), and each day's drop is scored
+    * against it without re-banding history. Near-copies (recrawls with
+    * banner/footer drift, syndicated mirrors) share LSH bands even though
+    * their md5 fingerprints differ, so [[incremental]] misses them by
+    * construction — this closes that gap for the daily-ingest path.
+    *
+    * Planted positives (deterministic): every doc_id % 50 == 0 re-arrives
+    * with suffix drift (" recrawl mirror banner") at +1e8 — a near-dup of
+    * HISTORY under fingerprint divergence; every batch doc_id % 70 == 0
+    * re-arrives with different drift at +2e8 — a near-dup WITHIN the batch.
+    * Offsets sit far above any scale factor's id range, so planted ids never
+    * collide and ORDER BY doc_id stays total.
+    *
+    * Scale shape: history bands are computed ONCE at ingest and stored
+    * bucketed/sorted on (band, sig) — the daily probe join is then
+    * zero-exchange against the O5 bucket layout and shuffles only the
+    * batch's bands; the in-batch self-join is batch-sized. Daily cost scales
+    * with the drop, never the accumulated corpus — [[incremental]]'s
+    * contract, extended from exact to near. (Here both sides band in-query
+    * because the test corpus has no at-rest signature table.)
+    */
+  def incrNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val hist = d.filter(col("doc_id") < 400)
+    val batch = d.filter(col("doc_id") >= 400)
+      .unionByName(d.filter(col("doc_id") % 50 === 0).select(
+        (col("doc_id") + 100000000L).as("doc_id"),
+        concat(col("text"), lit(" recrawl mirror banner")).as("text")))
+      .unionByName(d.filter(col("doc_id") >= 400 && col("doc_id") % 70 === 0).select(
+        (col("doc_id") + 200000000L).as("doc_id"),
+        concat(col("text"), lit(" syndicated copy")).as("text")))
+    val hb = bandsOver(hist)
+    val bb = bandsOver(batch)
+    val cross = bb.as("n")
+      .join(hb.as("h"), col("n.band") === col("h.band") && col("n.sig") === col("h.sig"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("h.doc_id")).as("hist_match"))
+    val inBatch = bb.as("a")
+      .join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("b.doc_id").as("doc_id"))
+      .agg(min(col("a.doc_id")).as("batch_match"))
+    batch.select("doc_id")
+      .join(cross, Seq("doc_id"), "left")
+      .join(inBatch, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("hist_match"), col("batch_match"),
+        col("hist_match").isNotNull.as("dup_of_history"),
+        col("batch_match").isNotNull.as("dup_in_batch"),
+        (col("hist_match").isNull && col("batch_match").isNull).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val incrNearSql: String = {
+    val minCases = (0 until K).map(k => s"min(CASE WHEN j = $k THEN h END) s$k").mkString(", ")
+    def side(p: String, src: String): String = {
+      val bandRows = (0 until K / R).map { b =>
+        val cat = (b * R until (b + 1) * R).map(k => s"s$k").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS sig FROM ${p}sig"
+      }.mkString("\n  UNION ALL ")
+      s"""${p}toks AS (SELECT doc_id, ${Toks.SQL_TOKENS} t FROM $src),
+         |${p}sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(${Toks.SQL_SHINGLES}) AS shingle FROM ${p}toks)),
+         |${p}shc AS (SELECT doc_id, shingle FROM (
+         |  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) df FROM ${p}sh)
+         |  WHERE df <= $DF_CAP),
+         |${p}mh AS (SELECT doc_id, j, min(md5(concat_ws(':', j, shingle))) h
+         |       FROM ${p}shc, generate_series(0, ${K - 1}) g(j) GROUP BY doc_id, j),
+         |${p}sig AS (SELECT doc_id, $minCases FROM ${p}mh GROUP BY doc_id),
+         |${p}bands AS (
+         |  $bandRows
+         |)""".stripMargin
+    }
+    s"""WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+       |batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+       |  UNION ALL
+       |  SELECT doc_id + 100000000, text || ' recrawl mirror banner' FROM documents WHERE doc_id % 50 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000000, text || ' syndicated copy' FROM documents WHERE doc_id >= 400 AND doc_id % 70 = 0),
+       |${side("h", "hist")},
+       |${side("b", "batch")},
+       |cross_m AS (SELECT n.doc_id, min(h.doc_id) hist_match
+       |            FROM bbands n JOIN hbands h ON n.band = h.band AND n.sig = h.sig
+       |            GROUP BY 1),
+       |inb AS (SELECT b.doc_id, min(a.doc_id) batch_match
+       |        FROM bbands a JOIN bbands b
+       |          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |        GROUP BY 1)
+       |SELECT d.doc_id, c.hist_match, i.batch_match,
+       |       (c.hist_match IS NOT NULL) AS dup_of_history,
+       |       (i.batch_match IS NOT NULL) AS dup_in_batch,
+       |       (c.hist_match IS NULL AND i.batch_match IS NULL) AS kept
+       |FROM (SELECT doc_id FROM batch) d
+       |LEFT JOIN cross_m c USING (doc_id)
+       |LEFT JOIN inb i USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- exact duplicated-substring spans (suffix-dedup shape) --------------
 
   /** Token-gram length for duplicated-span detection: a span counts as
@@ -1048,6 +1161,7 @@ object Dedup {
     "dd_substr" -> (substr _),
     "dd_substr_cut" -> (substrCut _),
     "dd_incr" -> (incremental _),
+    "dd_incr_near" -> (incrNear _),
     "dd_bloom" -> (bloomIncr _),
     "dd_lines" -> (lineDedup _),
     "dd_fuzzy" -> (fuzzy _),
@@ -1065,6 +1179,7 @@ object Dedup {
     "dd_substr" -> substrSql,
     "dd_substr_cut" -> substrCutSql,
     "dd_incr" -> incrementalSql,
+    "dd_incr_near" -> incrNearSql,
     "dd_bloom" -> bloomIncrSql,
     "dd_lines" -> lineDedupSql,
     "dd_fuzzy" -> fuzzySql,
