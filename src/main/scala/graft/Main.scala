@@ -22,7 +22,7 @@ object Main {
     val minArgs =
       if (args.nonEmpty && Set("profile", "scale", "mat-bench", "explain",
         "compact", "vacuum", "history", "changes", "soak").contains(args(0))) 2
-      else if (args.nonEmpty && args(0) == "extract-incr") 4
+      else if (args.nonEmpty && Set("extract-incr", "upsert-stream").contains(args(0))) 4
       else 3
     if (args.length < minArgs) {
       System.err.println(
@@ -30,6 +30,7 @@ object Main {
           "write-pages <n> <dir> | append-pages <from> <to> <dir> | run <dir> <out> <manifest> | " +
           "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] [near-dedup] | " +
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
+          "upsert-stream <srcDir> <warehouse> <ckpt> | " +
           "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | rollback <tableDir> <version> | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
           "explain <query> [sfDir] | " +
           "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps] | " +
@@ -334,6 +335,18 @@ object Main {
             .parquet(s"$dir/data")
           graft.sources.Snapshots.record(dir)
           println(s"appended pages [$from, $to) -> $dir")
+          return
+        case "upsert-stream" =>
+          // upsert-stream <srcDir> <warehouse> <ckpt>: stream recrawled /
+          // corrected pages into the LIVE catalog table (<warehouse>/pages)
+          // via one copy-on-write MERGE per microbatch — newer warc_ts wins,
+          // late updates are no-ops, new urls insert into the layout bucket
+          val (srcDir, wh, ckpt) = (args(1), args(2), args(3))
+          graft.sources.PageTable.register(spark, "pcat_up", wh)
+          val nb = graft.streaming.StreamingUpsert.runOnce(
+            spark, srcDir, "pcat_up.pages", ckpt)
+          val total = spark.table("pcat_up.pages").count()
+          println(s"upsert stream: $nb batches applied, table now $total rows -> $wh/pages")
           return
         case "curate-stream" =>
           // incremental curation loop: curate-stream <pagesDir> <outDir>
