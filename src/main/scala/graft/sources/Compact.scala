@@ -81,7 +81,7 @@ object Compact {
     val paths = fragmented.map(_._1.toString)
     spark.read
       .option("basePath", dataDir.toString)
-      .schema(PagesTable.FULL)
+      .schema(PagesTable.fullFor(tableDir))
       .parquet(paths: _*)
       .repartition(col("bucket"), col("day"))
       .write
@@ -155,7 +155,7 @@ object Compact {
 
     val full = spark.read
       .option("basePath", dataDir.toString)
-      .schema(PagesTable.FULL)
+      .schema(PagesTable.fullFor(tableDir))
       .parquet(dataDir.toString)
 
     // 255 cut points per dimension from a seeded sample; bin = cut rank

@@ -91,7 +91,8 @@ class GraftCatalog extends TableCatalog {
     // bucket with any other modulus on append would silently break the
     // layout function readers use to locate a url
     val buckets = PageTable.readBucketMeta(dir).getOrElse(PageTable.DEFAULT_BUCKETS)
-    new PagesTable(ident.name, dir, buckets)
+    new PagesTable(ident.name, dir, buckets,
+      extras = PageTable.readSchemaMeta(dir))
   }
 
   /** Time travel: `SELECT ... FROM cat.t VERSION AS OF n` (also
@@ -112,7 +113,11 @@ class GraftCatalog extends TableCatalog {
         s"table ${ident.name} has no snapshot v$v " +
           s"(latest: ${Snapshots.latestVersion(dir).getOrElse("none")})"))
     val buckets = PageTable.readBucketMeta(dir).getOrElse(PageTable.DEFAULT_BUCKETS)
-    new PagesTable(ident.name, dir, buckets, pinned = Some((v, files)))
+    // the CURRENT schema applies to every snapshot (schema is table
+    // metadata, not snapshot state): files written before an ADD COLUMN
+    // simply null-fill it, exactly like the live scan
+    new PagesTable(ident.name, dir, buckets, pinned = Some((v, files)),
+      extras = PageTable.readSchemaMeta(dir))
   }
 
   /** Time travel by wall clock: `TIMESTAMP AS OF ts` (micros from Spark) —
@@ -146,8 +151,46 @@ class GraftCatalog extends TableCatalog {
   override def createTable(ident: Identifier, info: TableInfo): Table =
     createTable(ident, info.schema(), info.partitions(), info.properties())
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("pages tables have a fixed schema (B:15)")
+  /** Schema evolution (S18) — the append-only subset: `ALTER TABLE ... ADD
+    * COLUMNS (c type, ...)` appends nullable data columns ahead of the
+    * bucket/day partition columns. Everything else (drop/rename/retype, and
+    * any touch of the five contract columns or the layout columns) is
+    * refused loudly — the contract schema (B:15) and the layout function are
+    * the table's identity. Old data files never rewrite: scans null-fill
+    * the new column (parquet read-schema projection), narrow writers keep
+    * resolving through the NULL column default, and compaction / row-level
+    * rewrites carry the evolved columns (they read and write [[PagesTable
+    * .fullFor]]).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident).toString
+    val fixed = PagesTable.FULL.fieldNames.map(_.toLowerCase).toSet
+    val updated = changes.foldLeft(PageTable.readSchemaMeta(dir)) { (acc, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            s"pages tables: only top-level ADD COLUMN is supported, got " +
+              add.fieldNames.mkString("."))
+          val n = add.fieldNames.head
+          require(add.position() == null,
+            s"pages tables: ADD COLUMN $n supports only appending (no FIRST/AFTER)")
+          require(!fixed.contains(n.toLowerCase),
+            s"column $n is part of the fixed contract/layout schema (B:15)")
+          require(!acc.fieldNames.exists(_.equalsIgnoreCase(n)),
+            s"column $n already exists")
+          require(add.isNullable,
+            s"ADD COLUMN $n must be nullable: existing rows carry no value for it")
+          acc.add(org.apache.spark.sql.types.StructField(n, add.dataType, nullable = true))
+        case other =>
+          throw new UnsupportedOperationException(
+            s"pages tables support only nullable ADD COLUMN; the contract " +
+              s"columns (B:15) and bucket/day layout are fixed (got $other)")
+      }
+    }
+    PageTable.writeSchemaMeta(dir, updated)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = tableDir(ident)
@@ -175,14 +218,33 @@ object PagesTable {
     * warc_ts (hidden partitioning without `ACCEPT_ANY_SCHEMA`, which would
     * block MergeIntoTable resolution entirely).
     */
-  val FULL: StructType = {
-    import org.apache.spark.sql.types.{IntegerType, Metadata, MetadataBuilder, StructField}
-    def dflt: Metadata = new MetadataBuilder()
+  private def dfltMeta: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
       .putString("CURRENT_DEFAULT", "NULL").putString("EXISTS_DEFAULT", "NULL").build()
-    Model.PAGES
-      .add(StructField("bucket", IntegerType, nullable = true, metadata = dflt))
-      .add(StructField("day", org.apache.spark.sql.types.StringType, nullable = true, metadata = dflt))
+
+  /** Contract columns + evolved extras + the two physical partition columns.
+    * Extras carry the same NULL column default as bucket/day: a narrow
+    * (5-column) append or MERGE INSERT written before the evolution still
+    * resolves against the widened schema — the analyzer pads, and old data
+    * files simply lack the column (the parquet reader null-fills).
+    */
+  def fullWith(extras: StructType): StructType = {
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    val withExtras = extras.fields.foldLeft(Model.PAGES)((s, f) =>
+      s.add(StructField(f.name, f.dataType, nullable = true, metadata = dfltMeta)))
+    withExtras
+      .add(StructField("bucket", IntegerType, nullable = true, metadata = dfltMeta))
+      .add(StructField("day", org.apache.spark.sql.types.StringType, nullable = true, metadata = dfltMeta))
   }
+
+  val FULL: StructType = fullWith(new StructType())
+
+  /** The live full schema of the table at `tableDir` (contract + persisted
+    * extras + partition columns) — what every reader of the layout that
+    * pins a schema must use, or evolved columns silently vanish.
+    */
+  def fullFor(tableDir: String): StructType =
+    fullWith(PageTable.readSchemaMeta(tableDir))
 }
 
 /** Snapshot log for catalog time travel: after every successful catalog
@@ -500,7 +562,8 @@ class BucketedPagesScan(delegate: Scan, numBuckets: Int)
   */
 class PagesTable(tableName: String, dir: String,
     numBuckets: Int = PageTable.DEFAULT_BUCKETS,
-    pinned: Option[(Int, Seq[String])] = None)
+    pinned: Option[(Int, Seq[String])] = None,
+    extras: StructType = new StructType())
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -508,11 +571,12 @@ class PagesTable(tableName: String, dir: String,
   private[sources] val tableDir = dir
   private[sources] val dataDir = s"$dir/data"
   private[sources] def bucketCount = numBuckets
+  private[sources] val fullSchema: StructType = PagesTable.fullWith(extras)
 
   override def name(): String =
     pinned.fold(tableName) { case (v, _) => s"$tableName@v$v" }
 
-  override def schema(): StructType = PagesTable.FULL
+  override def schema(): StructType = fullSchema
 
   override def partitioning(): Array[Transform] =
     Array(Expressions.identity("bucket"), Expressions.identity("day"))
@@ -546,7 +610,7 @@ class PagesTable(tableName: String, dir: String,
     val spark = org.apache.spark.sql.SparkSession.active
     new java.io.File(dataDir).mkdirs()
     ParquetTable(name(), spark, options, Seq(dataDir),
-      Some(PagesTable.FULL), classOf[ParquetFileFormat]).newScanBuilder(options)
+      Some(fullSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
   }
 
   override def newRowLevelOperationBuilder(
@@ -581,7 +645,7 @@ class PagesTable(tableName: String, dir: String,
         (abs, new CaseInsensitiveStringMap(m))
     }
     val delegate = ParquetTable(name(), spark, opts, paths,
-      Some(PagesTable.FULL), classOf[ParquetFileFormat]).newScanBuilder(opts)
+      Some(fullSchema), classOf[ParquetFileFormat]).newScanBuilder(opts)
     if (!options.getBoolean("bucketedScan", false)) delegate
     else new ScanBuilder {
       // opt-in storage-partitioned-join scan (see BucketedPagesScan). The

@@ -71,6 +71,34 @@ object PageTable {
         .map(_.group(1).toInt)
   }
 
+  /** Schema-evolution metadata (S18): the EXTRA data columns appended by
+    * `ALTER TABLE ... ADD COLUMNS`, persisted as a StructType JSON in
+    * `_schema` next to the data — the five contract columns (B:15) and the
+    * bucket/day layout stay fixed; evolution is append-only, like Iceberg's
+    * safest subset. Committed atomically (tmp+rename): a crash mid-ALTER
+    * leaves the previous schema, never a torn one. Schema lives OUTSIDE the
+    * snapshot log on purpose (rollback restores data, not schema — the
+    * Iceberg/Delta RESTORE contract).
+    */
+  def writeSchemaMeta(dir: String, extras: org.apache.spark.sql.types.StructType): Unit = {
+    val f = new java.io.File(dir, "_schema")
+    f.getParentFile.mkdirs()
+    val tmp = new java.io.File(dir, "._schema.tmp")
+    java.nio.file.Files.write(tmp.toPath, extras.json.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Extra columns added after table creation; empty for unevolved tables. */
+  def readSchemaMeta(dir: String): org.apache.spark.sql.types.StructType = {
+    val f = new java.io.File(dir, "_schema")
+    if (!f.isFile) new org.apache.spark.sql.types.StructType()
+    else org.apache.spark.sql.types.DataType
+      .fromJson(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
   /** Typed read; partition columns are re-derivable, so callers get exactly
     * the contract schema back. Filters on url/lang push to Parquet; filters
     * on bucket/day prune whole directories (verified in PageTableSpec).

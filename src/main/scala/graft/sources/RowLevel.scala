@@ -234,8 +234,14 @@ class CowWrite(table: PagesTable, op: GraftRowLevelOperation, writeSchema: Struc
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
       val spark = SparkSession.active
       val job = Job.getInstance(spark.sessionState.newHadoopConf())
+      // persisted columns = write schema minus the directory-encoded
+      // partition columns — contract + evolved extras, never hardcoded:
+      // a merge on an evolved table must carry the extra columns through
+      // the group rewrite or they'd silently null out
+      val dataSchema = StructType(
+        writeSchema.fields.filterNot(f => f.name == "bucket" || f.name == "day"))
       val owf = new ParquetFileFormat()
-        .prepareWrite(spark, job, Map.empty[String, String], Model.PAGES)
+        .prepareWrite(spark, job, Map.empty[String, String], dataSchema)
       new CowWriterFactory(owf, new SerializableConf(job.getConfiguration),
         writeSchema, table.bucketCount, table.dataDir,
         spark.sessionState.conf.sessionLocalTimeZone)
@@ -345,9 +351,14 @@ class CowDataWriter(owf: OutputWriterFactory, conf: Configuration,
 
   private val urlI = writeSchema.fieldIndex("url")
   private val tsI = writeSchema.fieldIndex("warc_ts")
-  private val htmlI = writeSchema.fieldIndex("html")
-  private val textI = writeSchema.fieldIndex("text")
-  private val langI = writeSchema.fieldIndex("lang")
+
+  /** (field, ordinal-in-writeSchema) of every PERSISTED column — the write
+    * schema minus the directory-encoded bucket/day. Copied generically so
+    * evolved extra columns survive group rewrites.
+    */
+  private val dataFields: Array[(org.apache.spark.sql.types.StructField, Int)] =
+    writeSchema.fields.zipWithIndex
+      .filter { case (f, _) => f.name != "bucket" && f.name != "day" }
 
   private val ctx = new TaskAttemptContextImpl(conf,
     new TaskAttemptID(new TaskID(new JobID("graft-cow", 0), TaskType.MAP, partitionId),
@@ -378,15 +389,17 @@ class CowDataWriter(owf: OutputWriterFactory, conf: Configuration,
       dir.mkdirs()
       val name = s"merge-$uuid-p$partitionId-${writers.size}$ext"
       val rel = s"bucket=$b/day=$d"
-      val writer = owf.newInstance(s"$dir/.$name", Model.PAGES, ctx)
+      val writer = owf.newInstance(s"$dir/.$name",
+        org.apache.spark.sql.types.StructType(dataFields.map(_._1)), ctx)
       (writer, s"$rel/.$name", s"$rel/$name")
     })
-    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(5)
-    out.update(0, url)
-    out.update(1, if (row.isNullAt(off + tsI)) null else java.lang.Long.valueOf(row.getLong(off + tsI)))
-    out.update(2, if (row.isNullAt(off + htmlI)) null else row.getBinary(off + htmlI))
-    out.update(3, if (row.isNullAt(off + textI)) null else row.getUTF8String(off + textI))
-    out.update(4, if (row.isNullAt(off + langI)) null else row.getUTF8String(off + langI))
+    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(dataFields.length)
+    var j = 0
+    while (j < dataFields.length) {
+      val (f, i) = dataFields(j)
+      out.update(j, if (row.isNullAt(off + i)) null else row.get(off + i, f.dataType))
+      j += 1
+    }
     w.write(out)
   }
 
