@@ -21,7 +21,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     val minArgs =
       if (args.nonEmpty && Set("profile", "scale", "mat-bench", "explain",
-        "compact", "vacuum", "history", "changes", "soak").contains(args(0))) 2
+        "compact", "vacuum", "history", "changes", "soak", "tags").contains(args(0))) 2
       else if (args.nonEmpty && Set("extract-incr", "upsert-stream").contains(args(0))) 4
       else 3
     if (args.length < minArgs) {
@@ -31,7 +31,7 @@ object Main {
           "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] [near-dedup] | " +
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
           "upsert-stream <srcDir> <warehouse> <ckpt> | " +
-          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | rollback <tableDir> <version> | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
+          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
           "explain <query> [sfDir] | " +
           "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps] | " +
           "soak <outBase> [mults] [reps]")
@@ -207,6 +207,25 @@ object Main {
             val (leaves, before, after) = graft.sources.Compact.run(spark, args(1))
             println(s"compacted $leaves partitions: $before -> $after files")
           }
+          return
+        case "tag" =>
+          // tag <tableDir> <name> [version]: pin a name to a snapshot
+          // (latest if omitted). Immutable; protects its files from vacuum.
+          val dir = args(1)
+          val v = if (args.length > 3) args(3).toInt
+            else graft.sources.Snapshots.latestVersion(dir).getOrElse(
+              sys.error(s"$dir has no snapshots to tag"))
+          graft.sources.Snapshots.tag(dir, args(2), v)
+          println(s"tagged $dir v$v as '${args(2)}'")
+          return
+        case "untag" =>
+          val removed = graft.sources.Snapshots.untag(args(1), args(2))
+          println(if (removed) s"untagged '${args(2)}'" else s"no tag '${args(2)}'")
+          return
+        case "tags" =>
+          val ts = graft.sources.Snapshots.tags(args(1))
+          if (ts.isEmpty) println("no tags")
+          else ts.foreach { case (n, v) => println(s"$n\tv$v") }
           return
         case "rollback" =>
           // rollback <tableDir> <version> — restore the live table state to

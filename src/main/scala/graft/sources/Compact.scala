@@ -258,8 +258,13 @@ object Compact {
       throw new IllegalStateException(
         s"$tableDir has no snapshot log; vacuum needs one to know what is live"))
     repair(tableDir)
+    // live = the latest snapshot PLUS every tagged snapshot (S19): a tag
+    // pins its corpus against GC until untagged, the Iceberg ref-reachable
+    // retention rule
     val (_, live) = Snapshots.files(tableDir, latest).get
-    val liveSet = live.toSet
+    val tagged = Snapshots.tags(tableDir)
+      .flatMap { case (_, v) => Snapshots.files(tableDir, v).toSeq.flatMap(_._2) }
+    val liveSet = live.toSet ++ tagged
     val dataDir = new java.io.File(tableDir, "data")
     val base = dataDir.toPath
     val horizon = System.currentTimeMillis() - minAgeMs

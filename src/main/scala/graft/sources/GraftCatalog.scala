@@ -103,10 +103,15 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident).toString
+    // integers are versions; anything else resolves as a tag name (S19) —
+    // tag names must start with a letter, so the two can never collide
     val v = try version.toInt catch {
       case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"graft snapshot versions are integers, got '$version'")
+        Snapshots.resolveRef(dir, version).getOrElse(
+          throw new IllegalArgumentException(
+            s"table ${ident.name} has no tag '$version' (and graft snapshot " +
+              s"versions are integers); tags: " +
+              Snapshots.tags(dir).map(_._1).mkString(", ")))
     }
     val (_, files) = Snapshots.files(dir, v).getOrElse(
       throw new IllegalArgumentException(
@@ -315,6 +320,59 @@ object Snapshots {
     versions(snapDir(tableDir))
       .filter(v => files(tableDir, v).exists(_._1 <= tsMillis))
       .lastOption
+
+  // ---- named refs (S19: Iceberg-style tags) --------------------------------
+
+  private val REF_NAME = "[A-Za-z][A-Za-z0-9._-]*".r
+
+  private def refFile(tableDir: String, name: String) =
+    new java.io.File(snapDir(tableDir), s"ref-$name.txt")
+
+  /** Pin a human name to a snapshot version (`snapshots/ref-<name>.txt`) —
+    * the Iceberg tag semantic: IMMUTABLE once created (re-pinning a name a
+    * consumer depends on silently changes what "train-v1" means; delete and
+    * recreate to move it deliberately), resolvable anywhere a version is
+    * (`VERSION AS OF 'name'`), and PROTECTIVE: [[Compact.vacuum]] keeps the
+    * union of files referenced by the latest snapshot and every tag, so a
+    * tagged training-corpus snapshot survives maintenance until untagged.
+    * Names must not look like bare version numbers (must start with a
+    * letter), keeping `VERSION AS OF` resolution unambiguous.
+    */
+  def tag(tableDir: String, name: String, version: Int): Unit = {
+    require(REF_NAME.pattern.matcher(name).matches(),
+      s"tag name '$name' must match ${REF_NAME.regex}")
+    require(files(tableDir, version).isDefined,
+      s"$tableDir has no snapshot v$version to tag")
+    val f = refFile(tableDir, name)
+    require(!f.isFile,
+      s"tag '$name' already exists (tags are immutable; untag first to move it)")
+    f.getParentFile.mkdirs()
+    val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
+    java.nio.file.Files.write(tmp.toPath, version.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Remove a tag; the snapshot itself stays. False if absent. */
+  def untag(tableDir: String, name: String): Boolean =
+    REF_NAME.pattern.matcher(name).matches() && refFile(tableDir, name).delete()
+
+  /** The version a tag points at, if it exists and is committed. */
+  def resolveRef(tableDir: String, name: String): Option[Int] = {
+    val f = refFile(tableDir, name)
+    if (!REF_NAME.pattern.matcher(name).matches() || !f.isFile) None
+    else scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt).toOption
+  }
+
+  /** All tags, (name, version) sorted by name. */
+  def tags(tableDir: String): Seq[(String, Int)] = {
+    val d = snapDir(tableDir)
+    val R = "ref-([A-Za-z][A-Za-z0-9._-]*)\\.txt".r
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles.toSeq.map(_.getName).collect { case R(n) => n }.sorted
+      .flatMap(n => resolveRef(tableDir, n).map(n -> _))
+  }
 
   /** Restore the table's LIVE state to snapshot `version` (Delta
     * `RESTORE TABLE ... VERSION AS OF` semantics): data files the target
