@@ -873,9 +873,13 @@ object Dedup {
     * construction — this closes that gap for the daily-ingest path.
     *
     * Planted positives (deterministic): every doc_id % 50 == 0 re-arrives
-    * with suffix drift (" recrawl mirror banner") at +1e8 — a near-dup of
-    * HISTORY under fingerprint divergence; every batch doc_id % 70 == 0
-    * re-arrives with different drift at +2e8 — a near-dup WITHIN the batch.
+    * with suffix drift (" recrawl mirror banner") at +1e8 — for source ids
+    * < 400 that is a near-dup of HISTORY under fingerprint divergence; for
+    * source ids >= 400 the original itself sits in the batch, so those
+    * plants surface as IN-BATCH near-dups instead (both paths asserted at
+    * sf0.01: 8/8 history-derived plants flagged dup_of_history with exact
+    * source match, batch-derived plants flagged dup_in_batch). Every batch
+    * doc_id % 70 == 0 additionally re-arrives with different drift at +2e8.
     * Offsets sit far above any scale factor's id range, so planted ids never
     * collide and ORDER BY doc_id stays total.
     *

@@ -57,6 +57,26 @@ object Compact {
     if (tmp.exists()) Snapshots.deleteRecursively(tmp)
   }
 
+  /** Warn when a physical rewrite is about to replace files a tag still
+    * references: tags protect against vacuum (debris GC) and give named
+    * time travel, but rewrites delete the bytes — the affected tags will
+    * fail loudly at scan afterwards. Maintenance should know BEFORE the
+    * swap, not at the next read.
+    */
+  private def warnTaggedRewrite(
+      tableDir: String, what: String, replacedRel: => Set[String]): Unit = {
+    val ts = Snapshots.tags(tableDir)
+    if (ts.isEmpty) return
+    val replaced = replacedRel
+    val hit = ts.filter { case (_, v) =>
+      Snapshots.files(tableDir, v).exists(_._2.exists(replaced.contains))
+    }
+    if (hit.nonEmpty)
+      System.err.println(s"[$what] WARNING: rewrite replaces files referenced " +
+        s"by tag(s) ${hit.map { case (n, v) => s"$n(v$v)" }.mkString(", ")} — " +
+        "those tagged snapshots will fail at scan (untag, or accept the loss)")
+  }
+
   def run(spark: SparkSession, tableDir: String): (Int, Int, Int) = {
     val dataDir = new java.io.File(tableDir, "data")
     require(dataDir.isDirectory, s"no pages data under $tableDir")
@@ -75,6 +95,12 @@ object Compact {
 
     if (fragmented.isEmpty) return (0, 0, 0)
     val filesBefore = fragmented.map(_._2).sum
+    warnTaggedRewrite(tableDir, "compact", {
+      val base = dataDir.toPath
+      fragmented.flatMap { case (leaf, _) =>
+        dataFiles(leaf).map(f => base.relativize(f.toPath).toString)
+      }.toSet
+    })
 
     // one job over just the fragmented leaves; basePath restores bucket/day
     val tmpOut = new java.io.File(tableDir, TMP_NAME)
@@ -216,6 +242,11 @@ object Compact {
         dDir <- bDir.listFiles.toSeq if dDir.getName.startsWith("day=")
         if dataFiles(dDir).nonEmpty
       } yield dDir
+    warnTaggedRewrite(tableDir, "zorder", {
+      val base = dataDir.toPath
+      leaves.flatMap(l =>
+        dataFiles(l).map(f => base.relativize(f.toPath).toString)).toSet
+    })
     for (oldLeaf <- leaves) {
       val rel = dataDir.toPath.relativize(oldLeaf.toPath).toString
       val newLeaf = new java.io.File(tmpOut, rel)

@@ -331,12 +331,16 @@ object Snapshots {
   /** Pin a human name to a snapshot version (`snapshots/ref-<name>.txt`) —
     * the Iceberg tag semantic: IMMUTABLE once created (re-pinning a name a
     * consumer depends on silently changes what "train-v1" means; delete and
-    * recreate to move it deliberately), resolvable anywhere a version is
-    * (`VERSION AS OF 'name'`), and PROTECTIVE: [[Compact.vacuum]] keeps the
-    * union of files referenced by the latest snapshot and every tag, so a
-    * tagged training-corpus snapshot survives maintenance until untagged.
-    * Names must not look like bare version numbers (must start with a
-    * letter), keeping `VERSION AS OF` resolution unambiguous.
+    * recreate to move it deliberately) and resolvable anywhere a version is
+    * (`VERSION AS OF 'name'`). Durability is exactly the numbered-snapshot
+    * contract: [[Compact.vacuum]] keeps the union of files referenced by
+    * the latest snapshot and every tag (debris GC never claims a tagged
+    * corpus), but compaction / row-level rewrites / overwrites still
+    * physically replace files — a tag over files they replace fails LOUDLY
+    * at scan with the missing paths (and [[Compact.run]]/`zorder` warn at
+    * maintenance time when they are about to invalidate a tag). Names must
+    * not look like bare version numbers (must start with a letter), keeping
+    * `VERSION AS OF` resolution unambiguous.
     */
   def tag(tableDir: String, name: String, version: Int): Unit = {
     require(REF_NAME.pattern.matcher(name).matches(),
@@ -344,13 +348,21 @@ object Snapshots {
     require(files(tableDir, version).isDefined,
       s"$tableDir has no snapshot v$version to tag")
     val f = refFile(tableDir, name)
-    require(!f.isFile,
-      s"tag '$name' already exists (tags are immutable; untag first to move it)")
     f.getParentFile.mkdirs()
     val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
     java.nio.file.Files.write(tmp.toPath, version.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      // hard-link onto the final name: atomic AND fails if it exists — a
+      // check-then-rename would let two concurrent tag() calls both pass
+      // the check and the POSIX rename silently replace (last writer wins),
+      // breaking the immutability contract
+      try java.nio.file.Files.createLink(f.toPath, tmp.toPath)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalArgumentException(
+            s"tag '$name' already exists (tags are immutable; untag first to move it)")
+      }
+    } finally java.nio.file.Files.deleteIfExists(tmp.toPath)
   }
 
   /** Remove a tag; the snapshot itself stays. False if absent. */
@@ -365,10 +377,14 @@ object Snapshots {
       new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt).toOption
   }
 
-  /** All tags, (name, version) sorted by name. */
+  /** All tags, (name, version) sorted by name. The listing pattern is
+    * DERIVED from [[REF_NAME]]: a second hand-written charset here would
+    * drift if the allowed names ever change, silently hiding tags from
+    * this listing — and from vacuum's protection loop that iterates it.
+    */
   def tags(tableDir: String): Seq[(String, Int)] = {
     val d = snapDir(tableDir)
-    val R = "ref-([A-Za-z][A-Za-z0-9._-]*)\\.txt".r
+    val R = s"ref-(${REF_NAME.regex})\\.txt".r
     if (!d.isDirectory) Seq.empty
     else d.listFiles.toSeq.map(_.getName).collect { case R(n) => n }.sorted
       .flatMap(n => resolveRef(tableDir, n).map(n -> _))

@@ -145,8 +145,11 @@ object PageTable {
     val data = s"$dir/data"
     // schema PINNED like [[read]]: without it, partition-type inference
     // turns day=yyyy-MM-dd into DateType and the delta frame's schema
-    // silently disagrees with every other read of the same table
-    val full = Model.PAGES.add("bucket", "int").add("day", "string")
+    // silently disagrees with every other read of the same table. The pin
+    // is the LIVE evolved schema (fullFor), not the contract constant —
+    // a delta read that pinned Model.PAGES would silently drop columns
+    // added by ALTER TABLE from the incremental/CDC path
+    val full = PagesTable.fullFor(dir)
     if (added.isEmpty)
       spark.read.schema(full).option("basePath", data).parquet(data).limit(0)
     else

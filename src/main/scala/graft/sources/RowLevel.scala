@@ -237,13 +237,15 @@ class CowWrite(table: PagesTable, op: GraftRowLevelOperation, writeSchema: Struc
       // persisted columns = write schema minus the directory-encoded
       // partition columns — contract + evolved extras, never hardcoded:
       // a merge on an evolved table must carry the extra columns through
-      // the group rewrite or they'd silently null out
+      // the group rewrite or they'd silently null out. Computed ONCE and
+      // passed through the factory so prepareWrite and the per-file
+      // newInstance can never disagree on the parquet footer schema.
       val dataSchema = StructType(
         writeSchema.fields.filterNot(f => f.name == "bucket" || f.name == "day"))
       val owf = new ParquetFileFormat()
         .prepareWrite(spark, job, Map.empty[String, String], dataSchema)
       new CowWriterFactory(owf, new SerializableConf(job.getConfiguration),
-        writeSchema, table.bucketCount, table.dataDir,
+        writeSchema, dataSchema, table.bucketCount, table.dataDir,
         spark.sessionState.conf.sessionLocalTimeZone)
     }
 
@@ -316,11 +318,12 @@ object RowLevelCommit {
 }
 
 class CowWriterFactory(owf: OutputWriterFactory, conf: SerializableConf,
-    writeSchema: StructType, numBuckets: Int, dataDir: String, tzId: String)
+    writeSchema: StructType, dataSchema: StructType,
+    numBuckets: Int, dataDir: String, tzId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CowDataWriter(owf, conf.conf, writeSchema, numBuckets, dataDir, tzId,
-      partitionId, taskId)
+    new CowDataWriter(owf, conf.conf, writeSchema, dataSchema, numBuckets,
+      dataDir, tzId, partitionId, taskId)
 }
 
 /** Routes replacement rows into the bucket/day layout, one dot-hidden
@@ -330,7 +333,8 @@ class CowWriterFactory(owf: OutputWriterFactory, conf: SerializableConf,
   * like every other writer of this layout.
   */
 class CowDataWriter(owf: OutputWriterFactory, conf: Configuration,
-    writeSchema: StructType, numBuckets: Int, dataDir: String, tzId: String,
+    writeSchema: StructType, dataSchema: StructType,
+    numBuckets: Int, dataDir: String, tzId: String,
     partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
@@ -352,13 +356,13 @@ class CowDataWriter(owf: OutputWriterFactory, conf: Configuration,
   private val urlI = writeSchema.fieldIndex("url")
   private val tsI = writeSchema.fieldIndex("warc_ts")
 
-  /** (field, ordinal-in-writeSchema) of every PERSISTED column — the write
-    * schema minus the directory-encoded bucket/day. Copied generically so
+  /** (field, ordinal-in-writeSchema) of every PERSISTED column — exactly
+    * the `dataSchema` prepareWrite was given (single source of truth from
+    * CowWrite), located in the write row by name. Copied generically so
     * evolved extra columns survive group rewrites.
     */
   private val dataFields: Array[(org.apache.spark.sql.types.StructField, Int)] =
-    writeSchema.fields.zipWithIndex
-      .filter { case (f, _) => f.name != "bucket" && f.name != "day" }
+    dataSchema.fields.map(f => (f, writeSchema.fieldIndex(f.name)))
 
   private val ctx = new TaskAttemptContextImpl(conf,
     new TaskAttemptID(new TaskID(new JobID("graft-cow", 0), TaskType.MAP, partitionId),
@@ -389,8 +393,7 @@ class CowDataWriter(owf: OutputWriterFactory, conf: Configuration,
       dir.mkdirs()
       val name = s"merge-$uuid-p$partitionId-${writers.size}$ext"
       val rel = s"bucket=$b/day=$d"
-      val writer = owf.newInstance(s"$dir/.$name",
-        org.apache.spark.sql.types.StructType(dataFields.map(_._1)), ctx)
+      val writer = owf.newInstance(s"$dir/.$name", dataSchema, ctx)
       (writer, s"$rel/.$name", s"$rel/$name")
     })
     val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(dataFields.length)

@@ -45,7 +45,8 @@ object StreamingUpsert {
       srcDir: String,
       table: String,
       checkpointDir: String,
-      filesPerTrigger: Int = 1024
+      filesPerTrigger: Int = 1024,
+      onApply: () => Unit = () => ()
   ): StreamingQuery = {
     val updates = spark.readStream
       .schema(Model.PAGES)
@@ -58,7 +59,7 @@ object StreamingUpsert {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, table)
+        if (applyBatch(batch, table)) onApply()
         ()
       }
       .start()
@@ -70,8 +71,9 @@ object StreamingUpsert {
     * passes (group locate, then rewrite) re-read one executor-side computed
     * copy instead of re-running the window — and nothing returns to the
     * driver, so batch size is bounded by cluster memory, not driver memory.
+    * Returns true when a non-empty batch was merged.
     */
-  def applyBatch(batch: DataFrame, table: String): Unit = {
+  def applyBatch(batch: DataFrame, table: String): Boolean = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("url")
@@ -81,22 +83,33 @@ object StreamingUpsert {
       .filter(col("rn") === 1)
       .drop("rn")
       .localCheckpoint()
-    if (latest.isEmpty) return
-    latest.createOrReplaceTempView("graft_upsert_src")
-    spark.sql(
-      s"""MERGE INTO $table t USING graft_upsert_src s ON t.url = s.url
-         |WHEN MATCHED AND s.warc_ts > t.warc_ts THEN UPDATE SET
-         |  warc_ts = s.warc_ts, html = s.html, text = s.text, lang = s.lang
-         |WHEN NOT MATCHED THEN INSERT (url, warc_ts, html, text, lang)
-         |  VALUES (s.url, s.warc_ts, s.html, s.text, s.lang)""".stripMargin)
-    spark.catalog.dropTempView("graft_upsert_src")
+    if (latest.isEmpty) return false
+    // per-call view name: temp views are SESSION-scoped, so two upsert
+    // streams on one SparkSession with a shared name would race and could
+    // merge one stream's batch into the other stream's table
+    val view = s"graft_upsert_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    latest.createOrReplaceTempView(view)
+    try
+      spark.sql(
+        s"""MERGE INTO $table t USING $view s ON t.url = s.url
+           |WHEN MATCHED AND s.warc_ts > t.warc_ts THEN UPDATE SET
+           |  warc_ts = s.warc_ts, html = s.html, text = s.text, lang = s.lang
+           |WHEN NOT MATCHED THEN INSERT (url, warc_ts, html, text, lang)
+           |  VALUES (s.url, s.warc_ts, s.html, s.text, s.lang)""".stripMargin)
+    finally spark.catalog.dropTempView(view)
+    true
   }
 
-  /** Run to completion; returns the applied-batch count. */
+  /** Run to completion; returns the applied-batch count — counted in the
+    * foreachBatch itself, not from `recentProgress` (which retains only the
+    * last `numRecentProgressUpdates` events and under-reports long backfills).
+    */
   def runOnce(spark: SparkSession, srcDir: String, table: String,
               checkpointDir: String, filesPerTrigger: Int = 1024): Long = {
-    val q = start(spark, srcDir, table, checkpointDir, filesPerTrigger)
+    val applied = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = start(spark, srcDir, table, checkpointDir, filesPerTrigger,
+      onApply = () => { applied.incrementAndGet(); () })
     q.awaitTermination()
-    q.recentProgress.count(_.numInputRows > 0).toLong
+    applied.get()
   }
 }
