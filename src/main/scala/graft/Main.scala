@@ -30,7 +30,7 @@ object Main {
           "write-pages <n> <dir> | append-pages <from> <to> <dir> | run <dir> <out> <manifest> | " +
           "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] [near-dedup] | " +
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
-          "upsert-stream <srcDir> <warehouse> <ckpt> | " +
+          "upsert-stream <srcDir> <tableDir> <ckpt> | " +
           "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
           "explain <query> [sfDir] | " +
           "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps] | " +
@@ -356,16 +356,23 @@ object Main {
           println(s"appended pages [$from, $to) -> $dir")
           return
         case "upsert-stream" =>
-          // upsert-stream <srcDir> <warehouse> <ckpt>: stream recrawled /
-          // corrected pages into the LIVE catalog table (<warehouse>/pages)
-          // via one copy-on-write MERGE per microbatch — newer warc_ts wins,
-          // late updates are no-ops, new urls insert into the layout bucket
-          val (srcDir, wh, ckpt) = (args(1), args(2), args(3))
-          graft.sources.PageTable.register(spark, "pcat_up", wh)
-          val nb = graft.streaming.StreamingUpsert.runOnce(
-            spark, srcDir, "pcat_up.pages", ckpt)
-          val total = spark.table("pcat_up.pages").count()
-          println(s"upsert stream: $nb batches applied, table now $total rows -> $wh/pages")
+          // upsert-stream <srcDir> <tableDir> <ckpt>: stream recrawled /
+          // corrected pages into the LIVE catalog table at <tableDir>
+          // (registered as <parent-as-warehouse>.<dirname>) via one
+          // copy-on-write MERGE per microbatch — newer warc_ts wins, late
+          // updates are no-ops, new urls insert into the layout bucket
+          val (srcDir, tableDir, ckpt) = (args(1), args(2), args(3))
+          val td = new java.io.File(tableDir)
+          require(new java.io.File(td, "data").isDirectory,
+            s"$tableDir is not a pages table (no data/)")
+          graft.sources.PageTable.register(spark, "pcat_up", td.getParent)
+          // back-quote: directory names (hence table names) may carry '-' etc.
+          val table = s"pcat_up.`${td.getName.replace("`", "``")}`"
+          val t0 = System.nanoTime()
+          val nb = graft.streaming.StreamingUpsert.runOnce(spark, srcDir, table, ckpt)
+          val dt = (System.nanoTime() - t0) / 1e9
+          val total = spark.table(table).count()
+          println(f"upsert stream: $nb%d batches applied in $dt%.1f s, table now $total%d rows -> $tableDir")
           return
         case "curate-stream" =>
           // incremental curation loop: curate-stream <pagesDir> <outDir>
