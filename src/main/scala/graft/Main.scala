@@ -31,7 +31,7 @@ object Main {
           "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] [near-dedup] | " +
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
           "upsert-stream <srcDir> <tableDir> <ckpt> | " +
-          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
+          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | branch <tableDir> <create|append|audit|publish|discard|list> [name] [srcDir] | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
           "explain <query> [sfDir] | " +
           "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps] | " +
           "soak <outBase> [mults] [reps]")
@@ -226,6 +226,52 @@ object Main {
           val ts = graft.sources.Snapshots.tags(args(1))
           if (ts.isEmpty) println("no tags")
           else ts.foreach { case (n, v) => println(s"$n\tv$v") }
+          return
+        case "branch" =>
+          // branch <tableDir> <create|append|audit|publish|discard|list> ...
+          // — Write-Audit-Publish: stage a drop on a named branch (invisible
+          // to live readers), audit it, publish atomically or discard.
+          val dir = args(1)
+          args(2) match {
+            case "create" =>
+              graft.sources.Branches.create(dir, args(3))
+              println(s"created branch '${args(3)}' on $dir")
+            case "append" =>
+              // branch <tableDir> append <name> <srcParquetDir>
+              val drop = spark.read.schema(graft.Model.PAGES).parquet(args(4))
+                .select("url", "warc_ts", "html", "text", "lang")
+              graft.sources.Branches.append(spark, dir, args(3), drop)
+              println(s"staged ${args(4)} onto branch '${args(3)}'")
+            case "audit" =>
+              // the pre-publish checks a crawl pipeline runs: volume, url
+              // uniqueness, day range, and overlap with the live table
+              val b = graft.sources.Branches.read(spark, dir, args(3))
+              val live = graft.sources.PageTable.read(spark, dir).toDF()
+              val stats = b.agg(
+                count(lit(1)).as("rows"),
+                countDistinct(col("url")).as("urls"),
+                min(col("day")).as("day_min"), max(col("day")).as("day_max"),
+                sum(when(col("html").isNull && col("text").isNull, 1)
+                  .otherwise(0)).as("empty_payloads")).collect()(0)
+              val overlap = b.select("url").distinct()
+                .join(live.select("url").distinct(), "url").count()
+              println(s"branch '${args(3)}': rows=${stats.getLong(0)} " +
+                s"urls=${stats.getLong(1)} days=[${stats.getString(2)}, " +
+                s"${stats.getString(3)}] empty_payloads=${stats.getLong(4)} " +
+                s"urls_already_live=$overlap")
+            case "publish" =>
+              val (v, n) = graft.sources.Branches.publish(dir, args(3))
+              println(s"published branch '${args(3)}': $n files adopted as v$v")
+            case "discard" =>
+              val dropped = graft.sources.Branches.discard(dir, args(3))
+              println(if (dropped) s"discarded branch '${args(3)}'"
+                else s"no branch '${args(3)}'")
+            case "list" =>
+              val bs = graft.sources.Branches.list(dir)
+              if (bs.isEmpty) println("no branches")
+              else bs.foreach { case (n, files) => println(s"$n\t$files files") }
+            case other => sys.error(s"unknown branch subcommand: $other")
+          }
           return
         case "rollback" =>
           // rollback <tableDir> <version> — restore the live table state to

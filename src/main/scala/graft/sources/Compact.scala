@@ -81,6 +81,7 @@ object Compact {
     val dataDir = new java.io.File(tableDir, "data")
     require(dataDir.isDirectory, s"no pages data under $tableDir")
     repair(tableDir)
+    Branches.replayPublish(tableDir)
 
     def dataFiles(d: java.io.File): Array[java.io.File] =
       if (!d.isDirectory) Array.empty
@@ -178,6 +179,7 @@ object Compact {
     val dataDir = new java.io.File(tableDir, "data")
     require(dataDir.isDirectory, s"no pages data under $tableDir")
     repair(tableDir)
+    Branches.replayPublish(tableDir)
 
     val full = spark.read
       .option("basePath", dataDir.toString)
@@ -285,10 +287,14 @@ object Compact {
     */
   def vacuum(tableDir: String,
              minAgeMs: Long = DEFAULT_VACUUM_MIN_AGE_MS): (Int, Long) = {
+    repair(tableDir)
+    // a half-published branch file (moved, pre-snapshot) must be rolled
+    // FORWARD before the latest version is read, or its commit would land
+    // after the live-set read and vacuum would GC the adopted files
+    Branches.replayPublish(tableDir)
     val latest = Snapshots.latestVersion(tableDir).getOrElse(
       throw new IllegalStateException(
         s"$tableDir has no snapshot log; vacuum needs one to know what is live"))
-    repair(tableDir)
     // live = the latest snapshot PLUS every tagged snapshot (S19): a tag
     // pins its corpus against GC until untagged, the Iceberg ref-reachable
     // retention rule

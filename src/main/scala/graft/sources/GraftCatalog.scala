@@ -83,10 +83,12 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident).toString
-    // roll FORWARD any merge commit or rollback a crash left half-applied
-    // (both idempotent) before anyone plans a scan over the dir
+    // roll FORWARD any merge commit, rollback, or branch publish a crash
+    // left half-applied (all idempotent) before anyone plans a scan over
+    // the dir
     RowLevelCommit.replay(dir)
     Snapshots.replayRollback(dir)
+    Branches.replayPublish(dir)
     // the bucket count recorded at write time is authoritative — deriving
     // bucket with any other modulus on append would silently break the
     // layout function readers use to locate a url
@@ -413,6 +415,7 @@ object Snapshots {
     RowLevelCommit.replay(tableDir)
     Compact.repair(tableDir)
     replayRollback(tableDir)
+    Branches.replayPublish(tableDir)
     val want = files(tableDir, version).getOrElse(
       throw new IllegalArgumentException(s"$tableDir has no snapshot v$version"))._2
     val dataDir = new java.io.File(tableDir, "data")
