@@ -1605,7 +1605,144 @@ object TextAnalysis {
        |FROM db JOIN model USING (w1, w2)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- line-wise corrections (RefinedWeb §"line-wise filtering") ----------
+
+  private val CAPS_RE    = "^[A-Z][A-Z ]*$"
+  private val COUNTER_RE = "^[0-9]+ (likes|shares|comments|views)$"
+
+  /** Line-level document repair (Penedo et al. 2023, RefinedWeb): instead of
+    * dropping whole documents, surgically remove the junk LINES web pages
+    * carry — all-caps nav crumbs, social-media counters ("34 likes"),
+    * mostly-numeric debris — and keep the repaired document. The documents
+    * table is single-line salad, so junk lines are PLANTED deterministically
+    * from doc_id (nav on %3=0, counter on %4=1, numeric on %5=2 — identically
+    * in both engines) and the oracle proves per-rule counts AND repaired
+    * bytes (md5) agree exactly.
+    *
+    * Scale shape: entirely per-row array/string expressions — zero exchanges
+    * at any corpus size (trailing orderBy is the oracle dump's). The rules
+    * are the cheap precision complement to the doc-level gates (ta_filter /
+    * ta_gopher): a page with a good body no longer dies for its chrome.
+    */
+  def linefix(spark: SparkSession, sfDir: String): DataFrame = {
+    val navLn = when(col("doc_id") % 3 === 0,
+      concat(lit("MENU HOME ABOUT US"),
+        when(col("doc_id") % 6 === 0, lit(" CONTACT")).otherwise(lit(""))))
+    val cntLn = when(col("doc_id") % 4 === 1,
+      concat((col("doc_id") % 900 + 7).cast("string"), lit(" likes")))
+    val numLn = when(col("doc_id") % 5 === 2,
+      concat(lit("2024 "), (col("doc_id") % 100).cast("string"), lit(" 17 3")))
+    val isCaps = (l: Column) =>
+      l.rlike(CAPS_RE) && (length(l) - length(regexp_replace(l, " ", "")) <= lit(4))
+    val isCounter = (l: Column) => l.rlike(COUNTER_RE)
+    val isNumeric = (l: Column) => {
+      val nonspace = length(regexp_replace(l, " ", ""))
+      val digits = length(regexp_replace(l, "[^0-9]", ""))
+      nonspace > 0 && digits * 2 > nonspace
+    }
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions
+          .split(concat_ws("\n", navLn, col("text"), cntLn, numLn), "\n").as("lines"))
+      .withColumn("kept",
+        filter(col("lines"), l => !(isCaps(l) || isCounter(l) || isNumeric(l))))
+      .select(
+        col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"), isCaps)).cast("long").as("n_caps"),
+        size(filter(col("lines"), isCounter)).cast("long").as("n_counter"),
+        size(filter(col("lines"), isNumeric)).cast("long").as("n_numeric"),
+        (size(col("lines")) - size(col("kept"))).cast("long").as("n_removed"),
+        length(array_join(col("kept"), "\n")).cast("long").as("n_chars_fixed"),
+        md5(array_join(col("kept"), "\n")).as("fixed_md5"))
+      .orderBy("doc_id")
+  }
+
+  val linefixSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         string_split(concat_ws(chr(10),
+       |           CASE WHEN doc_id % 3 = 0 THEN 'MENU HOME ABOUT US' ||
+       |                (CASE WHEN doc_id % 6 = 0 THEN ' CONTACT' ELSE '' END) END,
+       |           text,
+       |           CASE WHEN doc_id % 4 = 1 THEN CAST(doc_id % 900 + 7 AS VARCHAR) || ' likes' END,
+       |           CASE WHEN doc_id % 5 = 2 THEN '2024 ' || (doc_id % 100) || ' 17 3' END), chr(10)) lines
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, lines,
+       |         list_filter(lines, l -> NOT (
+       |           (regexp_matches(l, '$CAPS_RE') AND length(l) - length(replace(l, ' ', '')) <= 4)
+       |           OR regexp_matches(l, '$COUNTER_RE')
+       |           OR (length(replace(l, ' ', '')) > 0 AND
+       |               2 * length(regexp_replace(l, '[^0-9]', '', 'g')) > length(replace(l, ' ', ''))))) kept
+       |  FROM aug)
+       |SELECT doc_id,
+       |       CAST(len(lines) AS BIGINT) n_lines,
+       |       CAST(len(list_filter(lines, l -> regexp_matches(l, '$CAPS_RE')
+       |              AND length(l) - length(replace(l, ' ', '')) <= 4)) AS BIGINT) n_caps,
+       |       CAST(len(list_filter(lines, l -> regexp_matches(l, '$COUNTER_RE'))) AS BIGINT) n_counter,
+       |       CAST(len(list_filter(lines, l -> length(replace(l, ' ', '')) > 0 AND
+       |              2 * length(regexp_replace(l, '[^0-9]', '', 'g')) > length(replace(l, ' ', '')))) AS BIGINT) n_numeric,
+       |       CAST(len(lines) - len(kept) AS BIGINT) n_removed,
+       |       CAST(length(array_to_string(kept, chr(10))) AS BIGINT) n_chars_fixed,
+       |       md5(array_to_string(kept, chr(10))) fixed_md5
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---- integer readability grade (Flesch–Kincaid shape) --------------------
+
+  /** Readability grade-level scoring — the classic document-difficulty
+    * signal corpus curricula bucket on (pediatric/educational slices, FineWeb
+    * -Edu-style level targeting). Exact-integer Flesch–Kincaid variant:
+    * grade×100 = (39·w) div s + (1180·syl) div w − 1559, with syllables
+    * approximated by vowel-group runs (the standard heuristic) and each div
+    * truncating over non-negative terms, so Spark `div` == DuckDB `//`
+    * bit-exactly. Sentence punctuation doesn't exist in the salad corpus, so
+    * it is planted by the deterministic replace('table' → 'table.') both
+    * engines apply identically.
+    *
+    * Scale shape: per-row regexp counting only — zero exchanges, scan speed
+    * at 100 TB; the band cut is a when-chain over the integer grade.
+    */
+  def fkgl(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("s", regexp_replace(col("text"), "table", "table."))
+      .select(
+        col("doc_id"),
+        greatest(size(Toks.tokens(col("s"))), lit(1)).cast("long").as("words"),
+        greatest(size(regexp_extract_all(col("s"), lit("[.!?]+"), lit(0))), lit(1))
+          .cast("long").as("sentences"),
+        size(regexp_extract_all(col("s"), lit("[aeiouy]+"), lit(0))).cast("long")
+          .as("syllables"))
+      .selectExpr(
+        "doc_id", "words", "sentences", "syllables",
+        "(39 * words) div sentences + (1180 * syllables) div words - 1559 AS grade_x100")
+      .withColumn("band",
+        when(col("grade_x100") < 500, "elementary")
+          .when(col("grade_x100") < 900, "middle")
+          .when(col("grade_x100") < 1300, "high")
+          .otherwise("college"))
+      .orderBy("doc_id")
+
+  val fkglSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, regexp_replace(text, 'table', 'table.', 'g') s FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         greatest(CAST(len(list_filter(string_split(s, ' '), t -> t <> '')) AS BIGINT), 1) words,
+       |         greatest(CAST(len(regexp_extract_all(s, '[.!?]+')) AS BIGINT), 1) sentences,
+       |         CAST(len(regexp_extract_all(s, '[aeiouy]+')) AS BIGINT) syllables
+       |  FROM s)
+       |SELECT doc_id, words, sentences, syllables,
+       |       (39 * words) // sentences + (1180 * syllables) // words - 1559 AS grade_x100,
+       |       CASE WHEN (39 * words) // sentences + (1180 * syllables) // words - 1559 < 500 THEN 'elementary'
+       |            WHEN (39 * words) // sentences + (1180 * syllables) // words - 1559 < 900 THEN 'middle'
+       |            WHEN (39 * words) // sentences + (1180 * syllables) // words - 1559 < 1300 THEN 'high'
+       |            ELSE 'college' END AS band
+       |FROM m ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_linefix" -> (linefix _),
+    "ta_fkgl" -> (fkgl _),
     "ta_lm" -> (lmScore _),
     "ta_dsir" -> (dsir _),
     "ta_zratio" -> (zratio _),
@@ -1637,6 +1774,8 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_linefix" -> linefixSql,
+    "ta_fkgl" -> fkglSql,
     "ta_lm" -> lmScoreSql,
     "ta_dsir" -> dsirSql,
     "ta_zratio" -> zratioSql,
