@@ -21,7 +21,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     val minArgs =
       if (args.nonEmpty && Set("profile", "scale", "mat-bench", "explain",
-        "compact", "vacuum", "history", "changes", "soak", "tags").contains(args(0))) 2
+        "compact", "vacuum", "history", "changes", "soak", "tags", "meta").contains(args(0))) 2
       else if (args.nonEmpty && Set("extract-incr", "upsert-stream").contains(args(0))) 4
       else 3
     if (args.length < minArgs) {
@@ -31,7 +31,7 @@ object Main {
           "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] [near-dedup] | " +
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
           "upsert-stream <srcDir> <tableDir> <ckpt> | " +
-          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | branch <tableDir> <create|append|audit|publish|discard|list> [name] [srcDir] | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
+          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | meta <tableDir> [snapshots|files|refs] | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | branch <tableDir> <create|append|audit|publish|discard|list> [name] [srcDir] | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
           "explain <query> [sfDir] | " +
           "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps] | " +
           "soak <outBase> [mults] [reps]")
@@ -293,6 +293,17 @@ object Main {
           graft.sources.Compact.history(args(1)).foreach { case (v, ts, nf) =>
             println(s"v$v  ${java.time.Instant.ofEpochMilli(ts)}  $nf files")
           }
+          return
+        case "meta" =>
+          // meta <tableDir> [snapshots|files|refs] — the S21 metadata tables
+          // through the same SQL path a user types (`cat.`t$snapshots``)
+          val dir = new java.io.File(args(1)).getAbsoluteFile
+          val which = if (args.length > 2) args(2) else "snapshots"
+          require(Seq("snapshots", "files", "refs").contains(which),
+            s"unknown metadata table: $which")
+          graft.sources.PageTable.register(spark, "graftmeta", dir.getParent)
+          spark.sql(s"SELECT * FROM graftmeta.`${dir.getName}$$$which`")
+            .show(100, truncate = false)
           return
         case "extract-incr" =>
           // version-checkpointed incremental extraction: consume the pages

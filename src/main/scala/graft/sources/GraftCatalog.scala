@@ -81,6 +81,21 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // metadata tables (S21): `SELECT * FROM cat.`pages$snapshots`` etc.
+    // resolve against the BASE table's dir, after the same crash roll-forward
+    // prelude as a data scan (so `$files` can never show a half-published
+    // branch as debris)
+    MetaTables.parse(ident.name) match {
+      case Some((base, meta)) =>
+        val baseIdent = Identifier.of(ident.namespace, base)
+        if (!tableExists(baseIdent)) throw new NoSuchTableException(ident)
+        val d = tableDir(baseIdent).toString
+        RowLevelCommit.replay(d)
+        Snapshots.replayRollback(d)
+        Branches.replayPublish(d)
+        return MetaTables.table(ident.name, meta, d)
+      case None => // fall through to the data-table path below
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident).toString
     // roll FORWARD any merge commit, rollback, or branch publish a crash
@@ -281,6 +296,10 @@ object Snapshots {
 
   def latestVersion(tableDir: String): Option[Int] =
     versions(snapDir(tableDir)).lastOption
+
+  /** Every committed version, ascending (the `$snapshots` metadata table). */
+  def allVersions(tableDir: String): Seq[Int] =
+    versions(snapDir(tableDir))
 
   /** All data files under a table's data dir, skipping hidden/maintenance
     * paths (`.`/`_` prefixes — the same rule Spark's file index applies).

@@ -74,6 +74,66 @@ class PageTableSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN pcat").collect().map(_.getString(1)).contains("pages"))
   }
 
+  test("metadata tables: $snapshots / $files / $refs query the snapshot log via SQL") {
+    val wh = s"$tmp/warehouse-meta"
+    PageTable.register(spark, "pmeta", wh)
+    spark.sql(
+      """CREATE TABLE pmeta.pages (
+        |  url string, warc_ts timestamp, html binary, text string, lang string,
+        |  bucket int, day string
+        |) PARTITIONED BY (bucket, day)""".stripMargin)
+    Corpus.pages(spark, 30L).writeTo("pmeta.pages").append() // -> v1
+    Corpus.pages(spark, 20L, seed = 42L).writeTo("pmeta.pages").append() // -> v2
+    graft.sources.Snapshots.tag(s"$wh/pages", "train-v1", 1)
+
+    // $snapshots: one row per committed version, nothing missing yet
+    val snaps = spark.sql(
+      "SELECT * FROM pmeta.`pages$snapshots` ORDER BY version").collect()
+    assert(snaps.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(snaps.forall(_.getInt(4) == 0), "no files missing yet")
+    assert(snaps(0).getInt(2) < snaps(1).getInt(2), "v2 references more files")
+    assert(snaps(0).getTimestamp(1).getTime <= snaps(1).getTimestamp(1).getTime)
+    assert(snaps.forall(_.getLong(3) > 0L), "bytes on disk counted")
+
+    // $files: exactly the live walk, partition values parsed, all snapshot-
+    // referenced — then planted debris (a crash-orphan copy) shows up as
+    // in_snapshot=false, which is precisely vacuum's delete set
+    val files0 = spark.sql("SELECT * FROM pmeta.`pages$files`").collect()
+    val walked = graft.sources.Snapshots.walkData(new java.io.File(s"$wh/pages/data"))
+    assert(files0.length == walked.size && files0.nonEmpty)
+    assert(files0.forall(_.getBoolean(4)), "all live files are referenced")
+    assert(files0.forall(r => !r.isNullAt(1) && !r.isNullAt(2)), "bucket/day parsed")
+    assert(files0.forall(_.getLong(3) > 0L))
+    val victim = walked.head
+    val orphan = new java.io.File(victim.getParentFile, "part-orphan-test.parquet")
+    java.nio.file.Files.copy(victim.toPath, orphan.toPath)
+    val debris = spark.sql(
+      "SELECT path FROM pmeta.`pages$files` WHERE NOT in_snapshot").collect()
+    assert(debris.map(_.getString(0)).toSeq.exists(_.contains("part-orphan-test")))
+    assert(orphan.delete())
+
+    // $refs: the tag row points at v1 with its commit time + file count
+    val refs = spark.sql("SELECT * FROM pmeta.`pages$refs`").collect()
+    assert(refs.length == 1)
+    assert(refs(0).getString(0) == "train-v1" && refs(0).getInt(1) == 1)
+    assert(refs(0).getInt(3) == snaps(0).getInt(2))
+
+    // overwrite deletes v1/v2's files: $snapshots now surfaces the S11
+    // retention caveat as non-zero n_missing instead of a surprise at scan
+    Corpus.pages(spark, 10L, seed = 7L).toDF().writeTo("pmeta.pages")
+      .overwrite(lit(true)) // -> v3
+    val after = spark.sql(
+      "SELECT version, n_missing FROM pmeta.`pages$snapshots` ORDER BY version")
+      .collect()
+    assert(after.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(after(0).getInt(1) > 0 && after(2).getInt(1) == 0)
+
+    // unknown base table fails loudly; metadata names never shadow real ones
+    val e = intercept[Exception](spark.sql("SELECT * FROM pmeta.`nope$files`").collect())
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+    spark.sql("DROP TABLE pmeta.pages")
+  }
+
   test("DSv2 catalog time travel: VERSION/TIMESTAMP AS OF over the snapshot log") {
     val wh = s"$tmp/warehouse3"
     PageTable.register(spark, "pcat3", wh)
