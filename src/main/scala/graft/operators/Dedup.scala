@@ -98,6 +98,157 @@ object Dedup {
        |SELECT md5(text) AS dup_hash, count(*) AS n_copies, min(doc_id) AS keep_id
        |FROM all_docs GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  // ---- content-defined chunking dedup (LBFS/rsync/FastCDC family) --------
+
+  /** Rolling-gram width for chunk boundaries. Kept small enough that the
+    * polynomial hash of one gram never wraps 64 bits (max BMP char 0xffff:
+    * 0xffff·Σ257^i, i<6 ≈ 7.4e16 ≪ 2^63), so the boundary rule has an exact
+    * SQL formulation — same reasoning as the winnowing oracle
+    * ([[TextAnalysis.winnowSql]]).
+    */
+  private val CDC_K = 6
+
+  /** Boundary modulus/residue: a chunk cut lands after position p whenever
+    * hash(text[p-5..p]) % CDC_MOD == CDC_R — expected chunk length ≈ 64
+    * chars on uniform content.
+    */
+  private val CDC_MOD = 64L
+  private val CDC_R = 13L
+
+  /** Content-defined chunks of `text`: boundaries wherever the rolling
+    * 6-gram hash hits the residue (stateless Rabin-style cut rule, the
+    * LBFS/rsync shape without min/max clamps so the rule stays a pure
+    * per-position predicate — identical in SQL). The gram window rolls over
+    * the ORIGINAL text across cut points, so an insertion early in a doc
+    * only perturbs chunks until the next content-defined boundary — the
+    * property that makes CDC find shared runs between partially-edited
+    * documents where fixed-size blocks lose alignment. Concatenation of the
+    * returned chunks is exactly `text`.
+    */
+  def cdcChunks(text: String): Vector[String] = {
+    val n = text.length
+    if (n == 0) return Vector.empty
+    if (n < CDC_K) return Vector(text)
+    val out = Vector.newBuilder[String]
+    var pow = 1L
+    var i = 1
+    while (i < CDC_K) { pow *= 257L; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < CDC_K) { h = h * 257L + text.charAt(i); i += 1 }
+    var start = 0
+    var p = CDC_K - 1 // gram covers text[p-K+1 .. p]
+    while (p < n) {
+      if (h % CDC_MOD == CDC_R) { out += text.substring(start, p + 1); start = p + 1 }
+      p += 1
+      if (p < n) h = (h - text.charAt(p - CDC_K) * pow) * 257L + text.charAt(p)
+    }
+    if (start < n) out += text.substring(start, n)
+    out.result()
+  }
+
+  /** Per-document chunk-level dedup stats over the dup-injected corpus:
+    * every chunk occurrence after the fingerprint's global first occurrence
+    * (lexicographic min (doc_id, seq)) counts as duplicated, byte-weighted —
+    * the storage-dedup ratio, and for a training corpus the "how much of
+    * this doc is recycled content" signal that catches partial overlap exact
+    * dedup (DD1) misses and near-dup similarity (DD2/DD3) only thresholds.
+    *
+    * Scale shape (100 TB): the chunk table is corpus-sized but
+    * embarrassingly parallel to produce (per-row scan); the first-occurrence
+    * fold is a partial-aggregable min(struct) on the fingerprint key — hot
+    * boilerplate chunks combine map-side, never a single-reducer pileup; the
+    * join back is fp-partitioned against a distinct-fp-sized right side
+    * (AQE skew-split covers hot fingerprints); the final per-doc rollup
+    * rides the doc_id key. Exactly two exchanges beyond the scan.
+    */
+  def cdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = docsWithDups(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        cdcChunks(t).iterator.zipWithIndex.map { case (c, s) => (id, s.toLong, c) }
+      }
+      .toDF("doc_id", "seq", "chunk")
+      .select(
+        col("doc_id"),
+        col("seq"),
+        md5(col("chunk")).as("fp"),
+        length(col("chunk")).cast("long").as("len")
+      )
+    val first = chunks
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("seq"))).as("f"))
+      .select(col("fp"), col("f.doc_id").as("f_doc"), col("f.seq").as("f_seq"))
+    val isDup = col("f_doc") =!= col("doc_id") || col("f_seq") =!= col("seq")
+    chunks
+      .join(first, "fp")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(isDup, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(isDup, col("len")).otherwise(0L)).as("dup_bytes"),
+        sum(col("len")).as("n_bytes")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** The boundary rule in exact SQL (the second implementation): the 6-term
+    * weighted char-code sum per position, residue filter, lag() to pair
+    * consecutive boundaries into spans, per-doc tail span, md5 chunk
+    * fingerprints, first occurrence via a min over the order-embedding
+    * doc_id·2^20+seq (seq < 2^20 always: max doc length ≪ 1M chars).
+    * BMP/ASCII precondition shared with winnowSql (unicode() == charAt).
+    */
+  val cdcSql: String = {
+    val p5 = 257L * 257 * 257 * 257 * 257
+    val p4 = 257L * 257 * 257 * 257
+    val p3 = 257L * 257 * 257
+    val p2 = 257L * 257
+    s"""$SQL_DOCS_WITH_DUPS,
+       |pos AS (
+       |  SELECT doc_id, text, unnest(generate_series($CDC_K, length(text))) p
+       |  FROM all_docs WHERE length(text) >= $CDC_K),
+       |bnd AS (
+       |  SELECT doc_id, p FROM (
+       |    SELECT doc_id, p,
+       |           unicode(substr(text, CAST(p - 5 AS INT), 1)) * $p5
+       |         + unicode(substr(text, CAST(p - 4 AS INT), 1)) * $p4
+       |         + unicode(substr(text, CAST(p - 3 AS INT), 1)) * $p3
+       |         + unicode(substr(text, CAST(p - 2 AS INT), 1)) * $p2
+       |         + unicode(substr(text, CAST(p - 1 AS INT), 1)) * 257
+       |         + unicode(substr(text, CAST(p AS INT), 1)) AS h
+       |    FROM pos)
+       |  WHERE h % $CDC_MOD = $CDC_R),
+       |sp AS (
+       |  SELECT doc_id,
+       |         coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1 s,
+       |         p e
+       |  FROM bnd
+       |  UNION ALL
+       |  SELECT d.doc_id, coalesce(m.mx, 0) + 1 s, length(d.text) e
+       |  FROM all_docs d
+       |  LEFT JOIN (SELECT doc_id, max(p) mx FROM bnd GROUP BY doc_id) m
+       |    USING (doc_id)
+       |  WHERE length(d.text) > coalesce(m.mx, 0)),
+       |ch AS (
+       |  SELECT d.doc_id,
+       |         row_number() OVER (PARTITION BY d.doc_id ORDER BY sp.s) - 1 seq,
+       |         md5(substr(d.text, CAST(sp.s AS INT), CAST(sp.e - sp.s + 1 AS INT))) fp,
+       |         sp.e - sp.s + 1 len
+       |  FROM sp JOIN all_docs d USING (doc_id)),
+       |f AS (
+       |  SELECT fp, min(doc_id * 1048576 + seq) fkey FROM ch GROUP BY fp)
+       |SELECT ch.doc_id,
+       |       count(*) AS n_chunks,
+       |       CAST(sum(CASE WHEN f.fkey <> ch.doc_id * 1048576 + ch.seq THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       |       CAST(sum(CASE WHEN f.fkey <> ch.doc_id * 1048576 + ch.seq THEN ch.len ELSE 0 END) AS BIGINT) AS dup_bytes,
+       |       CAST(sum(ch.len) AS BIGINT) AS n_bytes
+       |FROM ch JOIN f USING (fp)
+       |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
+  }
+
   // ---- n-gram Jaccard ----------------------------------------------------
 
   /** Jaccard over the df-capped shingle sets: both |A∩B| and |A|,|B| are
@@ -1170,6 +1321,7 @@ object Dedup {
     "dd_lines" -> (lineDedup _),
     "dd_fuzzy" -> (fuzzy _),
     "dd_exact" -> (exact _),
+    "dd_cdc" -> (cdc _),
     "dd_allpairs" -> (allpairs _),
     "dd_contam" -> (contam _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
@@ -1188,6 +1340,7 @@ object Dedup {
     "dd_lines" -> lineDedupSql,
     "dd_fuzzy" -> fuzzySql,
     "dd_exact" -> exactSql,
+    "dd_cdc" -> cdcSql,
     "dd_allpairs" -> allpairsSql,
     "dd_contam" -> contamSql,
     "dd_ngram_jaccard" -> ngramJaccardSql,

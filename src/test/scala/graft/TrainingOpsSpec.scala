@@ -23,6 +23,37 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r.forall(_.getLong(1) == 2L))
   }
 
+  test("cdc chunking: lossless, boundary rule local, planted copies fully duplicated") {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("text").as[String].collect()
+    // lossless split + nonempty chunks on every corpus doc
+    texts.foreach { t =>
+      val ch = Dedup.cdcChunks(t)
+      assert(ch.mkString == t)
+      assert(ch.forall(_.nonEmpty))
+    }
+    // edit locality (the CDC property fixed-size blocks lack): prepending a
+    // run to a doc leaves every chunk after the first original boundary
+    // identical, so shared content is still found by fingerprint
+    val base = texts.maxBy(_.length)
+    val orig = Dedup.cdcChunks(base)
+    val edited = Dedup.cdcChunks("zz inserted preamble " + base)
+    if (orig.length >= 3) {
+      val sharedTail = orig.tails.find(t => edited.containsSlice(t)).get
+      assert(sharedTail.length >= orig.length - 2,
+        s"edit should only perturb chunks before the first boundary: " +
+          s"orig=${orig.length} sharedTail=${sharedTail.length}")
+    }
+    // planted exact copies (doc_id+1e6) read as 100% duplicated bytes
+    val r = Dedup.cdc(spark, SF).filter(col("doc_id") >= 1000000L).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(1) == row.getLong(2), s"n_chunks != dup_chunks: $row")
+      assert(row.getLong(3) == row.getLong(4), s"dup_bytes != n_bytes: $row")
+    }
+  }
+
   test("minhash LSH pairs include all identical-copy pairs with all bands") {
     val pairs = Dedup.minhashLsh(spark, SF)
       .filter(col("doc_b") === col("doc_a") + 1000000L)
