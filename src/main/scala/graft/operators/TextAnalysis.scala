@@ -1740,7 +1740,61 @@ object TextAnalysis {
        |            ELSE 'college' END AS band
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- vocabulary-growth curve (Heaps' law) -------------------------------
+
+  /** Cumulative vocabulary-vs-tokens curve over the corpus in doc_id order,
+    * 10 buckets — the Heaps'-law measurement a tokenizer/vocab-sizing pass
+    * reads (V(n) ≈ K·n^β: how fast does new vocabulary appear as the corpus
+    * grows?). Buckets are doc_id RANGE deciles (an arithmetic function of
+    * doc_id and the corpus min/max — NOT a global row_number, which would
+    * funnel 100 TB through one ordering task); a token's first appearance is
+    * min(bucket), a partial-aggregable fold, so hot stopwords combine
+    * map-side. Exact integers end-to-end.
+    *
+    * Scale shape: one (token) exchange for first-bucket, one (bucket)
+    * rollup each ≤10 rows, the 1-row min/max broadcast — no global sort, no
+    * driver loop. The final cumsum window runs on ≤10 rows.
+    */
+  def heaps(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), Toks.tokens(col("text")).as("t"))
+    val rng = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val tk = docs
+      .crossJoin(broadcast(rng))
+      .select(
+        expr("((doc_id - mn) * 10) div (mx - mn + 1) + 1").as("b"),
+        explode(col("t")).as("tok")
+      )
+    val tt = tk.groupBy("b").agg(count(lit(1)).as("n_tok"))
+    val nv = tk.groupBy("tok").agg(min(col("b")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tt.join(nv, Seq("b"), "left")
+      .select(
+        col("b").cast("long").as("bucket"),
+        sum(col("n_tok")).over(w).cast("long").as("cum_tokens"),
+        sum(coalesce(col("nv"), lit(0L))).over(w).cast("long").as("cum_vocab")
+      )
+      .orderBy("bucket")
+  }
+
+  val heapsSql: String =
+    s"""WITH docs AS (SELECT doc_id, ${Toks.SQL_TOKENS} t FROM documents),
+       |rng AS (SELECT min(doc_id) mn, max(doc_id) mx FROM docs),
+       |tk AS (SELECT ((d.doc_id - r.mn) * 10) // (r.mx - r.mn + 1) + 1 AS b,
+       |              unnest(d.t) AS tok
+       |       FROM docs d, rng r),
+       |tt AS (SELECT b, count(*) n_tok FROM tk GROUP BY b),
+       |nv AS (SELECT b, count(*) nv FROM
+       |         (SELECT tok, min(b) b FROM tk GROUP BY tok) GROUP BY b)
+       |SELECT CAST(tt.b AS BIGINT) bucket,
+       |       CAST(sum(tt.n_tok) OVER (ORDER BY tt.b) AS BIGINT) cum_tokens,
+       |       CAST(sum(coalesce(nv.nv, 0)) OVER (ORDER BY tt.b) AS BIGINT) cum_vocab
+       |FROM tt LEFT JOIN nv USING (b) ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_heaps" -> (heaps _),
     "ta_linefix" -> (linefix _),
     "ta_fkgl" -> (fkgl _),
     "ta_lm" -> (lmScore _),
@@ -1774,6 +1828,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_heaps" -> heapsSql,
     "ta_linefix" -> linefixSql,
     "ta_fkgl" -> fkglSql,
     "ta_lm" -> lmScoreSql,

@@ -73,6 +73,27 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r.filter(col("jacc_pct") =!= 100).count() == 0)
   }
 
+  test("heaps curve: vocabulary accumulates exactly by first-appearance decile") {
+    import spark.implicits._
+    // 20 docs (deciles of 2), doc d carries tokens w0..w_d: decile k's new
+    // vocabulary is exactly the tokens first seen in docs 2k-2 and 2k-1
+    val dir = java.nio.file.Files.createTempDirectory("graft-heaps").toString
+    (0 until 20)
+      .map(d => (d.toLong, (0 to d).map(k => s"w$k").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.heaps(spark, dir).collect()
+    assert(r.length == 10)
+    r.zipWithIndex.foreach { case (row, i) =>
+      val b = i + 1
+      assert(row.getLong(0) == b)
+      // cum tokens: sum of (d+1) for d < 2b; cum vocab: max token index + 1 = 2b
+      assert(row.getLong(1) == (0 until 2 * b).map(_ + 1).sum, s"cum_tokens b=$b")
+      assert(row.getLong(2) == 2L * b, s"cum_vocab b=$b")
+    }
+    graft.sources.Snapshots.deleteRecursively(new java.io.File(dir))
+  }
+
   test("dataset split is the pure md5 function of doc_id, covers every doc") {
     val rows = TextAnalysis.split(spark, SF).collect()
     val nDocs = spark.read.parquet(s"$SF/documents.parquet").count()
