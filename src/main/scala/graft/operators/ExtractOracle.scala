@@ -822,6 +822,77 @@ object ExtractOracle {
        |FROM m ORDER BY url""".stripMargin
   }
 
+  // ---- document outline (section-path assignment) --------------------------
+
+  /** Section-path assignment over the shared blocks artifact: every kept
+    * content block gets the headings that govern it — the last `h1` at or
+    * before it in document order, and the last `h2` AFTER that `h1` (an h1
+    * opens a new section, so an earlier sibling's h2 must not leak across
+    * it). This is the structure pass that turns flat extracted blocks into
+    * the sectioned records a training pipeline chunks on (heading-scoped
+    * chunking beats blind windows for long documents).
+    *
+    * Boilerplate-flagged blocks are excluded on BOTH roles — a sidebar `h3`
+    * never becomes a section, and nav blocks get no path.
+    *
+    * Scale shape: one (url) exchange for the per-document window — the same
+    * key the extraction pipeline already shuffles on; ignore-nulls
+    * `last_value` folds the heading forward in one frame scan, no
+    * self-joins.
+    */
+  def exOutline(spark: SparkSession, sfDir: String): DataFrame =
+    outlineOver(OracleCorpus.blocks(spark).toDF())
+
+  /** The window core of [[exOutline]], over any blocks-shaped frame
+    * (url, seq, tag, text, kind, flags) — separated so the h1-reset rule is
+    * testable on crafted rows.
+    */
+  private[graft] def outlineOver(blocks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("url").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    blocks
+      .filter(col("kind") === "html" &&
+        col("flags").bitwiseAND(1) === 0 && col("flags").bitwiseAND(2) === 0)
+      .withColumn("h1", last(when(col("tag") === "h1", col("text")), ignoreNulls = true).over(w))
+      .withColumn("h1seq", max(when(col("tag") === "h1", col("seq"))).over(w))
+      .withColumn("h2c", last(when(col("tag") === "h2", col("text")), ignoreNulls = true).over(w))
+      .withColumn("h2seq", max(when(col("tag") === "h2", col("seq"))).over(w))
+      .filter(!col("tag").isin("h1", "h2"))
+      .select(
+        col("url"),
+        col("seq").cast("long").as("seq"),
+        col("tag"),
+        coalesce(col("h1"), lit("")).as("h1"),
+        coalesce(
+          when(col("h2seq") > coalesce(col("h1seq"), lit(-1)), col("h2c")),
+          lit("")
+        ).as("h2")
+      )
+      .orderBy("url", "seq")
+  }
+
+  val exOutlineSql: String =
+    s"""WITH b AS (
+       |  SELECT url, seq, tag, text FROM $B
+       |  WHERE kind = 'html' AND (flags & 1) = 0 AND (flags & 2) = 0),
+       |wf AS (
+       |  SELECT url, seq, tag,
+       |         last_value(CASE WHEN tag = 'h1' THEN text END IGNORE NULLS)
+       |           OVER w h1,
+       |         max(CASE WHEN tag = 'h1' THEN seq END) OVER w h1seq,
+       |         last_value(CASE WHEN tag = 'h2' THEN text END IGNORE NULLS)
+       |           OVER w h2c,
+       |         max(CASE WHEN tag = 'h2' THEN seq END) OVER w h2seq
+       |  FROM b
+       |  WINDOW w AS (PARTITION BY url ORDER BY seq
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT url, CAST(seq AS BIGINT) seq, tag,
+       |       coalesce(h1, '') h1,
+       |       coalesce(CASE WHEN h2seq > coalesce(h1seq, -1) THEN h2c END, '') h2
+       |FROM wf WHERE tag NOT IN ('h1', 'h2')
+       |ORDER BY url, seq""".stripMargin
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -831,6 +902,7 @@ object ExtractOracle {
     "ex_schedule" -> (exSchedule _),
     "ex_blocklist" -> (exBlocklist _),
     "ex_meta" -> (exMeta _),
+    "ex_outline" -> (exOutline _),
     "ex_links" -> (exLinks _),
     "ex_urlnorm" -> (exUrlNorm _),
     "ex_classify" -> (exClassify _),
@@ -850,6 +922,7 @@ object ExtractOracle {
     "ex_schedule" -> exScheduleSql,
     "ex_blocklist" -> exBlocklistSql,
     "ex_meta" -> exMetaSql,
+    "ex_outline" -> exOutlineSql,
     "ex_links" -> exLinksSql,
     "ex_urlnorm" -> exUrlNormSql,
     "ex_classify" -> exClassifySql,

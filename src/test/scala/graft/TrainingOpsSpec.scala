@@ -94,6 +94,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     graft.sources.Snapshots.deleteRecursively(new java.io.File(dir))
   }
 
+  test("outline: h1 resets h2 scope; boiler headings never govern") {
+    import spark.implicits._
+    val blocks = Seq(
+      // url, seq, tag, text, kind, flags
+      ("u", 0, "p", "intro", "html", 0), // before any heading
+      ("u", 1, "h1", "A", "html", 0),
+      ("u", 2, "h2", "A.1", "html", 0),
+      ("u", 3, "p", "under A.1", "html", 0),
+      ("u", 4, "h1", "B", "html", 0), // resets the h2
+      ("u", 5, "p", "under B", "html", 0),
+      ("u", 6, "h3", "sidebar", "html", 1), // boiler: excluded entirely
+      ("u", 7, "li", "nav", "html", 1)
+    ).toDF("url", "seq", "tag", "text", "kind", "flags")
+    val r = ExtractOracle.outlineOver(blocks).collect()
+      .map(x => (x.getLong(1), x.getString(3), x.getString(4)))
+    assert(r.toSeq == Seq((0L, "", ""), (3L, "A", "A.1"), (5L, "B", "")))
+  }
+
   test("dataset split is the pure md5 function of doc_id, covers every doc") {
     val rows = TextAnalysis.split(spark, SF).collect()
     val nDocs = spark.read.parquet(s"$SF/documents.parquet").count()
