@@ -27,6 +27,7 @@ object SparkEntry {
       Similarity.queries ++
       TextAnalysis.queries ++
       ExtractOracle.queries ++
+      Structured.queries ++
       graft.streaming.StreamingOps.queries ++
       Multimodal.queries ++
       graft.sources.Formats.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       Similarity.oracles ++
       TextAnalysis.oracles ++
       ExtractOracle.oracles ++
+      Structured.oracles ++
       graft.streaming.StreamingOps.oracles ++
       Multimodal.oracles ++
       graft.sources.Formats.oracles ++

@@ -94,6 +94,26 @@ class TrainingOpsSpec extends AnyFunSuite {
     graft.sources.Snapshots.deleteRecursively(new java.io.File(dir))
   }
 
+  test("structured scanners: general lexical rules beyond the oracle's constrained corpus") {
+    // attribute order/quoting variance, decoy types, comments — cases the
+    // regexp oracle never sees but a real page serves
+    val html =
+      """<!-- <script type="application/ld+json">{"x":1}</script> -->
+        |<script async type='application/LD+JSON'>{"@type":"Article","headline":"a"}</script>
+        |<script type="text/javascript">var x = '{"@type":"Decoy"}';</script>
+        |<script type=application/ld+json >{"@type":"B"}</script>
+        |<table border=1 class="wide data"><tr><th>H &amp; 1</th></tr>
+        |<tr><td><b>bold</b> text</td></tr></table>
+        |<table class="database"><tr><td>nope</td></tr></table>
+        |<table><tr><td>layout</td></tr></table>""".stripMargin
+    val ld = Structured.jsonLdBodies(html)
+    assert(ld.size == 2, ld)
+    assert(ld(0).contains("\"headline\":\"a\"") && ld(1).contains("\"@type\":\"B\""))
+    val cells = Structured.dataTableCells(html)
+    // only the class-token 'data' table; entity + markup-stripped cells
+    assert(cells == Vector((0, 0, 0, "H & 1"), (0, 1, 0, "bold text")), cells)
+  }
+
   test("outline: h1 resets h2 scope; boiler headings never govern") {
     import spark.implicits._
     val blocks = Seq(
