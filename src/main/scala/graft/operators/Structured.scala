@@ -293,15 +293,133 @@ object Structured {
       |SELECT url, tbl, r, c, cell FROM c2 ORDER BY url, tbl, r, c""".stripMargin
   }
 
+  // ---- rel=canonical clustering ----------------------------------------------
+
+  /** First `<link rel="canonical" href=…>` target in the page, or "" when
+    * none is declared. General lexical scan (attrs any order/quoting, rel is
+    * a token list, comments skipped).
+    */
+  def canonicalHref(html: String): String = {
+    val s = html
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) return ""
+      if (s.startsWith("<!--", lt)) {
+        val e = s.indexOf("-->", lt + 4); i = if (e < 0) n else e + 3
+      } else if (lt + 5 <= n && s.regionMatches(true, lt + 1, "link", 0, 4) &&
+        (lt + 5 == n || !Character.isLetterOrDigit(s.charAt(lt + 5)))) {
+        val (attrs, past) = parseAttrs(s, lt + 5)
+        val rel = attrs.collectFirst { case ("rel", v) => v }.getOrElse("")
+        val href = attrs.collectFirst { case ("href", v) => v }.getOrElse("")
+        if (rel.toLowerCase.split("\\s+").contains("canonical") && href.nonEmpty)
+          return href
+        i = past
+      } else if (lt + 8 <= n && s.regionMatches(true, lt + 1, "/head", 0, 5)) {
+        return "" // canonical is a head element; stop at </head>
+      } else i = lt + 1
+    }
+    ""
+  }
+
+  /** Canonical-URL clustering — the duplicate-group signal the site itself
+    * declares (tracking-param / mobile / recrawl variants all point at one
+    * canonical): every url resolves to its declared canonical (itself when
+    * none), clusters are counted, and `is_canon` marks the cluster
+    * representative a dedup pass would keep. At 100 TB this is the CHEAP
+    * first dedup pass — one url-keyed extraction plus one canonical-keyed
+    * count, no similarity join at all.
+    */
+  def exCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val resolved = StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .map { case (url, html) =>
+        val c = canonicalHref(html)
+        (url, if (c.isEmpty) url else c)
+      }
+      .toDF("url", "canonical")
+    val sizes = resolved.groupBy("canonical").agg(count(lit(1)).as("cluster_n"))
+    resolved
+      .join(sizes, "canonical")
+      .select(
+        col("url"), col("canonical"), col("cluster_n"),
+        when(col("url") === col("canonical"), 1L).otherwise(0L).as("is_canon")
+      )
+      .orderBy("url")
+  }
+
+  val exCanonicalSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    """WITH res AS (
+      |  SELECT url,
+      |         CASE WHEN regexp_extract(html_str,
+      |                '<link rel="canonical" href="([^"]*)">', 1) = ''
+      |              THEN url
+      |              ELSE regexp_extract(html_str,
+      |                '<link rel="canonical" href="([^"]*)">', 1) END canonical
+      |  FROM """.stripMargin + H + """),
+      |sz AS (SELECT canonical, count(*) cluster_n FROM res GROUP BY canonical)
+      |SELECT url, canonical, cluster_n,
+      |       CAST(CASE WHEN url = canonical THEN 1 ELSE 0 END AS BIGINT) is_canon
+      |FROM res JOIN sz USING (canonical) ORDER BY url""".stripMargin
+  }
+
+  // ---- sitemap parse -----------------------------------------------------------
+
+  private val SITEMAP_SCHEMA = StructType(Seq(
+    StructField("url", ArrayType(StructType(Seq(
+      StructField("loc", StringType),
+      StructField("lastmod", StringType),
+      StructField("priority", StringType)
+    ))))
+  ))
+
+  /** sitemap.xml → crawl-frontier rows: (host, ord, loc, lastmod, priority)
+    * per `<url>` entry, in sitemap order. The parse is Spark 4's native
+    * `from_xml` (typed schema, null-safe); priority stays a STRING — it is
+    * a declared label, not a number to do float math on.
+    */
+  def exSitemap(spark: SparkSession, sfDir: String): DataFrame =
+    StructuredCorpus.sitemaps(spark)
+      .select(col("host"), from_xml(col("sitemap_xml"), SITEMAP_SCHEMA).as("p"))
+      .select(col("host"), posexplode(col("p.url")).as(Seq("ord", "u")))
+      .select(
+        col("host"), col("ord").cast("long").as("ord"),
+        col("u.loc").as("loc"), col("u.lastmod").as("lastmod"),
+        col("u.priority").as("priority")
+      )
+      .orderBy("host", "ord")
+
+  val exSitemapSql: String = {
+    val S = StructuredCorpus.SITEMAPS_PQ
+    """WITH m AS (
+      |  SELECT host, regexp_extract_all(sitemap_xml, '<url>(.*?)</url>', 1) es
+      |  FROM """.stripMargin + S + """),
+      |e AS (
+      |  SELECT host, CAST(i - 1 AS BIGINT) ord, es[i] entry
+      |  FROM m, unnest(generate_series(1, len(es))) AS u(i))
+      |SELECT host, ord,
+      |       regexp_extract(entry, '<loc>(.*?)</loc>', 1) loc,
+      |       regexp_extract(entry, '<lastmod>(.*?)</lastmod>', 1) lastmod,
+      |       regexp_extract(entry, '<priority>(.*?)</priority>', 1) priority
+      |FROM e ORDER BY host, ord""".stripMargin
+  }
+
   // ---- contract surface ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ex_jsonld" -> (exJsonld _),
-    "ex_tables" -> (exTables _)
+    "ex_tables" -> (exTables _),
+    "ex_canonical" -> (exCanonical _),
+    "ex_sitemap" -> (exSitemap _)
   )
 
   def oracles: Map[String, String] = Map(
     "ex_jsonld" -> exJsonldSql,
-    "ex_tables" -> exTablesSql
+    "ex_tables" -> exTablesSql,
+    "ex_canonical" -> exCanonicalSql,
+    "ex_sitemap" -> exSitemapSql
   )
 }

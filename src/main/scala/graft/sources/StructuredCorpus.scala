@@ -62,11 +62,20 @@ object StructuredCorpus {
     s"""<table class="data"><tr>$head</tr>$body</table>"""
   }
 
+  /** Canonical target: pages pair up (i and i+1 point at even i) — the
+    * recrawl/tracking-param duplicate shape; every 7th page declares none.
+    */
+  def canonicalFor(i: Long): Option[String] =
+    if (i % 7 == 0) None
+    else Some(s"https://structured.example.org/a/${i - (i % 2)}")
+
   def htmlFor(i: Long): String = {
     val nLd = (i % 3).toInt
     val nTbl = ((i + 1) % 3).toInt
     val sb = new StringBuilder
-    sb.append(s"<html><head><title>${phrase(i, 1, 3)}</title></head><body>")
+    sb.append(s"<html><head><title>${phrase(i, 1, 3)}</title>")
+    canonicalFor(i).foreach(c => sb.append(s"""<link rel="canonical" href="$c">"""))
+    sb.append("</head><body>")
     sb.append(s"<p>${phrase(i, 2, 8)}.</p>")
     (0 until nLd).foreach(s => sb.append(ldScript(i, s)))
     // decoys: a plain JS script with JSON-looking content, a layout table
@@ -77,6 +86,27 @@ object StructuredCorpus {
     (0 until nTbl).foreach(t => sb.append(dataTable(i, t)))
     sb.append(s"<p>${phrase(i, 3, 6)}.</p></body></html>")
     sb.toString
+  }
+
+  // ---- sitemaps -------------------------------------------------------------
+
+  val SITEMAPS_PQ = s"read_parquet('$DIR/sitemaps/*.parquet')"
+  val N_HOSTS = 40
+
+  /** One single-line sitemap.xml per host: 5..30 `<url>` entries with loc /
+    * lastmod / priority — the crawl-frontier seed document.
+    */
+  def sitemapFor(h: Long): String = {
+    val n = 5 + Rng.nextInt(SEED, 900L, h, 26)
+    val entries = (0 until n).map { k =>
+      val m = 1 + Rng.nextInt(SEED, 910L + k, h, 12)
+      val d = 1 + Rng.nextInt(SEED, 920L + k, h, 28)
+      val pr = Rng.nextInt(SEED, 930L + k, h, 10)
+      s"<url><loc>https://host$h.example.org/p/$k</loc>" +
+        s"<lastmod>2026-${f"$m%02d"}-${f"$d%02d"}</lastmod>" +
+        s"<priority>0.$pr</priority></url>"
+    }.mkString
+    s"""<?xml version="1.0" encoding="UTF-8"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">$entries</urlset>"""
   }
 
   @volatile private var done = false
@@ -95,6 +125,10 @@ object StructuredCorpus {
         .map(i => (s"https://structured.example.org/a/$i", htmlFor(i)))
         .toDF("url", "html_str")
         .write.mode("overwrite").parquet(s"$DIR/html")
+      spark.range(N_HOSTS)
+        .map(h => (s"host$h.example.org", sitemapFor(h)))
+        .toDF("host", "sitemap_xml")
+        .write.mode("overwrite").parquet(s"$DIR/sitemaps")
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -103,5 +137,10 @@ object StructuredCorpus {
   def htmlStrs(spark: SparkSession): DataFrame = {
     ensure(spark)
     spark.read.parquet(s"$DIR/html")
+  }
+
+  def sitemaps(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/sitemaps")
   }
 }

@@ -112,6 +112,12 @@ class TrainingOpsSpec extends AnyFunSuite {
     val cells = Structured.dataTableCells(html)
     // only the class-token 'data' table; entity + markup-stripped cells
     assert(cells == Vector((0, 0, 0, "H & 1"), (0, 1, 0, "bold text")), cells)
+    // canonical: rel token list, attr order swap, head-scoped, first wins
+    assert(Structured.canonicalHref(
+      """<head><link href="/a" rel="alternate canonical"><link rel="canonical" href="/b"></head>""") == "/a")
+    assert(Structured.canonicalHref(
+      """<head><title>x</title></head><body><link rel="canonical" href="/late"></body>""") == "")
+    assert(Structured.canonicalHref("<p>none</p>") == "")
   }
 
   test("outline: h1 resets h2 scope; boiler headings never govern") {
