@@ -30,13 +30,15 @@ object Bench {
     * no-equi-key interval join; the fifth batch adds the bloom-reduced
     * incremental dedup and the inverted-index conjunctive search; the
     * seventh adds PQ encode+ADC search and the bigram-LM fluency scorer;
-    * round 4 adds the banded-history incremental near-dedup.
+    * round 4 adds the banded-history incremental near-dedup and the
+    * content-defined-chunking dedup (corpus-sized chunk shuffle — a
+    * different cost shape from the shingle index).
     */
   private val HEADLINE = Seq(
     "q1_agg", "q3_join", "q_window", "q_range_join", "q_distinct",
     "q_topk_per_key", "q_sessionize", "q_interval_join",
     "dd_exact", "dd_ngram_jaccard", "dd_allpairs", "dd_minhash_lsh", "dd_simhash", "dd_contam",
-    "dd_components", "dd_lines", "dd_substr", "dd_bloom", "dd_incr_near", "ta_gopher",
+    "dd_components", "dd_lines", "dd_substr", "dd_bloom", "dd_incr_near", "dd_cdc", "ta_gopher",
     "sim_knn", "sim_ivf", "sim_pq", "dd_embed_cos", "dd_semantic", "ta_quality", "ta_tokens", "ta_ngrams",
     "ta_tfidf", "ta_pii", "ta_search", "ta_bpe", "ta_lm", "ta_dsir", "q_funnel",
     "q_bucket_join", "st_session", "st_left_join"
