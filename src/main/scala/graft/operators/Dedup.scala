@@ -158,9 +158,12 @@ object Dedup {
     * embarrassingly parallel to produce (per-row scan); the first-occurrence
     * fold is a partial-aggregable min(struct) on the fingerprint key — hot
     * boilerplate chunks combine map-side, never a single-reducer pileup; the
-    * join back is fp-partitioned against a distinct-fp-sized right side
-    * (AQE skew-split covers hot fingerprints); the final per-doc rollup
-    * rides the doc_id key. Exactly two exchanges beyond the scan.
+    * join back takes the distinct-fp-sized first-occurrence table as the
+    * BROADCAST side below the threshold (measured plan at bench scale) and
+    * falls back to an fp-co-partitioned join above it (AQE skew-split
+    * covers hot fingerprints); the final per-doc rollup rides the doc_id
+    * key. Two hash exchanges (fp fold, doc rollup) + the deterministic
+    * output sort's range exchange — pinned by test.
     */
   def cdc(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -46,12 +46,20 @@ class TrainingOpsSpec extends AnyFunSuite {
           s"orig=${orig.length} sharedTail=${sharedTail.length}")
     }
     // planted exact copies (doc_id+1e6) read as 100% duplicated bytes
-    val r = Dedup.cdc(spark, SF).filter(col("doc_id") >= 1000000L).collect()
+    val cdcDf = Dedup.cdc(spark, SF)
+    val r = cdcDf.filter(col("doc_id") >= 1000000L).collect()
     assert(r.nonEmpty)
     r.foreach { row =>
       assert(row.getLong(1) == row.getLong(2), s"n_chunks != dup_chunks: $row")
       assert(row.getLong(3) == row.getLong(4), s"dup_bytes != n_bytes: $row")
     }
+    // scale shape: two hash exchanges (fp fold, doc rollup) + the output
+    // sort's range exchange; the first-occurrence side BROADCASTS back
+    val plan = cdcDf.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(hashEx == 2 && rangeEx == 1, s"expected 2 hash + 1 range exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"first-occurrence side should broadcast:\n$plan")
   }
 
   test("minhash LSH pairs include all identical-copy pairs with all bands") {
