@@ -26,6 +26,34 @@ class PropertySpec extends AnyFunSuite {
   private val anyBytes: Gen[Array[Byte]] =
     Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
 
+  test("cdc chunker: lossless on arbitrary strings; boundaries equal a brute-force recompute") {
+    // independent boundary implementation: direct 6-term polynomial per
+    // position (no rolling update) — the same second-implementation the
+    // DuckDB oracle uses
+    def bruteEnds(t: String): Vector[Int] = {
+      val K = 6
+      (K - 1 until t.length).filter { p =>
+        var h = 0L
+        var j = p - K + 1
+        while (j <= p) { h = h * 257L + t.charAt(j); j += 1 }
+        h % 64L == 13L
+      }.map(_ + 1).toVector
+    }
+    samples(anyString, 300).foreach { s =>
+      val ch = graft.operators.Dedup.cdcChunks(s)
+      assert(ch.mkString == s, "lossless")
+      assert(ch.forall(_.nonEmpty), "nonempty")
+      if (s.length >= 6) {
+        val ends = ch.scanLeft(0)(_ + _.length).drop(1)
+        val expected = {
+          val b = bruteEnds(s)
+          if (b.lastOption.contains(s.length)) b else b :+ s.length
+        }
+        assert(ends.toVector == expected, s"boundary mismatch on ${s.take(40)}…")
+      } else if (s.nonEmpty) assert(ch == Vector(s))
+    }
+  }
+
   test("tokenizer never crashes and is deterministic on arbitrary strings") {
     samples(anyString, 300).foreach { s =>
       val a = HtmlBlocks.blocks(s)
