@@ -407,19 +407,369 @@ object Structured {
       |FROM e ORDER BY host, ord""".stripMargin
   }
 
+  // ---- head-element scan (shared by the og / hreflang / pubdate scanners) -----
+
+  /** Elements inside `<head>…</head>` in document order as (tag, attrs).
+    * Comments skipped; rawtext elements (title/script/style) contribute their
+    * start tag and their content is skipped wholesale; the scan STOPS at
+    * `</head>` — og/twitter metas, hreflang alternates and
+    * article:published_time are head surfaces per spec, so body lookalikes
+    * (ad-injected meta clones) never leak in.
+    */
+  private def headElems(html: String): Vector[(String, List[(String, String)])] = {
+    val s = html
+    val n = s.length
+    val out = ArrayBuffer.empty[(String, List[(String, String)])]
+    var i = 0
+    var stop = false
+    while (i < n && !stop) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) stop = true
+      else if (s.startsWith("<!--", lt)) {
+        val e = s.indexOf("-->", lt + 4); i = if (e < 0) n else e + 3
+      } else if (lt + 1 < n && s.charAt(lt + 1) == '/') {
+        if (s.regionMatches(true, lt + 2, "head", 0, 4)) stop = true
+        else { val e = s.indexOf('>', lt + 2); i = if (e < 0) n else e + 1 }
+      } else if (lt + 1 < n && Character.isLetter(s.charAt(lt + 1))) {
+        var j = lt + 1
+        val ts = j
+        while (j < n && (Character.isLetterOrDigit(s.charAt(j)) || s.charAt(j) == '-')) j += 1
+        val tag = s.substring(ts, j).toLowerCase
+        val (attrs, past) = parseAttrs(s, j)
+        out += ((tag, attrs))
+        i = if (tag == "title" || tag == "script" || tag == "style")
+          findClose(s, past, tag)._2
+        else past
+      } else i = lt + 1
+    }
+    out.toVector
+  }
+
+  private def attr(attrs: List[(String, String)], name: String): String =
+    attrs.collectFirst { case (`name`, v) => v }.getOrElse("")
+
+  // ---- OpenGraph / Twitter card metas ------------------------------------------
+
+  /** The social-share card fields a crawl index surfaces next to the
+    * extracted text: og:title/type/image/url (from `property=` metas — a
+    * `name="og:title"` is NOT OpenGraph and is skipped) and twitter:card
+    * (which the Twitter spec puts in `name=`). First occurrence wins per
+    * field; "" when a page doesn't declare one; head-scoped (body decoys
+    * pinned ignored).
+    */
+  def ogCard(html: String): (String, String, String, String, String) = {
+    var ogTitle = ""; var ogType = ""; var ogImage = ""; var ogUrl = ""; var tw = ""
+    headElems(html).foreach { case (tag, attrs) =>
+      if (tag == "meta") {
+        val prop = attr(attrs, "property").toLowerCase
+        val nm = attr(attrs, "name").toLowerCase
+        val c = attr(attrs, "content")
+        prop match {
+          case "og:title" => if (ogTitle.isEmpty) ogTitle = c
+          case "og:type" => if (ogType.isEmpty) ogType = c
+          case "og:image" => if (ogImage.isEmpty) ogImage = c
+          case "og:url" => if (ogUrl.isEmpty) ogUrl = c
+          case _ =>
+        }
+        if (nm == "twitter:card" && tw.isEmpty) tw = c
+      }
+    }
+    (ogTitle, ogType, ogImage, ogUrl, tw)
+  }
+
+  def exOpengraph(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .map { case (url, html) =>
+        val (t, y, im, u, tw) = ogCard(html)
+        (url, t, y, im, u, tw)
+      }
+      .toDF("url", "og_title", "og_type", "og_image", "og_url", "tw_card")
+      .orderBy("url")
+  }
+
+  val exOpengraphSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    """WITH h AS (
+      |  SELECT url, regexp_extract(html_str, '<head>(.*?)</head>', 1) hd
+      |  FROM """.stripMargin + H + """)
+      |SELECT url,
+      |  regexp_extract(hd, '<meta property="og:title" content="([^"]*)">', 1) og_title,
+      |  regexp_extract(hd, '<meta property="og:type" content="([^"]*)">', 1) og_type,
+      |  regexp_extract(hd, '<meta property="og:image" content="([^"]*)">', 1) og_image,
+      |  regexp_extract(hd, '<meta property="og:url" content="([^"]*)">', 1) og_url,
+      |  regexp_extract(hd, '<meta name="twitter:card" content="([^"]*)">', 1) tw_card
+      |FROM h ORDER BY url""".stripMargin
+  }
+
+  // ---- hreflang alternate clusters ----------------------------------------------
+
+  /** `<link rel="alternate" hreflang=…>` language variants in head order —
+    * the site-declared translation cluster (the OTHER site-declared duplicate
+    * structure besides rel=canonical: variants are same-content different-
+    * language, so a per-language dedup pass must NOT collapse them while a
+    * url-frontier pass should crawl them once per language). rel is a token
+    * list; alternates without hreflang (RSS autodiscovery) are skipped; body
+    * lookalikes are out of scope by head-scoping.
+    */
+  def hreflangAlts(html: String): Vector[(String, String)] =
+    headElems(html).collect {
+      case ("link", attrs)
+        if attr(attrs, "rel").toLowerCase.split("\\s+").contains("alternate") &&
+          attr(attrs, "hreflang").nonEmpty =>
+        (attr(attrs, "hreflang"), attr(attrs, "href"))
+    }
+
+  def exHreflang(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .flatMap { case (url, html) =>
+        hreflangAlts(html).zipWithIndex.map { case ((l, h), k) => (url, k.toLong, l, h) }
+      }
+      .toDF("url", "ord", "hreflang", "href")
+      .orderBy("url", "ord")
+  }
+
+  val exHreflangSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    """WITH h AS (
+      |  SELECT url, regexp_extract(html_str, '<head>(.*?)</head>', 1) hd
+      |  FROM """.stripMargin + H + """),
+      |m AS (
+      |  SELECT url,
+      |    regexp_extract_all(hd, '<link rel="alternate" hreflang="([^"]*)" href="[^"]*">', 1) ls,
+      |    regexp_extract_all(hd, '<link rel="alternate" hreflang="[^"]*" href="([^"]*)">', 1) hs
+      |  FROM h)
+      |SELECT url, CAST(i - 1 AS BIGINT) ord, ls[i] hreflang, hs[i] href
+      |FROM m, unnest(generate_series(1, len(ls))) AS u(i)
+      |ORDER BY url, ord""".stripMargin
+  }
+
+  // ---- publication-date inference -------------------------------------------------
+
+  /** First `article:published_time` meta content in head ("" when absent). */
+  def publishedTimeMeta(html: String): String =
+    headElems(html).collectFirst {
+      case ("meta", attrs)
+        if attr(attrs, "property").equalsIgnoreCase("article:published_time") =>
+        attr(attrs, "content")
+    }.getOrElse("")
+
+  /** First `<time datetime=…>` anywhere in the page ("" when absent) —
+    * the visible-timestamp fallback. General scan, comments skipped.
+    */
+  def timeDatetime(html: String): String = {
+    val s = html
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) return ""
+      if (s.startsWith("<!--", lt)) {
+        val e = s.indexOf("-->", lt + 4); i = if (e < 0) n else e + 3
+      } else if (lt + 5 <= n && s.regionMatches(true, lt + 1, "time", 0, 4) &&
+        (lt + 5 == n || !Character.isLetterOrDigit(s.charAt(lt + 5)))) {
+        val (attrs, past) = parseAttrs(s, lt + 5)
+        val dt = attr(attrs, "datetime")
+        if (dt.nonEmpty) return dt
+        i = past
+      } else i = lt + 1
+    }
+    ""
+  }
+
+  /** Publication-date inference with the precedence a news-curation pass
+    * uses (trafilatura-style): `article:published_time` head meta (authored
+    * for sharing, most reliable) → first JSON-LD `datePublished` in document
+    * order → first visible `<time datetime=…>` → none. Output is the
+    * normalized YYYY-MM-DD plus WHICH source won — downstream mixes weight
+    * meta-dated docs above inferred ones. The candidate JSON-LD body is
+    * located per-row (first script carrying the field) and parsed null-safe
+    * with codegen'd from_json; the whole op is zero-exchange before the
+    * output sort.
+    */
+  def exPubdate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .map { case (url, html) =>
+        val meta = publishedTimeMeta(html)
+        val ldBody = jsonLdBodies(html).find(_.contains("\"datePublished\"")).orNull
+        (url, meta, ldBody, timeDatetime(html))
+      }
+      .toDF("url", "meta_ts", "ld_body", "time_dt")
+      .withColumn("ld_date", from_json(col("ld_body"), LD_SCHEMA).getField("datePublished"))
+      .select(
+        col("url"),
+        when(col("meta_ts") =!= "", substring(col("meta_ts"), 1, 10))
+          .when(col("ld_date").isNotNull && (col("ld_date") =!= ""), col("ld_date"))
+          .when(col("time_dt") =!= "", col("time_dt"))
+          .otherwise(lit("")).as("pub_date"),
+        when(col("meta_ts") =!= "", lit("meta"))
+          .when(col("ld_date").isNotNull && (col("ld_date") =!= ""), lit("ldjson"))
+          .when(col("time_dt") =!= "", lit("time"))
+          .otherwise(lit("")).as("src")
+      )
+      .orderBy("url")
+  }
+
+  val exPubdateSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    """WITH f AS (
+      |  SELECT url,
+      |    regexp_extract(regexp_extract(html_str, '<head>(.*?)</head>', 1),
+      |      '<meta property="article:published_time" content="([^"]*)">', 1) meta_ts,
+      |    regexp_extract(html_str, '"datePublished":"([^"]*)"', 1) ld_date,
+      |    regexp_extract(html_str, '<time datetime="([^"]*)">', 1) time_dt
+      |  FROM """.stripMargin + H + """)
+      |SELECT url,
+      |  CASE WHEN meta_ts <> '' THEN substr(meta_ts, 1, 10)
+      |       WHEN ld_date <> '' THEN ld_date
+      |       WHEN time_dt <> '' THEN time_dt
+      |       ELSE '' END pub_date,
+      |  CASE WHEN meta_ts <> '' THEN 'meta'
+      |       WHEN ld_date <> '' THEN 'ldjson'
+      |       WHEN time_dt <> '' THEN 'time'
+      |       ELSE '' END src
+      |FROM f ORDER BY url""".stripMargin
+  }
+
+  // ---- BreadcrumbList extraction ---------------------------------------------------
+
+  private val BC_SCHEMA = StructType(Seq(
+    StructField("@type", StringType),
+    StructField("itemListElement", ArrayType(StructType(Seq(
+      StructField("position", LongType),
+      StructField("name", StringType),
+      StructField("item", StringType)
+    ))))
+  ))
+
+  /** schema.org BreadcrumbList → (url, pos, name, item): the site-declared
+    * section path (Home > News > Tech) that section-aware chunking and
+    * site-taxonomy stats read; complements ex_outline, which infers the SAME
+    * structure from headings when no markup declares it. Non-breadcrumb
+    * JSON-LD blocks are filtered by declared @type; `position` is the
+    * DECLARED ordinal (BIGINT), not an array index.
+    */
+  def exBreadcrumb(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .flatMap { case (url, html) => jsonLdBodies(html).map((url, _)) }
+      .toDF("url", "body")
+      .withColumn("j", from_json(col("body"), BC_SCHEMA))
+      .where(col("j.@type") === "BreadcrumbList")
+      .select(col("url"), explode(col("j.itemListElement")).as("e"))
+      .select(
+        col("url"), col("e.position").as("pos"),
+        col("e.name").as("name"), col("e.item").as("item")
+      )
+      .orderBy("url", "pos")
+  }
+
+  val exBreadcrumbSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    """WITH m AS (
+      |  SELECT url,
+      |         regexp_extract_all(html_str,
+      |           '<script type="application/ld\+json">(.*?)</script>', 1) bs
+      |  FROM """.stripMargin + H + """),
+      |e AS (
+      |  SELECT url, bs[i] body
+      |  FROM m, unnest(generate_series(1, len(bs))) AS u(i)
+      |  WHERE json_extract_string(bs[i], '$."@type"') = 'BreadcrumbList'),
+      |x AS (
+      |  SELECT url, body,
+      |         CAST(json_array_length(json_extract(body, '$.itemListElement')) AS BIGINT) n
+      |  FROM e),
+      |i AS (SELECT url, body, k FROM x, unnest(generate_series(0, n - 1)) AS g(k))
+      |SELECT url,
+      |  CAST(json_extract(body, '$.itemListElement[' || k || '].position') AS BIGINT) pos,
+      |  json_extract_string(body, '$.itemListElement[' || k || '].name') AS "name",
+      |  json_extract_string(body, '$.itemListElement[' || k || '].item') AS item
+      |FROM i ORDER BY url, pos""".stripMargin
+  }
+
+  // ---- RSS feed parse -----------------------------------------------------------
+
+  private val RSS_SCHEMA = StructType(Seq(
+    StructField("channel", StructType(Seq(
+      StructField("title", StringType),
+      StructField("link", StringType),
+      StructField("item", ArrayType(StructType(Seq(
+        StructField("title", StringType),
+        StructField("link", StringType),
+        StructField("pubDate", StringType),
+        StructField("guid", StringType)
+      ))))
+    )))
+  ))
+
+  /** RSS 2.0 feed → article-frontier rows (host, ord, feed_title, title,
+    * link, pub_date, guid): the recency-ordered per-article complement of the
+    * sitemap frontier (ex_sitemap) — a news recrawler polls feeds, diffs
+    * guids against the crawled set, and enqueues only new items. Parse is
+    * Spark 4 native `from_xml` (typed nested schema: channel → item array,
+    * null-safe on malformed feeds).
+    */
+  def exFeed(spark: SparkSession, sfDir: String): DataFrame =
+    StructuredCorpus.feeds(spark)
+      .select(col("host"), from_xml(col("feed_xml"), RSS_SCHEMA).as("p"))
+      .select(
+        col("host"), col("p.channel.title").as("feed_title"),
+        posexplode(col("p.channel.item")).as(Seq("ord", "it"))
+      )
+      .select(
+        col("host"), col("ord").cast("long").as("ord"), col("feed_title"),
+        col("it.title").as("title"), col("it.link").as("link"),
+        col("it.pubDate").as("pub_date"), col("it.guid").as("guid")
+      )
+      .orderBy("host", "ord")
+
+  val exFeedSql: String = {
+    val F = StructuredCorpus.FEEDS_PQ
+    """WITH m AS (
+      |  SELECT host,
+      |         regexp_extract(feed_xml, '<channel><title>(.*?)</title>', 1) feed_title,
+      |         regexp_extract_all(feed_xml, '<item>(.*?)</item>', 1) its
+      |  FROM """.stripMargin + F + """),
+      |e AS (
+      |  SELECT host, feed_title, CAST(i - 1 AS BIGINT) ord, its[i] it
+      |  FROM m, unnest(generate_series(1, len(its))) AS u(i))
+      |SELECT host, ord, feed_title,
+      |  regexp_extract(it, '<title>(.*?)</title>', 1) title,
+      |  regexp_extract(it, '<link>(.*?)</link>', 1) link,
+      |  regexp_extract(it, '<pubDate>(.*?)</pubDate>', 1) pub_date,
+      |  regexp_extract(it, '<guid>(.*?)</guid>', 1) guid
+      |FROM e ORDER BY host, ord""".stripMargin
+  }
+
   // ---- contract surface ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ex_jsonld" -> (exJsonld _),
     "ex_tables" -> (exTables _),
     "ex_canonical" -> (exCanonical _),
-    "ex_sitemap" -> (exSitemap _)
+    "ex_sitemap" -> (exSitemap _),
+    "ex_opengraph" -> (exOpengraph _),
+    "ex_hreflang" -> (exHreflang _),
+    "ex_pubdate" -> (exPubdate _),
+    "ex_breadcrumb" -> (exBreadcrumb _),
+    "ex_feed" -> (exFeed _)
   )
 
   def oracles: Map[String, String] = Map(
     "ex_jsonld" -> exJsonldSql,
     "ex_tables" -> exTablesSql,
     "ex_canonical" -> exCanonicalSql,
-    "ex_sitemap" -> exSitemapSql
+    "ex_sitemap" -> exSitemapSql,
+    "ex_opengraph" -> exOpengraphSql,
+    "ex_hreflang" -> exHreflangSql,
+    "ex_pubdate" -> exPubdateSql,
+    "ex_breadcrumb" -> exBreadcrumbSql,
+    "ex_feed" -> exFeedSql
   )
 }

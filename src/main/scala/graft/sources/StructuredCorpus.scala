@@ -69,14 +69,95 @@ object StructuredCorpus {
     if (i % 7 == 0) None
     else Some(s"https://structured.example.org/a/${i - (i % 2)}")
 
+  private val HREFLANGS = Vector("en", "de", "fr", "es", "ja")
+
+  /** OpenGraph / Twitter-card head metas for page i. Field presence varies
+    * by residue class so every precedence/absence branch has witnesses;
+    * og:* use `property=`, twitter:* uses `name=` (the real-world split).
+    */
+  private def socialMetas(i: Long): String = {
+    val sb = new StringBuilder
+    if (i % 5 != 4)
+      sb.append(s"""<meta property="og:title" content="${phrase(i, 700, 3)}">""")
+    if (i % 3 != 2) {
+      val t = if (Rng.nextInt(SEED, 710L, i, 2) == 0) "article" else "website"
+      sb.append(s"""<meta property="og:type" content="$t">""")
+    }
+    if (i % 2 == 0)
+      sb.append(s"""<meta property="og:image" content="https://img.example.org/$i.png">""")
+    if (i % 7 != 6)
+      sb.append(s"""<meta property="og:url" content="https://structured.example.org/a/$i">""")
+    if (i % 4 != 1) {
+      val c = if (Rng.nextInt(SEED, 720L, i, 2) == 0) "summary" else "summary_large_image"
+      sb.append(s"""<meta name="twitter:card" content="$c">""")
+    }
+    // decoy: name= (not property=) og:title — a correct og scanner skips it
+    if (i % 6 == 0)
+      sb.append("""<meta name="og:title" content="NAMEDECOY">""")
+    sb.toString
+  }
+
+  /** hreflang alternate links for page i (even pages declare 1..3 language
+    * variants), plus a rel=alternate FEED decoy that carries no hreflang.
+    */
+  private def hreflangLinks(i: Long): String = {
+    val sb = new StringBuilder
+    if (i % 2 == 0) {
+      val k = 1 + (i % 3).toInt
+      (0 until k).foreach { j =>
+        val l = HREFLANGS((j + Rng.nextInt(SEED, 730L + j, i, 2)) % HREFLANGS.length)
+        sb.append(s"""<link rel="alternate" hreflang="$l" href="https://structured.example.org/$l/$i">""")
+      }
+    }
+    if (i % 3 == 1)
+      sb.append("""<link rel="alternate" type="application/rss+xml" href="/feed.xml">""")
+    sb.toString
+  }
+
+  /** article:published_time head meta (every 4th page). */
+  private def publishedMeta(i: Long): String =
+    if (i % 4 == 0) {
+      val m = 1 + Rng.nextInt(SEED, 740L, i, 12)
+      val d = 1 + Rng.nextInt(SEED, 750L, i, 28)
+      s"""<meta property="article:published_time" content="2025-${f"$m%02d"}-${f"$d%02d"}T08:30:00Z">"""
+    } else ""
+
+  /** Visible `<time datetime=…>` body element (odd pages). */
+  def timeTagFor(i: Long): String =
+    if (i % 2 == 1) {
+      val m = 1 + Rng.nextInt(SEED, 760L, i, 12)
+      val d = 1 + Rng.nextInt(SEED, 770L, i, 28)
+      s"""<time datetime="2024-${f"$m%02d"}-${f"$d%02d"}">posted ${word(i, 78)}</time>"""
+    } else ""
+
+  /** schema.org BreadcrumbList JSON-LD (every 3rd page, 2..4 levels). */
+  private def breadcrumbScript(i: Long): String =
+    if (i % 3 == 0) {
+      val depth = 2 + Rng.nextInt(SEED, 780L, i, 3)
+      val items = (1 to depth).map { p =>
+        s"""{"@type":"ListItem","position":$p,"name":"${phrase(i, 790 + p, 2)}","item":"https://structured.example.org/c/$i/$p"}"""
+      }.mkString(",")
+      s"""<script type="application/ld+json">{"@context":"https://schema.org","@type":"BreadcrumbList","itemListElement":[$items]}</script>"""
+    } else ""
+
   def htmlFor(i: Long): String = {
     val nLd = (i % 3).toInt
     val nTbl = ((i + 1) % 3).toInt
     val sb = new StringBuilder
     sb.append(s"<html><head><title>${phrase(i, 1, 3)}</title>")
     canonicalFor(i).foreach(c => sb.append(s"""<link rel="canonical" href="$c">"""))
+    sb.append(socialMetas(i))
+    sb.append(hreflangLinks(i))
+    sb.append(publishedMeta(i))
     sb.append("</head><body>")
+    // decoys: og meta + hreflang link in BODY — both surfaces are head-scoped
+    if (i % 8 == 5) {
+      sb.append("""<meta property="og:title" content="BODYDECOY">""")
+      sb.append("""<link rel="alternate" hreflang="zz" href="https://structured.example.org/zz/decoy">""")
+    }
     sb.append(s"<p>${phrase(i, 2, 8)}.</p>")
+    sb.append(timeTagFor(i))
+    sb.append(breadcrumbScript(i))
     (0 until nLd).foreach(s => sb.append(ldScript(i, s)))
     // decoys: a plain JS script with JSON-looking content, a layout table
     if (i % 2 == 0)
@@ -109,6 +190,27 @@ object StructuredCorpus {
     s"""<?xml version="1.0" encoding="UTF-8"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">$entries</urlset>"""
   }
 
+  // ---- RSS feeds --------------------------------------------------------------
+
+  val FEEDS_PQ = s"read_parquet('$DIR/feeds/*.parquet')"
+
+  /** One single-line RSS 2.0 feed per host: channel title + 3..12 `<item>`
+    * entries with title / link / pubDate / guid — the news-frontier seed the
+    * sitemap doesn't carry (recency-ordered, per-article timestamps).
+    */
+  def feedFor(h: Long): String = {
+    val n = 3 + Rng.nextInt(SEED, 940L, h, 10)
+    val items = (0 until n).map { k =>
+      val m = 1 + Rng.nextInt(SEED, 950L + k, h, 12)
+      val d = 1 + Rng.nextInt(SEED, 960L + k, h, 28)
+      s"<item><title>${phrase(h, 970 + k, 4)}</title>" +
+        s"<link>https://host$h.example.org/news/$k</link>" +
+        s"<pubDate>2026-${f"$m%02d"}-${f"$d%02d"}</pubDate>" +
+        s"<guid>urn:host$h:item:$k</guid></item>"
+    }.mkString
+    s"""<?xml version="1.0" encoding="UTF-8"?><rss version="2.0"><channel><title>${phrase(h, 980, 3)} feed</title><link>https://host$h.example.org/</link>$items</channel></rss>"""
+  }
+
   @volatile private var done = false
 
   /** Idempotent marker-gated staging (OracleCorpus protocol: page count +
@@ -129,6 +231,10 @@ object StructuredCorpus {
         .map(h => (s"host$h.example.org", sitemapFor(h)))
         .toDF("host", "sitemap_xml")
         .write.mode("overwrite").parquet(s"$DIR/sitemaps")
+      spark.range(N_HOSTS)
+        .map(h => (s"host$h.example.org", feedFor(h)))
+        .toDF("host", "feed_xml")
+        .write.mode("overwrite").parquet(s"$DIR/feeds")
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -142,5 +248,10 @@ object StructuredCorpus {
   def sitemaps(spark: SparkSession): DataFrame = {
     ensure(spark)
     spark.read.parquet(s"$DIR/sitemaps")
+  }
+
+  def feeds(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/feeds")
   }
 }

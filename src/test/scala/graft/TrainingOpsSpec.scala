@@ -128,6 +128,57 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(Structured.canonicalHref("<p>none</p>") == "")
   }
 
+  test("head-surface scanners: og/twitter, hreflang, pubdate precedence, breadcrumb") {
+    // og: property= vs name= split; attr order variance; first-wins; head scope
+    val og = Structured.ogCard(
+      """<head><meta content="T1" property="og:title">
+        |<meta property="og:title" content="T2">
+        |<meta name="og:title" content="NAMEDECOY">
+        |<meta name='twitter:card' content='summary'>
+        |<!-- <meta property="og:type" content="commented"> -->
+        |<meta property=og:type content=article></head>
+        |<body><meta property="og:image" content="BODYDECOY"></body>""".stripMargin)
+    assert(og == ("T1", "article", "", "", "summary"), og)
+
+    // hreflang: rel token list, order preserved, alternates w/o hreflang skipped,
+    // body decoy out of scope
+    val alts = Structured.hreflangAlts(
+      """<head><link rel="alternate" type="application/rss+xml" href="/feed">
+        |<link hreflang="de" href="/de" rel="alternate stylesheet">
+        |<link rel="alternate" hreflang="fr" href="/fr"></head>
+        |<body><link rel="alternate" hreflang="zz" href="/zz"></body>""".stripMargin)
+    assert(alts == Vector(("de", "/de"), ("fr", "/fr")), alts)
+
+    // pubdate sources: meta head-scoped + first-wins; time anywhere, first with
+    // a datetime attr wins; comment skipped
+    assert(Structured.publishedTimeMeta(
+      """<head><meta property="ARTICLE:published_time" content="2025-01-02T08:30:00Z"></head>
+        |<body><meta property="article:published_time" content="2024-09-09"></body>""".stripMargin)
+      == "2025-01-02T08:30:00Z")
+    assert(Structured.publishedTimeMeta("<head></head>") == "")
+    assert(Structured.timeDatetime(
+      """<!-- <time datetime="1999-01-01"> --><body><time>no attr</time>
+        |<time class=x datetime='2024-05-06'>May 6</time></body>""".stripMargin)
+      == "2024-05-06")
+
+    // corpus-level: every precedence class has witnesses and the winner is
+    // the highest-priority source present
+    val classes = (0L until graft.sources.StructuredCorpus.N_PAGES).map { i =>
+      val h = graft.sources.StructuredCorpus.htmlFor(i)
+      val meta = Structured.publishedTimeMeta(h)
+      val ld = Structured.jsonLdBodies(h).exists(_.contains("\"datePublished\""))
+      val t = Structured.timeDatetime(h)
+      if (meta.nonEmpty) "meta" else if (ld) "ldjson" else if (t.nonEmpty) "time" else ""
+    }
+    assert(Set("meta", "ldjson", "time", "").subsetOf(classes.toSet), classes.toSet)
+
+    // breadcrumb scripts ride the same ld+json channel the article scanner
+    // reads — exJsonld must see them (typed as BreadcrumbList, fields null)
+    // and exBreadcrumb must filter everything else out
+    val bc = graft.sources.StructuredCorpus.htmlFor(0)
+    assert(Structured.jsonLdBodies(bc).exists(_.contains("\"BreadcrumbList\"")), bc)
+  }
+
   test("outline: h1 resets h2 scope; boiler headings never govern") {
     import spark.implicits._
     val blocks = Seq(
