@@ -747,6 +747,135 @@ object Structured {
       |FROM e ORDER BY host, ord""".stripMargin
   }
 
+  // ---- crawl-control directives ----------------------------------------------
+
+  /** Page-level robots directives: the first `<meta name="robots">` content
+    * as a trimmed lowercase token list ("" when absent — absent means
+    * index,follow per spec, so flags default 0). The PAGE-side complement of
+    * ex_robots (robots.txt): a compliant corpus pipeline must drop noindex
+    * pages even when robots.txt allows the path.
+    */
+  def robotsMeta(html: String): (String, Set[String]) =
+    headElems(html).collectFirst {
+      case ("meta", attrs) if attr(attrs, "name").equalsIgnoreCase("robots") =>
+        val c = attr(attrs, "content")
+        (c, c.split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+    }.getOrElse(("", Set.empty))
+
+  def exMetarobots(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .map { case (url, html) =>
+        val (raw, toks) = robotsMeta(html)
+        (url, raw,
+          if (toks("noindex")) 1L else 0L,
+          if (toks("nofollow")) 1L else 0L,
+          if (toks("noarchive")) 1L else 0L)
+      }
+      .toDF("url", "directives", "noindex", "nofollow", "noarchive")
+      .orderBy("url")
+  }
+
+  val exMetarobotsSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    """WITH h AS (
+      |  SELECT url, regexp_extract(html_str, '<head>(.*?)</head>', 1) hd
+      |  FROM """.stripMargin + H + """),
+      |r AS (
+      |  SELECT url,
+      |         regexp_extract(hd, '<meta name="robots" content="([^"]*)">', 1) directives
+      |  FROM h)
+      |SELECT url, directives,
+      |  CAST(CASE WHEN list_contains(string_split(directives, ','), 'noindex') THEN 1 ELSE 0 END AS BIGINT) noindex,
+      |  CAST(CASE WHEN list_contains(string_split(directives, ','), 'nofollow') THEN 1 ELSE 0 END AS BIGINT) nofollow,
+      |  CAST(CASE WHEN list_contains(string_split(directives, ','), 'noarchive') THEN 1 ELSE 0 END AS BIGINT) noarchive
+      |FROM r ORDER BY url""".stripMargin
+  }
+
+  /** Meta-refresh soft redirect: first `<meta http-equiv="refresh">` in head
+    * parsed to (delay seconds, target url), None when absent or malformed.
+    * Soft redirects are crawl-side duplicate edges: the refreshing page's
+    * content is chrome, the target carries the real document.
+    */
+  def metaRefresh(html: String): Option[(Long, String)] =
+    headElems(html).collectFirst {
+      case ("meta", attrs) if attr(attrs, "http-equiv").equalsIgnoreCase("refresh") =>
+        attr(attrs, "content")
+    }.flatMap { c =>
+      val semi = c.indexOf(';')
+      if (semi < 0) None
+      else {
+        val d = c.substring(0, semi).trim
+        val rest = c.substring(semi + 1).trim
+        val eq = rest.toLowerCase.indexOf("url=")
+        if (d.nonEmpty && d.forall(_.isDigit) && eq >= 0)
+          Some((d.toLong, rest.substring(eq + 4).trim))
+        else None
+      }
+    }
+
+  def exRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .flatMap { case (url, html) =>
+        metaRefresh(html).map { case (d, t) => (url, d, t) }
+      }
+      .toDF("url", "delay", "target")
+      .orderBy("url")
+  }
+
+  val exRefreshSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    """WITH h AS (
+      |  SELECT url, regexp_extract(html_str, '<head>(.*?)</head>', 1) hd
+      |  FROM """.stripMargin + H + """),
+      |r AS (
+      |  SELECT url,
+      |    regexp_extract(hd, '<meta http-equiv="refresh" content="([0-9]+);url=([^"]*)">', 1) d,
+      |    regexp_extract(hd, '<meta http-equiv="refresh" content="([0-9]+);url=([^"]*)">', 2) t
+      |  FROM h)
+      |SELECT url, CAST(d AS BIGINT) delay, t AS target
+      |FROM r WHERE d <> '' ORDER BY url""".stripMargin
+  }
+
+  /** First `<link rel="amphtml">` target — the AMP mirror edge: amp pages
+    * form site-declared duplicate pairs with their canonical exactly like
+    * rel=canonical variants, so the dedup frontier folds them first.
+    */
+  def ampHref(html: String): String =
+    headElems(html).collectFirst {
+      case ("link", attrs)
+        if attr(attrs, "rel").toLowerCase.split("\\s+").contains("amphtml") &&
+          attr(attrs, "href").nonEmpty =>
+        attr(attrs, "href")
+    }.getOrElse("")
+
+  def exAmp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .flatMap { case (url, html) =>
+        val a = ampHref(html)
+        if (a.isEmpty) None else Some((url, a))
+      }
+      .toDF("url", "amp_url")
+      .orderBy("url")
+  }
+
+  val exAmpSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    """WITH h AS (
+      |  SELECT url, regexp_extract(html_str, '<head>(.*?)</head>', 1) hd
+      |  FROM """.stripMargin + H + """)
+      |SELECT url,
+      |       regexp_extract(hd, '<link rel="amphtml" href="([^"]*)">', 1) amp_url
+      |FROM h
+      |WHERE regexp_extract(hd, '<link rel="amphtml" href="([^"]*)">', 1) <> ''
+      |ORDER BY url""".stripMargin
+  }
+
   // ---- contract surface ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -758,7 +887,10 @@ object Structured {
     "ex_hreflang" -> (exHreflang _),
     "ex_pubdate" -> (exPubdate _),
     "ex_breadcrumb" -> (exBreadcrumb _),
-    "ex_feed" -> (exFeed _)
+    "ex_feed" -> (exFeed _),
+    "ex_metarobots" -> (exMetarobots _),
+    "ex_refresh" -> (exRefresh _),
+    "ex_amp" -> (exAmp _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -770,6 +902,9 @@ object Structured {
     "ex_hreflang" -> exHreflangSql,
     "ex_pubdate" -> exPubdateSql,
     "ex_breadcrumb" -> exBreadcrumbSql,
-    "ex_feed" -> exFeedSql
+    "ex_feed" -> exFeedSql,
+    "ex_metarobots" -> exMetarobotsSql,
+    "ex_refresh" -> exRefreshSql,
+    "ex_amp" -> exAmpSql
   )
 }

@@ -114,6 +114,28 @@ object StructuredCorpus {
     sb.toString
   }
 
+  /** Crawl-control head surfaces: page-level robots meta (directive token
+    * list), meta-refresh soft redirect, amphtml alternate. Presence varies by
+    * residue class; a `name="robotto"` decoy must not read as robots.
+    */
+  private def crawlControl(i: Long): String = {
+    val sb = new StringBuilder
+    if (i % 3 != 1) {
+      val toks = Vector(
+        if (Rng.nextInt(SEED, 800L, i, 3) == 0) "noindex" else "index",
+        if (Rng.nextInt(SEED, 810L, i, 2) == 0) "nofollow" else "follow") ++
+        (if (Rng.nextInt(SEED, 820L, i, 4) == 0) Vector("noarchive") else Vector())
+      sb.append(s"""<meta name="robots" content="${toks.mkString(",")}">""")
+    }
+    if (i % 11 == 3)
+      sb.append("""<meta name="robotto" content="noindex">""")
+    if (i % 9 == 2)
+      sb.append(s"""<meta http-equiv="refresh" content="${i % 7};url=https://structured.example.org/moved/$i">""")
+    if (i % 5 == 3)
+      sb.append(s"""<link rel="amphtml" href="https://structured-amp.example.org/a/$i">""")
+    sb.toString
+  }
+
   /** article:published_time head meta (every 4th page). */
   private def publishedMeta(i: Long): String =
     if (i % 4 == 0) {
@@ -149,6 +171,7 @@ object StructuredCorpus {
     sb.append(socialMetas(i))
     sb.append(hreflangLinks(i))
     sb.append(publishedMeta(i))
+    sb.append(crawlControl(i))
     sb.append("</head><body>")
     // decoys: og meta + hreflang link in BODY — both surfaces are head-scoped
     if (i % 8 == 5) {

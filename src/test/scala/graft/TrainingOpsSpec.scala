@@ -179,6 +179,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(Structured.jsonLdBodies(bc).exists(_.contains("\"BreadcrumbList\"")), bc)
   }
 
+  test("crawl-control scanners: robots meta tokens, meta-refresh parse, amphtml") {
+    // robots: name= match is exact (robotto decoy skipped), tokens trimmed +
+    // lowercased, head-scoped first-wins
+    val (raw, toks) = Structured.robotsMeta(
+      """<head><meta name="robotto" content="noindex">
+        |<meta name="ROBOTS" content=" NoIndex , follow ">
+        |<meta name="robots" content="noarchive"></head>""".stripMargin)
+    assert(raw == " NoIndex , follow " && toks == Set("noindex", "follow"), (raw, toks))
+    assert(Structured.robotsMeta("<head></head>") == (("", Set.empty[String])))
+
+    // refresh: case/space variance in content, url= case-insensitive;
+    // malformed (no url=, non-numeric delay) -> None
+    assert(Structured.metaRefresh(
+      """<head><meta http-equiv="REFRESH" content="5 ; URL=/new"></head>""")
+      .contains((5L, "/new")))
+    assert(Structured.metaRefresh(
+      """<head><meta http-equiv="refresh" content="30"></head>""").isEmpty)
+    assert(Structured.metaRefresh(
+      """<head><meta http-equiv="refresh" content="x;url=/y"></head>""").isEmpty)
+
+    // amphtml: rel token list; body decoy out of scope
+    assert(Structured.ampHref(
+      """<head><link rel="alternate amphtml" href="/amp"></head>
+        |<body><link rel="amphtml" href="/decoy"></body>""".stripMargin) == "/amp")
+    assert(Structured.ampHref("<head></head>") == "")
+  }
+
   test("outline: h1 resets h2 scope; boiler headings never govern") {
     import spark.implicits._
     val blocks = Seq(
