@@ -295,11 +295,12 @@ object Main {
           }
           return
         case "meta" =>
-          // meta <tableDir> [snapshots|files|refs] — the S21 metadata tables
-          // through the same SQL path a user types (`cat.`t$snapshots``)
+          // meta <tableDir> [snapshots|files|refs|partitions] — the S21
+          // metadata tables through the same SQL path a user types
+          // (`cat.`t$snapshots``)
           val dir = new java.io.File(args(1)).getAbsoluteFile
           val which = if (args.length > 2) args(2) else "snapshots"
-          require(Seq("snapshots", "files", "refs").contains(which),
+          require(Seq("snapshots", "files", "refs", "partitions").contains(which),
             s"unknown metadata table: $which")
           graft.sources.PageTable.register(spark, "graftmeta", dir.getParent)
           spark.sql(s"SELECT * FROM graftmeta.`${dir.getName}$$$which`")

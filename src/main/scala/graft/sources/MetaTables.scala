@@ -41,7 +41,7 @@ import java.util
 object MetaTables {
 
   /** Names this module owns: `<base>$<suffix>`. */
-  private val SUFFIXES = Set("snapshots", "files", "refs")
+  private val SUFFIXES = Set("snapshots", "files", "refs", "partitions")
 
   /** Split `base$meta` table names; None when `name` is a plain table. */
   def parse(name: String): Option[(String, String)] = {
@@ -74,13 +74,20 @@ object MetaTables {
     .add("committed_at", TimestampType, nullable = true)
     .add("n_files", IntegerType, nullable = true)
 
+  private val PARTITIONS_SCHEMA = new StructType()
+    .add("bucket", IntegerType, nullable = true)
+    .add("day", StringType, nullable = true)
+    .add("n_files", IntegerType, nullable = false)
+    .add("n_bytes", LongType, nullable = false)
+
   private val BUCKET_RE = "(?:^|/)bucket=(\\d+)/".r
   private val DAY_RE = "(?:^|/)day=([^/]+)/".r
 
   def table(name: String, meta: String, tableDir: String): Table = meta match {
-    case "snapshots" => new MetaTable(name, SNAPSHOTS_SCHEMA, () => snapshotRows(tableDir))
-    case "files"     => new MetaTable(name, FILES_SCHEMA, () => fileRows(tableDir))
-    case "refs"      => new MetaTable(name, REFS_SCHEMA, () => refRows(tableDir))
+    case "snapshots"  => new MetaTable(name, SNAPSHOTS_SCHEMA, () => snapshotRows(tableDir))
+    case "files"      => new MetaTable(name, FILES_SCHEMA, () => fileRows(tableDir))
+    case "refs"       => new MetaTable(name, REFS_SCHEMA, () => refRows(tableDir))
+    case "partitions" => new MetaTable(name, PARTITIONS_SCHEMA, () => partitionRows(tableDir))
   }
 
   private def snapshotRows(tableDir: String): Array[InternalRow] = {
@@ -112,6 +119,33 @@ object MetaTables {
           bucket.map(Int.box).orNull,
           day.map(UTF8String.fromString).orNull,
           len, inLatest.contains(rel))): InternalRow
+      }.toArray
+  }
+
+  /** One row per (bucket, day) partition of the LATEST snapshot — the
+    * skew/size profile a maintenance planner reads before compaction or a
+    * query planner uses to estimate partition pruning gain. Aggregates the
+    * same snapshot file list every scan plans; driver-bounded like the rest.
+    */
+  private def partitionRows(tableDir: String): Array[InternalRow] = {
+    val dataDir = new java.io.File(tableDir, "data")
+    val latest = Snapshots.latestVersion(tableDir)
+      .flatMap(v => Snapshots.files(tableDir, v)).map(_._2).getOrElse(Seq.empty)
+    latest
+      .map { rel =>
+        val f = new java.io.File(dataDir, rel)
+        val bucket = BUCKET_RE.findFirstMatchIn(rel).map(_.group(1).toInt)
+        val day = DAY_RE.findFirstMatchIn(rel).map(_.group(1))
+        ((bucket, day), if (f.isFile) f.length() else 0L)
+      }
+      .groupBy(_._1).toSeq
+      .map { case ((b, d), xs) => (b, d, xs.size, xs.map(_._2).sum) }
+      .sortBy { case (b, d, _, _) => (b.getOrElse(Int.MaxValue), d.getOrElse("")) }
+      .map { case (b, d, nf, nb) =>
+        new GenericInternalRow(Array[Any](
+          b.map(Int.box).orNull,
+          d.map(UTF8String.fromString).orNull,
+          nf, nb)): InternalRow
       }.toArray
   }
 

@@ -118,6 +118,17 @@ class PageTableSpec extends AnyFunSuite {
     assert(refs(0).getString(0) == "train-v1" && refs(0).getInt(1) == 1)
     assert(refs(0).getInt(3) == snaps(0).getInt(2))
 
+    // $partitions: (bucket, day) rollup of the LATEST snapshot — totals
+    // must reconcile exactly with $snapshots' latest row, and every live
+    // file's partition must appear (the skew profile compaction reads)
+    val parts = spark.sql(
+      "SELECT * FROM pmeta.`pages$partitions` ORDER BY bucket, day").collect()
+    assert(parts.nonEmpty && parts.forall(_.getInt(2) > 0))
+    assert(parts.map(_.getInt(2)).sum == snaps(1).getInt(2), "file totals reconcile")
+    assert(parts.map(_.getLong(3)).sum == snaps(1).getLong(3), "byte totals reconcile")
+    val partKeys = parts.map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(files0.map(r => (r.getInt(1), r.getString(2))).toSet == partKeys)
+
     // overwrite deletes v1/v2's files: $snapshots now surfaces the S11
     // retention caveat as non-zero n_missing instead of a surprise at scan
     Corpus.pages(spark, 10L, seed = 7L).toDF().writeTo("pmeta.pages")
