@@ -747,6 +747,114 @@ object Structured {
       |FROM e ORDER BY host, ord""".stripMargin
   }
 
+  // ---- image / caption harvest -------------------------------------------------
+
+  /** All `<img>` occurrences in document order with their caption context:
+    * (src, alt, figcaption text, width, height) — the image–text pair
+    * harvest behind web-scale image-caption datasets (alt text and
+    * figcaption are the two native caption channels; downstream keeps pairs
+    * where either is non-empty). Figure-wrapped images take their enclosing
+    * `<figcaption>` (entity-decoded, markup-stripped, ws-collapsed); bare
+    * images get "". Script/style rawtext and comments are skipped so markup
+    * lookalikes inside JS strings never emit; width/height surface as
+    * nullable dims for the resolution gate a curation pass applies.
+    */
+  def imageHarvest(html: String): Vector[(String, String, String, Option[Long], Option[Long])] = {
+    val s = html
+    val n = s.length
+    val out = ArrayBuffer.empty[(String, String, String, Option[Long], Option[Long])]
+
+    def dim(attrs: List[(String, String)], name: String): Option[Long] = {
+      val v = attr(attrs, name)
+      if (v.nonEmpty && v.forall(_.isDigit)) Some(v.toLong) else None
+    }
+    def imgOf(attrs: List[(String, String)], figcap: String): Unit =
+      out += ((attr(attrs, "src"), Entities.decodeAll(attr(attrs, "alt")), figcap,
+        dim(attrs, "width"), dim(attrs, "height")))
+
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) return out.toVector
+      if (s.startsWith("<!--", lt)) {
+        val e = s.indexOf("-->", lt + 4); i = if (e < 0) n else e + 3
+      } else if (lt + 7 <= n && s.regionMatches(true, lt + 1, "script", 0, 6) &&
+        (lt + 7 == n || !Character.isLetterOrDigit(s.charAt(lt + 7)))) {
+        i = findClose(s, lt + 7, "script")._2
+      } else if (lt + 6 <= n && s.regionMatches(true, lt + 1, "style", 0, 5) &&
+        (lt + 6 == n || !Character.isLetterOrDigit(s.charAt(lt + 6)))) {
+        i = findClose(s, lt + 6, "style")._2
+      } else if (lt + 7 <= n && s.regionMatches(true, lt + 1, "figure", 0, 6) &&
+        (lt + 7 == n || !Character.isLetterOrDigit(s.charAt(lt + 7)))) {
+        val (_, inner) = parseAttrs(s, lt + 7)
+        val (fEnd, past) = findClose(s, inner, "figure")
+        val body = s.substring(inner, fEnd)
+        // caption first (applies to every img in this figure)
+        var figcap = ""
+        val fc = body.toLowerCase.indexOf("<figcaption")
+        if (fc >= 0) {
+          val (_, capStart) = parseAttrs(body, fc + 11)
+          val (capEnd, _) = findClose(body, capStart, "figcaption")
+          val raw = body.substring(capStart, capEnd).replaceAll("<[^>]*>", " ")
+          figcap = collapseWs(Entities.decodeAll(raw))
+        }
+        var j = 0
+        while (j < body.length) {
+          val im = body.toLowerCase.indexOf("<img", j)
+          if (im < 0 || im + 4 < body.length && Character.isLetterOrDigit(body.charAt(im + 4)))
+            j = if (im < 0) body.length else im + 4
+          else {
+            val (attrs, p) = parseAttrs(body, im + 4)
+            imgOf(attrs, figcap)
+            j = p
+          }
+        }
+        i = past
+      } else if (lt + 4 <= n && s.regionMatches(true, lt + 1, "img", 0, 3) &&
+        (lt + 4 == n || !Character.isLetterOrDigit(s.charAt(lt + 4)))) {
+        val (attrs, past) = parseAttrs(s, lt + 4)
+        imgOf(attrs, "")
+        i = past
+      } else i = lt + 1
+    }
+    out.toVector
+  }
+
+  def exImages(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .flatMap { case (url, html) =>
+        imageHarvest(html).map { case (src, alt, cap, w, h) => (url, src, alt, cap, w, h) }
+      }
+      .toDF("url", "src", "alt", "figcap", "width", "height")
+      .orderBy("url", "src")
+  }
+
+  val exImagesSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    """WITH t AS (
+      |  SELECT url, unnest(regexp_extract_all(html_str, '<img [^>]*>')) tag
+      |  FROM """.stripMargin + H + """),
+      |i AS (
+      |  SELECT url,
+      |    regexp_extract(tag, 'src="([^"]*)"', 1) src,
+      |    regexp_extract(tag, 'alt="([^"]*)"', 1) alt,
+      |    NULLIF(regexp_extract(tag, 'width="([0-9]+)"', 1), '') w,
+      |    NULLIF(regexp_extract(tag, 'height="([0-9]+)"', 1), '') h
+      |  FROM t),
+      |f AS (
+      |  SELECT url,
+      |    regexp_extract(fig, 'src="([^"]*)"', 1) src,
+      |    regexp_extract(fig, '<figcaption>(.*?)</figcaption>', 1) figcap
+      |  FROM (SELECT url, unnest(regexp_extract_all(html_str, '<figure>(.*?)</figure>', 1)) fig
+      |        FROM """.stripMargin + H + """))
+      |SELECT i.url, i.src, i.alt, coalesce(f.figcap, '') figcap,
+      |       CAST(i.w AS BIGINT) width, CAST(i.h AS BIGINT) height
+      |FROM i LEFT JOIN f ON i.url = f.url AND i.src = f.src
+      |ORDER BY i.url, i.src""".stripMargin
+  }
+
   // ---- crawl-control directives ----------------------------------------------
 
   /** Page-level robots directives: the first `<meta name="robots">` content
@@ -890,7 +998,8 @@ object Structured {
     "ex_feed" -> (exFeed _),
     "ex_metarobots" -> (exMetarobots _),
     "ex_refresh" -> (exRefresh _),
-    "ex_amp" -> (exAmp _)
+    "ex_amp" -> (exAmp _),
+    "ex_images" -> (exImages _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -905,6 +1014,7 @@ object Structured {
     "ex_feed" -> exFeedSql,
     "ex_metarobots" -> exMetarobotsSql,
     "ex_refresh" -> exRefreshSql,
-    "ex_amp" -> exAmpSql
+    "ex_amp" -> exAmpSql,
+    "ex_images" -> exImagesSql
   )
 }

@@ -152,6 +152,25 @@ object StructuredCorpus {
       s"""<time datetime="2024-${f"$m%02d"}-${f"$d%02d"}">posted ${word(i, 78)}</time>"""
     } else ""
 
+  /** Image markup for page i: alternating figure-wrapped (src/alt/dims +
+    * figcaption) and bare `<img>` (src/alt only, alt sometimes empty) — the
+    * two caption-harvest shapes; srcs unique per (page, slot).
+    */
+  def imagesFor(i: Long): String = {
+    val n = (i % 4).toInt
+    (0 until n).map { k =>
+      val src = s"https://img.example.org/i/$i/$k.jpg"
+      if (k % 2 == 0) {
+        val w = 160 + 16 * Rng.nextInt(SEED, 830L + k, i, 40)
+        val h = 90 + 9 * Rng.nextInt(SEED, 840L + k, i, 40)
+        s"""<figure><img src="$src" alt="${phrase(i, 850 + k, 3)}" width="$w" height="$h"><figcaption>${phrase(i, 860 + k, 5)}</figcaption></figure>"""
+      } else {
+        val alt = if (Rng.nextInt(SEED, 870L + k, i, 3) == 0) "" else phrase(i, 880 + k, 2)
+        s"""<img src="$src" alt="$alt">"""
+      }
+    }.mkString
+  }
+
   /** schema.org BreadcrumbList JSON-LD (every 3rd page, 2..4 levels). */
   private def breadcrumbScript(i: Long): String =
     if (i % 3 == 0) {
@@ -180,6 +199,7 @@ object StructuredCorpus {
     }
     sb.append(s"<p>${phrase(i, 2, 8)}.</p>")
     sb.append(timeTagFor(i))
+    sb.append(imagesFor(i))
     sb.append(breadcrumbScript(i))
     (0 until nLd).foreach(s => sb.append(ldScript(i, s)))
     // decoys: a plain JS script with JSON-looking content, a layout table

@@ -206,6 +206,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(Structured.ampHref("<head></head>") == "")
   }
 
+  test("image harvest: figcaption scoping, attr variance, rawtext/comment decoys") {
+    val rows = Structured.imageHarvest(
+      """<!-- <img src="COMMENTED"> -->
+        |<script>var s = '<img src="JSDECOY">';</script>
+        |<figure class=hero><img width="320" src="/a.jpg" alt="A &amp; B" height="180">
+        |<figcaption>Cap <b>one</b>  here</figcaption></figure>
+        |<img src='/b.png' alt="">
+        |<img src=/c.gif>
+        |<figure><img src="/d.jpg" alt="d"></figure>""".stripMargin)
+    assert(rows == Vector(
+      ("/a.jpg", "A & B", "Cap one here", Some(320L), Some(180L)),
+      ("/b.png", "", "", None, None),
+      ("/c.gif", "", "", None, None),
+      ("/d.jpg", "d", "", None, None)
+    ), rows)
+  }
+
   test("outline: h1 resets h2 scope; boiler headings never govern") {
     import spark.implicits._
     val blocks = Seq(
