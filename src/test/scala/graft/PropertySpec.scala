@@ -77,6 +77,38 @@ class PropertySpec extends AnyFunSuite {
     samples(soup, 300).foreach(s => HtmlBlocks.blocks(s))
   }
 
+  test("structured head/body scanners terminate and never throw on soup") {
+    import graft.operators.Structured
+    // the scanners are hand-rolled index loops — the property is progress
+    // (no hang) and totality (no throw) on adversarial tag soup, including
+    // unclosed rawtext, truncated attrs, and nested lookalikes
+    val soup = Gen.listOf(Gen.oneOf(
+      "<head>", "</head>", "<meta ", "property=", "name=", "content=",
+      "\"og:title\"", "'robots'", "robots", "refresh", "http-equiv=",
+      "<link ", "rel=", "hreflang=", "href=", "alternate", "amphtml",
+      "<img ", "src=", "alt=", "width=", "height=", "<figure>", "</figure>",
+      "<figcaption>", "</figcaption>", "<time ", "datetime=", "</time>",
+      "<script>", "</script>", "<style>", "</style>", "<!--", "-->",
+      "<title>", "</title>", "=", ">", "<", "\"", "'", " ", "x", "1", ";url="
+    )).map(_.mkString)
+    samples(soup, 400).foreach { s =>
+      Structured.ogCard(s)
+      Structured.hreflangAlts(s)
+      Structured.robotsMeta(s)
+      Structured.metaRefresh(s)
+      Structured.ampHref(s)
+      Structured.publishedTimeMeta(s)
+      Structured.timeDatetime(s)
+      Structured.imageHarvest(s)
+      Structured.jsonLdBodies(s)
+      Structured.dataTableCells(s)
+      Structured.canonicalHref(s)
+    }
+    samples(anyString, 300).foreach { s =>
+      Structured.ogCard(s); Structured.imageHarvest(s); Structured.timeDatetime(s)
+    }
+  }
+
   test("entity decode never crashes; known entities round-trip") {
     samples(anyString, 300).foreach(Entities.decodeAll)
     Entities.named.foreach { case (k, v) =>
