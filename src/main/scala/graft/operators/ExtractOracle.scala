@@ -702,6 +702,72 @@ object ExtractOracle {
       |SELECT url, seq, href, anchor FROM e ORDER BY url, seq""".stripMargin
   }
 
+  // ---- anchor-text index (per-target link rollup) ----------------------------
+
+  /** Anchor-text index — the per-TARGET rollup of the edge list: for every
+    * href, how many links point at it (n_refs), from how many distinct pages
+    * (n_pages), with how many distinct anchor texts (n_texts), and which
+    * anchor text is most common (ties broken lexicographically — exact and
+    * deterministic). This is the web-search/WAT-style signal an extraction
+    * pipeline keeps beside the text: inbound anchor text describes a page
+    * better than its own boilerplate, and anchor diversity separates
+    * navigation chrome ("terms", one text everywhere) from organic citations.
+    *
+    * Scale shape: one hash exchange on href — the (href, anchor) partial agg
+    * combines map-side, the per-href window and the distinct counts ride the
+    * SAME href key, and hot nav targets ("/terms" from every page) stay
+    * partial-aggregated so no reducer sees raw edge volume.
+    */
+  def exAnchors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = OracleCorpus.htmlStrs(spark)
+      .select(col("url"), col("html_str"))
+      .as[(String, String)]
+      .flatMap { case (url, html) =>
+        Links.extract(html).map(l => (url, l.href, l.anchor))
+      }
+      .toDF("url", "href", "anchor")
+    val byText = e.groupBy("href", "anchor").agg(count(lit(1)).as("cnt"))
+    val top = byText
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("href")
+          .orderBy(col("cnt").desc, col("anchor"))))
+      .filter(col("rn") === 1)
+      .select(col("href"), col("anchor").as("top_anchor"), col("cnt").as("top_cnt"))
+    e.groupBy("href")
+      .agg(
+        count(lit(1)).as("n_refs"),
+        countDistinct(col("url")).as("n_pages"),
+        countDistinct(col("anchor")).as("n_texts"))
+      .join(top, "href")
+      .select("href", "n_refs", "n_pages", "n_texts", "top_anchor", "top_cnt")
+      .orderBy("href")
+  }
+
+  val exAnchorsSql: String = {
+    val H = OracleCorpus.HTML_PQ
+    """WITH m AS (
+      |  SELECT url,
+      |         regexp_extract_all(html_str, '<a href="([^"]*)">([^<]*)</a>', 1) hs,
+      |         regexp_extract_all(html_str, '<a href="([^"]*)">([^<]*)</a>', 2) an
+      |  FROM """.stripMargin + H + """),
+      |e AS (
+      |  SELECT url, hs[i] href, an[i] anchor
+      |  FROM m, unnest(generate_series(1, len(hs))) AS u(i)),
+      |t AS (
+      |  SELECT href, anchor, count(*) cnt FROM e GROUP BY 1, 2),
+      |r AS (
+      |  SELECT href, anchor, cnt,
+      |         row_number() OVER (PARTITION BY href ORDER BY cnt DESC, anchor) rn
+      |  FROM t),
+      |a AS (
+      |  SELECT href, count(*) n_refs, count(DISTINCT url) n_pages,
+      |         count(DISTINCT anchor) n_texts
+      |  FROM e GROUP BY 1)
+      |SELECT a.href, n_refs, n_pages, n_texts, r.anchor top_anchor, r.cnt top_cnt
+      |FROM a JOIN r USING (href) WHERE rn = 1 ORDER BY href""".stripMargin
+  }
+
   // ---- page-metadata extraction (title / lang / declared charset) ----------
 
   /** Head-section metadata per page — the crawl-index fields beside the
@@ -904,6 +970,7 @@ object ExtractOracle {
     "ex_meta" -> (exMeta _),
     "ex_outline" -> (exOutline _),
     "ex_links" -> (exLinks _),
+    "ex_anchors" -> (exAnchors _),
     "ex_urlnorm" -> (exUrlNorm _),
     "ex_classify" -> (exClassify _),
     "ex_lines" -> (exLines _),
@@ -924,6 +991,7 @@ object ExtractOracle {
     "ex_meta" -> exMetaSql,
     "ex_outline" -> exOutlineSql,
     "ex_links" -> exLinksSql,
+    "ex_anchors" -> exAnchorsSql,
     "ex_urlnorm" -> exUrlNormSql,
     "ex_classify" -> exClassifySql,
     "ex_lines" -> exLinesSql,

@@ -984,6 +984,360 @@ object Structured {
       |ORDER BY url""".stripMargin
   }
 
+  // ---- fenced code blocks -----------------------------------------------------
+
+  /** `<pre><code>` blocks in document order as (lang, code): lang from the
+    * `language-*` class token ("" when untagged), code entity-decoded with
+    * whitespace PRESERVED — the one body surface where the running-text
+    * extractor's whitespace collapse is exactly wrong (code-literate
+    * training corpora keep indentation). A bare `<pre>` without a `<code>`
+    * child (ASCII art) and an inline `<code>` span outside any pre are NOT
+    * code blocks (pinned); comments and script/style rawtext are skipped so
+    * JS-string lookalikes never emit.
+    */
+  def codeBlocks(html: String): Vector[(String, String)] = {
+    val s = html
+    val n = s.length
+    val out = ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) return out.toVector
+      if (s.startsWith("<!--", lt)) {
+        val e = s.indexOf("-->", lt + 4); i = if (e < 0) n else e + 3
+      } else if (lt + 7 <= n && s.regionMatches(true, lt + 1, "script", 0, 6) &&
+        (lt + 7 == n || !Character.isLetterOrDigit(s.charAt(lt + 7)))) {
+        i = findClose(s, lt + 7, "script")._2
+      } else if (lt + 6 <= n && s.regionMatches(true, lt + 1, "style", 0, 5) &&
+        (lt + 6 == n || !Character.isLetterOrDigit(s.charAt(lt + 6)))) {
+        i = findClose(s, lt + 6, "style")._2
+      } else if (lt + 4 <= n && s.regionMatches(true, lt + 1, "pre", 0, 3) &&
+        (lt + 4 == n || !Character.isLetterOrDigit(s.charAt(lt + 4)))) {
+        val (_, inner) = parseAttrs(s, lt + 4)
+        val (pEnd, past) = findClose(s, inner, "pre")
+        val body = s.substring(inner, pEnd)
+        // first <code …> child; a pre without one is preformatted text, not code
+        var k = 0
+        var found = false
+        while (!found && k < body.length) {
+          val c = body.indexOf("<code", k)
+          if (c < 0) k = body.length
+          else if (c + 5 < body.length && !Character.isLetterOrDigit(body.charAt(c + 5))) {
+            val (attrs, cs) = parseAttrs(body, c + 5)
+            val (ce, _) = findClose(body, cs, "code")
+            val lang = attr(attrs, "class").split("\\s+")
+              .collectFirst { case t if t.startsWith("language-") => t.substring(9) }
+              .getOrElse("")
+            out += ((lang, Entities.decodeAll(body.substring(cs, ce))))
+            found = true
+          } else k = c + 5
+        }
+        i = past
+      } else i = lt + 1
+    }
+    out.toVector
+  }
+
+  /** Code-block harvest — (url, seq, lang, n_lines, code) per fenced block:
+    * the extraction pass behind code-literate text corpora (The Stack /
+    * StarCoder-style web-code mining keeps indentation and language tags).
+    * Zero-exchange per-row scan.
+    */
+  def exCodeblocks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .flatMap { case (url, html) =>
+        codeBlocks(html).zipWithIndex.map { case ((lang, code), p) =>
+          (url, p.toLong, lang, code.count(_ == '\n') + 1L, code)
+        }
+      }
+      .toDF("url", "seq", "lang", "n_lines", "code")
+      .orderBy("url", "seq")
+  }
+
+  /** Oracle-equivalence precondition (corpus-guaranteed): blocks are emitted
+    * exactly as `<pre><code class="language-x">…</code></pre>` (or without
+    * the class), bodies carry no raw '<'/'&' and only the `&amp;`/`&lt;`
+    * entities. Real-web divergences (attr order, nested spans) are the
+    * scanner's unit-test territory.
+    */
+  val exCodeblocksSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    """WITH m AS (
+      |  SELECT url,
+      |    regexp_extract_all(html_str, '(?s)<pre><code(?: class="language-([a-z]+)")?>(.*?)</code></pre>', 1) ls,
+      |    regexp_extract_all(html_str, '(?s)<pre><code(?: class="language-([a-z]+)")?>(.*?)</code></pre>', 2) bs
+      |  FROM """.stripMargin + H + """),
+      |e AS (
+      |  SELECT url, CAST(i - 1 AS BIGINT) seq, coalesce(ls[i], '') lang,
+      |         replace(replace(bs[i], '&lt;', '<'), '&amp;', '&') code
+      |  FROM m, unnest(generate_series(1, len(bs))) AS u(i))
+      |SELECT url, seq, lang,
+      |       CAST(length(code) - length(replace(code, chr(10), '')) + 1 AS BIGINT) n_lines,
+      |       code
+      |FROM e ORDER BY url, seq""".stripMargin
+  }
+
+  // ---- bullet / numbered lists --------------------------------------------------
+
+  /** `<ul>`/`<ol>` lists flattened to (lst, kind, ord, item) in document
+    * order: items entity-decoded, nested markup stripped to its text,
+    * whitespace collapsed — the list-structure harvest an instruction-tuning
+    * miner runs (steps, ingredients, FAQs live in lists). Comments and
+    * script/style rawtext skipped.
+    */
+  def listItems(html: String): Vector[(Int, String, Int, String)] = {
+    val s = html
+    val n = s.length
+    val out = ArrayBuffer.empty[(Int, String, Int, String)]
+    var lst = 0
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) return out.toVector
+      if (s.startsWith("<!--", lt)) {
+        val e = s.indexOf("-->", lt + 4); i = if (e < 0) n else e + 3
+      } else if (lt + 7 <= n && s.regionMatches(true, lt + 1, "script", 0, 6) &&
+        (lt + 7 == n || !Character.isLetterOrDigit(s.charAt(lt + 7)))) {
+        i = findClose(s, lt + 7, "script")._2
+      } else if (lt + 6 <= n && s.regionMatches(true, lt + 1, "style", 0, 5) &&
+        (lt + 6 == n || !Character.isLetterOrDigit(s.charAt(lt + 6)))) {
+        i = findClose(s, lt + 6, "style")._2
+      } else if (lt + 3 <= n &&
+        (s.regionMatches(true, lt + 1, "ul", 0, 2) || s.regionMatches(true, lt + 1, "ol", 0, 2)) &&
+        (lt + 3 == n || !Character.isLetterOrDigit(s.charAt(lt + 3)))) {
+        val kind = s.substring(lt + 1, lt + 3).toLowerCase
+        val (_, inner) = parseAttrs(s, lt + 3)
+        val (lEnd, past) = findClose(s, inner, kind)
+        val body = s.substring(inner, lEnd)
+        var ord = 0
+        var k = 0
+        while (k < body.length) {
+          val li = body.indexOf("<li", k)
+          if (li < 0) k = body.length
+          else if (li + 3 < body.length && !Character.isLetterOrDigit(body.charAt(li + 3))) {
+            val (_, is) = parseAttrs(body, li + 3)
+            val (ie, iPast) = findClose(body, is, "li")
+            val raw = body.substring(is, ie).replaceAll("<[^>]*>", " ")
+            out += ((lst, kind, ord, collapseWs(Entities.decodeAll(raw))))
+            ord += 1
+            k = iPast
+          } else k = li + 3
+        }
+        lst += 1
+        i = past
+      } else i = lt + 1
+    }
+    out.toVector
+  }
+
+  def exLists(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .flatMap { case (url, html) =>
+        listItems(html).map { case (l, kind, o, item) => (url, l.toLong, kind, o.toLong, item) }
+      }
+      .toDF("url", "lst", "kind", "ord", "item")
+      .orderBy("url", "lst", "ord")
+  }
+
+  /** Precondition (corpus-guaranteed): lists emitted as `<ul>…</ul>` /
+    * `<ol>…</ol>` with bare `<li>` items, nested markup only `<b>`, the only
+    * entity `&amp;`, and no ul/ol lookalikes inside scripts.
+    */
+  val exListsSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    """WITH m AS (
+      |  SELECT url, regexp_extract_all(html_str, '<[uo]l>.*?</[uo]l>') ms
+      |  FROM """.stripMargin + H + """),
+      |l AS (
+      |  SELECT url, CAST(i - 1 AS BIGINT) lst, substr(ms[i], 2, 2) kind, ms[i] m
+      |  FROM m, unnest(generate_series(1, len(ms))) AS u(i)),
+      |li AS (
+      |  SELECT url, lst, kind, regexp_extract_all(m, '<li>(.*?)</li>', 1) items FROM l),
+      |e AS (
+      |  SELECT url, lst, kind, CAST(j - 1 AS BIGINT) ord, items[j] raw
+      |  FROM li, unnest(generate_series(1, len(items))) AS u(j))
+      |SELECT url, lst, kind, ord,
+      |       trim(regexp_replace(replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+      |                                   '&amp;', '&'), ' +', ' ', 'g')) item
+      |FROM e ORDER BY url, lst, ord""".stripMargin
+  }
+
+  // ---- license detection ---------------------------------------------------------
+
+  /** First license declaration in document order: a head
+    * `<link rel="license">` or a body `<a rel="… license …">` (rel is a
+    * token LIST — `rel="licenses"` is not a match, pinned). Returns
+    * (src, href) where src ∈ {"link", "a", ""}.
+    */
+  def licenseOf(html: String): (String, String) = {
+    val s = html
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) return ("", "")
+      if (s.startsWith("<!--", lt)) {
+        val e = s.indexOf("-->", lt + 4); i = if (e < 0) n else e + 3
+      } else if (lt + 7 <= n && s.regionMatches(true, lt + 1, "script", 0, 6) &&
+        (lt + 7 == n || !Character.isLetterOrDigit(s.charAt(lt + 7)))) {
+        i = findClose(s, lt + 7, "script")._2
+      } else if (lt + 5 <= n && s.regionMatches(true, lt + 1, "link", 0, 4) &&
+        (lt + 5 == n || !Character.isLetterOrDigit(s.charAt(lt + 5)))) {
+        val (attrs, past) = parseAttrs(s, lt + 5)
+        if (attr(attrs, "rel").toLowerCase.split("\\s+").contains("license") &&
+          attr(attrs, "href").nonEmpty)
+          return ("link", attr(attrs, "href"))
+        i = past
+      } else if (lt + 2 <= n && s.regionMatches(true, lt + 1, "a", 0, 1) &&
+        (lt + 2 == n || !Character.isLetterOrDigit(s.charAt(lt + 2)))) {
+        val (attrs, past) = parseAttrs(s, lt + 2)
+        if (attr(attrs, "rel").toLowerCase.split("\\s+").contains("license") &&
+          attr(attrs, "href").nonEmpty)
+          return ("a", attr(attrs, "href"))
+        i = past
+      } else i = lt + 1
+    }
+    ("", "")
+  }
+
+  /** Normalized license id from a declared href: the Creative Commons
+    * `licenses/<code>/` path segment, `cc0` for public-domain marks,
+    * `other` for a non-CC license host, "" when none declared.
+    */
+  private[graft] def licenseCode(href: String): String =
+    if (href.isEmpty) ""
+    else {
+      val m = "creativecommons\\.org/licenses/([a-z-]+)/".r.findFirstMatchIn(href)
+      if (m.isDefined) m.get.group(1)
+      else if (href.contains("creativecommons.org/publicdomain/")) "cc0"
+      else "other"
+    }
+
+  /** License harvest — (url, src, code): the filter key behind
+    * license-aware corpus assembly (keep cc-by/cc0, route by-nc to the
+    * research split). Zero-exchange per-row scan.
+    */
+  def exLicense(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .map { case (url, html) =>
+        val (src, href) = licenseOf(html)
+        (url, src, licenseCode(href))
+      }
+      .toDF("url", "src", "code")
+      .orderBy("url")
+  }
+
+  /** Precondition (corpus-guaranteed): the head form is emitted exactly as
+    * `<link rel="license" href="…">`, the body form as
+    * `<a rel="nofollow license" href="…">`; never both on one page.
+    */
+  val exLicenseSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    """WITH x AS (
+      |  SELECT url,
+      |    regexp_extract(html_str, '<link rel="license" href="([^"]*)">', 1) lk,
+      |    regexp_extract(html_str, '<a rel="(?:nofollow )?license" href="([^"]*)">', 1) ak
+      |  FROM """.stripMargin + H + """),
+      |r AS (
+      |  SELECT url,
+      |    CASE WHEN lk <> '' THEN 'link' WHEN ak <> '' THEN 'a' ELSE '' END src,
+      |    CASE WHEN lk <> '' THEN lk ELSE ak END href
+      |  FROM x)
+      |SELECT url, src,
+      |  CASE WHEN href = '' THEN ''
+      |       WHEN regexp_extract(href, 'creativecommons\.org/licenses/([a-z-]+)/', 1) <> ''
+      |         THEN regexp_extract(href, 'creativecommons\.org/licenses/([a-z-]+)/', 1)
+      |       WHEN contains(href, 'creativecommons.org/publicdomain/') THEN 'cc0'
+      |       ELSE 'other' END code
+      |FROM r ORDER BY url""".stripMargin
+  }
+
+  // ---- pagination chains -----------------------------------------------------------
+
+  /** First head `<link rel="next">` target, if any — the multi-page-article
+    * pointer a stitching pass follows.
+    */
+  def nextHref(html: String): Option[String] =
+    headElems(html).collectFirst {
+      case ("link", attrs)
+        if attr(attrs, "rel").toLowerCase.split("\\s+").contains("next") &&
+          attr(attrs, "href").nonEmpty =>
+        attr(attrs, "href")
+    }
+
+  /** Pagination-chain assembly — (head, part, url): chains are built from
+    * rel=next edges alone (rel=prev is advisory and inconsistent on the real
+    * web); a HEAD is a page with an outgoing next pointer that no other page
+    * points at, and the walk follows next edges that land on pages actually
+    * IN the corpus (a broken pointer ends its chain and the orphaned tail
+    * re-heads — pinned). This is the stitching pass that reassembles
+    * paginated articles before extraction at 100 TB: the per-round join is
+    * frontier-sized (chains, not corpus), iteration count = max pagination
+    * depth (a small constant on the real web — capped loudly here), and the
+    * edge table is localCheckpoint'ed once so no round recomputes the scan.
+    */
+  def exPaginate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pages = StructuredCorpus.htmlStrs(spark)
+    val rawEdges = pages
+      .as[(String, String)]
+      .flatMap { case (u, h) => nextHref(h).map(nx => (u, nx)) }
+      .toDF("url", "nxt")
+      .localCheckpoint() // reused for heads + every walk round
+    // edges that land on a page actually in the corpus (the walkable set)
+    val walk = rawEdges
+      .join(pages.select(col("url").as("nxt")), "nxt")
+      .select(col("url").as("w_url"), col("nxt").as("w_nxt"))
+      .localCheckpoint()
+    val heads = rawEdges.select("url")
+      .join(rawEdges.select(col("nxt").as("url")), Seq("url"), "left_anti")
+      .distinct()
+    var frontier = heads
+      .select(col("url").as("head"), lit(0L).as("part"), col("url"))
+      .localCheckpoint()
+    var acc = frontier
+    val maxDepth =
+      sys.props.get("graft.paginate.maxDepth").map(_.toInt).getOrElse(64)
+    var depth = 0
+    var more = frontier.limit(1).count() > 0
+    while (more && depth < maxDepth) {
+      val next = frontier.join(walk, frontier("url") === col("w_url"))
+        .select(col("head"), (col("part") + 1L).as("part"), col("w_nxt").as("url"))
+        .localCheckpoint()
+      more = next.limit(1).count() > 0
+      if (more) { acc = acc.unionByName(next); frontier = next }
+      depth += 1
+    }
+    require(!more,
+      s"pagination walk exceeded $maxDepth rounds — a rel=next cycle or " +
+        "adversarial chain; raise -Dgraft.paginate.maxDepth")
+    acc.orderBy("head", "part")
+  }
+
+  val exPaginateSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    s"""WITH RECURSIVE
+       |en AS (
+       |  SELECT url, regexp_extract(html_str, '<link rel="next" href="([^"]*)">', 1) nxt
+       |  FROM $H
+       |  WHERE regexp_extract(html_str, '<link rel="next" href="([^"]*)">', 1) <> ''),
+       |f AS (
+       |  SELECT en.url, en.nxt FROM en JOIN (SELECT url FROM $H) p ON en.nxt = p.url),
+       |heads AS (
+       |  SELECT url FROM en WHERE url NOT IN (SELECT nxt FROM en)),
+       |chain AS (
+       |  SELECT url AS head, CAST(0 AS BIGINT) AS part, url FROM heads
+       |  UNION ALL
+       |  SELECT c.head, c.part + 1, f.nxt FROM chain c JOIN f ON c.url = f.url)
+       |SELECT head, part, url FROM chain ORDER BY head, part""".stripMargin
+  }
+
   // ---- contract surface ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -999,7 +1353,11 @@ object Structured {
     "ex_metarobots" -> (exMetarobots _),
     "ex_refresh" -> (exRefresh _),
     "ex_amp" -> (exAmp _),
-    "ex_images" -> (exImages _)
+    "ex_images" -> (exImages _),
+    "ex_codeblocks" -> (exCodeblocks _),
+    "ex_lists" -> (exLists _),
+    "ex_license" -> (exLicense _),
+    "ex_paginate" -> (exPaginate _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1015,6 +1373,10 @@ object Structured {
     "ex_metarobots" -> exMetarobotsSql,
     "ex_refresh" -> exRefreshSql,
     "ex_amp" -> exAmpSql,
-    "ex_images" -> exImagesSql
+    "ex_images" -> exImagesSql,
+    "ex_codeblocks" -> exCodeblocksSql,
+    "ex_lists" -> exListsSql,
+    "ex_license" -> exLicenseSql,
+    "ex_paginate" -> exPaginateSql
   )
 }

@@ -171,6 +171,108 @@ object StructuredCorpus {
     }.mkString
   }
 
+  /** Fenced code blocks for page i: `<pre><code class="language-x">` with
+    * newline-preserved multi-line bodies (the whitespace-preservation case
+    * the running-text extractor deliberately destroys), alternating with a
+    * class-less `<pre><code>` (lang unknown). Bodies carry planted `&amp;` /
+    * `&lt;` entities on some residues (decode pinned) and NEVER a raw '<'
+    * or '&' (oracle-equivalence precondition). Decoys: a bare `<pre>` with
+    * no code child (ASCII art — not a code block) and an inline `<code>`
+    * span outside any pre (not a BLOCK).
+    */
+  private val CODELANGS = Vector("python", "scala", "sql")
+
+  def codeFor(i: Long): String = {
+    val n = ((i + 2) % 3).toInt
+    val sb = new StringBuilder
+    (0 until n).foreach { k =>
+      val body = (0 until (2 + Rng.nextInt(SEED, 1000L + k, i, 3))).map { r =>
+        val ind = if (r % 2 == 1) "  " else ""
+        val op = Rng.nextInt(SEED, 1010L + k * 7 + r, i, 3) match {
+          case 0 => s"x$r = ${word(i, 1020 + k * 11 + r)} &amp; mask"
+          case 1 => s"if n$r &lt; ${Rng.nextInt(SEED, 1030L + k, i, 99)}: emit(${word(i, 1040 + k * 13 + r)})"
+          case _ => s"val y$r = f(${word(i, 1050 + k * 17 + r)}, $r)"
+        }
+        ind + op
+      }.mkString("\n")
+      if (Rng.nextInt(SEED, 1060L + k, i, 4) == 3)
+        sb.append(s"<pre><code>$body</code></pre>")
+      else {
+        val lang = CODELANGS(Rng.nextInt(SEED, 1070L + k, i, CODELANGS.length))
+        sb.append(s"""<pre><code class="language-$lang">$body</code></pre>""")
+      }
+    }
+    if (i % 9 == 4) sb.append("<pre>  +--+\n  |::|\n  +--+</pre>")
+    if (i % 7 == 2) sb.append(s"<p>call <code>run(${word(i, 1080)})</code> inline.</p>")
+    sb.toString
+  }
+
+  /** Bullet/numbered lists for page i: `(i % 3)` lists alternating ul/ol,
+    * 2..5 items each; items are phrases with occasional nested `<b>` markup
+    * (tag-strip pinned) and planted `&amp;` entities. List lookalikes never
+    * appear inside scripts (oracle precondition).
+    */
+  def listsFor(i: Long): String = {
+    val n = (i % 3).toInt
+    (0 until n).map { l =>
+      val kind = if ((i + l) % 2 == 0) "ul" else "ol"
+      val items = (0 until (2 + Rng.nextInt(SEED, 1100L + l, i, 4))).map { k =>
+        val base = phrase(i, 1110 + l * 19 + k, 2 + Rng.nextInt(SEED, 1120L + l, i, 2))
+        val t = Rng.nextInt(SEED, 1130L + l * 7 + k, i, 4) match {
+          case 0 => s"$base <b>${word(i, 1140 + l * 23 + k)}</b> tail"
+          case 1 => s"$base &amp; more"
+          case _ => base
+        }
+        s"<li>$t</li>"
+      }.mkString
+      s"<$kind>$items</$kind>"
+    }.mkString
+  }
+
+  /** License declaration for page i: head `<link rel="license">` (residue 1),
+    * body `<a rel="nofollow license">` (residue 2 — rel as a token LIST),
+    * CC0 public-domain link (residue 0 of 8), none otherwise. Decoy:
+    * `rel="licenses"` is NOT the license token.
+    */
+  def licenseFor(i: Long): (String, String) = {
+    val code = Vector("by", "by-sa", "by-nc", "by-nc-sa")(
+      Rng.nextInt(SEED, 1200L, i, 4))
+    val head = new StringBuilder
+    val body = new StringBuilder
+    if (i % 8 == 0)
+      head.append("""<link rel="license" href="https://creativecommons.org/publicdomain/zero/1.0/">""")
+    else if (i % 4 == 1)
+      head.append(s"""<link rel="license" href="https://creativecommons.org/licenses/$code/4.0/">""")
+    else if (i % 4 == 2)
+      body.append(s"""<p><a rel="nofollow license" href="https://creativecommons.org/licenses/$code/4.0/">cc $code</a></p>""")
+    if (i % 12 == 7)
+      head.append("""<link rel="licenses" href="https://example.org/not-a-license">""")
+    (head.toString, body.toString)
+  }
+
+  /** Pagination rel=next / rel=prev head links: pages with `i % 10 < 3`
+    * form 3-part chains (head = i - i%10); part 0/1 declare next, part 1/2
+    * declare prev. Every 40th page (part 0) declares a BROKEN next pointer
+    * (target not in the corpus) — the chain walk must stop there and the
+    * orphaned parts 1..2 become their own chain (pinned).
+    */
+  def paginateFor(i: Long): String = {
+    val p = i % 10
+    if (p >= 3) ""
+    else {
+      val sb = new StringBuilder
+      if (p < 2) {
+        val nxt =
+          if (i % 40 == 20) s"https://structured.example.org/a/x$i"
+          else s"https://structured.example.org/a/${i + 1}"
+        sb.append(s"""<link rel="next" href="$nxt">""")
+      }
+      if (p > 0)
+        sb.append(s"""<link rel="prev" href="https://structured.example.org/a/${i - 1}">""")
+      sb.toString
+    }
+  }
+
   /** schema.org BreadcrumbList JSON-LD (every 3rd page, 2..4 levels). */
   private def breadcrumbScript(i: Long): String =
     if (i % 3 == 0) {
@@ -184,6 +286,7 @@ object StructuredCorpus {
   def htmlFor(i: Long): String = {
     val nLd = (i % 3).toInt
     val nTbl = ((i + 1) % 3).toInt
+    val (licHead, licBody) = licenseFor(i)
     val sb = new StringBuilder
     sb.append(s"<html><head><title>${phrase(i, 1, 3)}</title>")
     canonicalFor(i).foreach(c => sb.append(s"""<link rel="canonical" href="$c">"""))
@@ -191,13 +294,18 @@ object StructuredCorpus {
     sb.append(hreflangLinks(i))
     sb.append(publishedMeta(i))
     sb.append(crawlControl(i))
+    sb.append(licHead)
+    sb.append(paginateFor(i))
     sb.append("</head><body>")
+    sb.append(licBody)
     // decoys: og meta + hreflang link in BODY — both surfaces are head-scoped
     if (i % 8 == 5) {
       sb.append("""<meta property="og:title" content="BODYDECOY">""")
       sb.append("""<link rel="alternate" hreflang="zz" href="https://structured.example.org/zz/decoy">""")
     }
     sb.append(s"<p>${phrase(i, 2, 8)}.</p>")
+    sb.append(codeFor(i))
+    sb.append(listsFor(i))
     sb.append(timeTagFor(i))
     sb.append(imagesFor(i))
     sb.append(breadcrumbScript(i))

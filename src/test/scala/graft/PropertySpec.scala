@@ -89,7 +89,9 @@ class PropertySpec extends AnyFunSuite {
       "<img ", "src=", "alt=", "width=", "height=", "<figure>", "</figure>",
       "<figcaption>", "</figcaption>", "<time ", "datetime=", "</time>",
       "<script>", "</script>", "<style>", "</style>", "<!--", "-->",
-      "<title>", "</title>", "=", ">", "<", "\"", "'", " ", "x", "1", ";url="
+      "<title>", "</title>", "=", ">", "<", "\"", "'", " ", "x", "1", ";url=",
+      "<pre>", "</pre>", "<code", "</code>", "language-", "class=",
+      "<ul>", "</ul>", "<ol>", "</ol>", "<li>", "</li>", "<a ", "license", "next"
     )).map(_.mkString)
     samples(soup, 400).foreach { s =>
       Structured.ogCard(s)
@@ -103,6 +105,10 @@ class PropertySpec extends AnyFunSuite {
       Structured.jsonLdBodies(s)
       Structured.dataTableCells(s)
       Structured.canonicalHref(s)
+      Structured.codeBlocks(s)
+      Structured.listItems(s)
+      Structured.licenseOf(s)
+      Structured.nextHref(s)
     }
     samples(anyString, 300).foreach { s =>
       Structured.ogCard(s); Structured.imageHarvest(s); Structured.timeDatetime(s)

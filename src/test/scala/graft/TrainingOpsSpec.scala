@@ -128,6 +128,66 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(Structured.canonicalHref("<p>none</p>") == "")
   }
 
+  test("body-surface scanners: code blocks, lists, license, rel=next — general rules") {
+    // code blocks: pre-without-code and inline code are NOT blocks; attr
+    // variance; whitespace PRESERVED; entities decoded; script rawtext skipped
+    val code = Structured.codeBlocks(
+      """<pre>  +--+
+        |  |ascii art|</pre>
+        |<p>inline <code>x=1</code> span</p>
+        |<script>var s = '<pre><code>fake()</code></pre>';</script>
+        |<pre class=wide><code class='hl language-py'>def f():
+        |  return a &amp; b</code></pre>
+        |<!-- <pre><code>commented()</code></pre> -->
+        |<pre><code>plain &lt; block</code></pre>""".stripMargin)
+    assert(code == Vector(
+      ("py", "def f():\n  return a & b"),
+      ("", "plain < block")), code)
+
+    // lists: ul/ol kinds in doc order, li attrs, nested markup stripped,
+    // entity decode + ws collapse, script lookalike skipped, comment skipped
+    val items = Structured.listItems(
+      """<script>var l = '<ul><li>js</li></ul>';</script>
+        |<ul id=menu><li class=i>alpha <b>beta</b></li><li> a &amp; b </li></ul>
+        |<!-- <ol><li>gone</li></ol> -->
+        |<ol><li>one</li></ol>""".stripMargin)
+    assert(items == Vector(
+      (0, "ul", 0, "alpha beta"), (0, "ul", 1, "a & b"),
+      (1, "ol", 0, "one")), items)
+
+    // license: rel token LIST ("licenses" is not a match), first declaration
+    // in doc order wins, comments skipped, cc code normalization
+    assert(Structured.licenseOf(
+      """<head><link rel="licenses" href="/decoy">
+        |<link href="https://creativecommons.org/licenses/by-sa/4.0/" rel="license"></head>""".stripMargin)
+      == ("link", "https://creativecommons.org/licenses/by-sa/4.0/"))
+    assert(Structured.licenseOf(
+      """<body><a rel="nofollow license" href="https://creativecommons.org/publicdomain/zero/1.0/">cc0</a></body>""")
+      == ("a", "https://creativecommons.org/publicdomain/zero/1.0/"))
+    assert(Structured.licenseOf("<p>none</p>") == ("", ""))
+    assert(Structured.licenseCode("https://creativecommons.org/licenses/by-nc/4.0/") == "by-nc")
+    assert(Structured.licenseCode("https://creativecommons.org/publicdomain/zero/1.0/") == "cc0")
+    assert(Structured.licenseCode("https://example.org/eula") == "other")
+    assert(Structured.licenseCode("") == "")
+
+    // rel=next: head-scoped, token list, body decoy out
+    assert(Structured.nextHref(
+      """<head><link rel="next prefetch" href="/p2"></head>
+        |<body><link rel="next" href="/body-decoy"></body>""".stripMargin)
+      == Some("/p2"))
+    assert(Structured.nextHref(
+      """<head><title>t</title></head><body><link rel="next" href="/x"></body>""").isEmpty)
+
+    // corpus-level broken-pointer pin: page 20's next target is not a page,
+    // so its chain is a singleton and 21..22 re-head as their own chain
+    import graft.sources.StructuredCorpus
+    assert(Structured.nextHref(StructuredCorpus.htmlFor(20L))
+      == Some("https://structured.example.org/a/x20"))
+    assert(Structured.nextHref(StructuredCorpus.htmlFor(21L))
+      == Some("https://structured.example.org/a/22"))
+    assert(Structured.nextHref(StructuredCorpus.htmlFor(22L)).isEmpty)
+  }
+
   test("head-surface scanners: og/twitter, hreflang, pubdate precedence, breadcrumb") {
     // og: property= vs name= split; attr order variance; first-wins; head scope
     val og = Structured.ogCard(
