@@ -1338,6 +1338,236 @@ object Structured {
        |SELECT head, part, url FROM chain ORDER BY head, part""".stripMargin
   }
 
+  // ---- FAQ Q/A pairs ---------------------------------------------------------
+
+  private val FAQ_SCHEMA = StructType(Seq(
+    StructField("@type", StringType),
+    StructField("mainEntity", ArrayType(StructType(Seq(
+      StructField("@type", StringType),
+      StructField("name", StringType),
+      StructField("acceptedAnswer", StructType(Seq(StructField("text", StringType))))
+    ))))
+  ))
+
+  /** FAQPage JSON-LD → (url, pos, question, answer): the site-DECLARED
+    * question/answer pairs an instruction-tuning miner harvests first —
+    * unlike heuristic Q/A mining from running text, schema.org FAQPage
+    * markup IS the ground truth (question in `mainEntity[].name`, answer in
+    * `acceptedAnswer.text`). `pos` is the declared ARRAY index — a
+    * non-Question entry (pinned decoy) is filtered but still occupies its
+    * position, so question ordinals are stable under mixed lists. Shares the
+    * ld+json channel with exJsonld/exBreadcrumb; routing is by declared
+    * `@type` on both sides. Zero-exchange per-row scan + codegen'd
+    * `from_json`.
+    */
+  def exFaq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .flatMap { case (url, html) => jsonLdBodies(html).map((url, _)) }
+      .toDF("url", "body")
+      .withColumn("j", from_json(col("body"), FAQ_SCHEMA))
+      .where(col("j.@type") === "FAQPage")
+      .select(col("url"), posexplode(col("j.mainEntity")).as(Seq("pos", "e")))
+      .where(col("e.@type") === "Question")
+      .select(
+        col("url"), col("pos").cast("long").as("pos"),
+        col("e.name").as("question"),
+        col("e.acceptedAnswer.text").as("answer")
+      )
+      .orderBy("url", "pos")
+  }
+
+  val exFaqSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    """WITH m AS (
+      |  SELECT url,
+      |         regexp_extract_all(html_str,
+      |           '<script type="application/ld\+json">(.*?)</script>', 1) bs
+      |  FROM """.stripMargin + H + """),
+      |e AS (
+      |  SELECT url, bs[i] body
+      |  FROM m, unnest(generate_series(1, len(bs))) AS u(i)
+      |  WHERE json_extract_string(bs[i], '$."@type"') = 'FAQPage'),
+      |x AS (
+      |  SELECT url, body,
+      |         CAST(json_array_length(json_extract(body, '$.mainEntity')) AS BIGINT) n
+      |  FROM e),
+      |i AS (SELECT url, body, k FROM x, unnest(generate_series(0, n - 1)) AS g(k))
+      |SELECT url, CAST(k AS BIGINT) pos,
+      |  json_extract_string(body, '$.mainEntity[' || k || '].name') AS question,
+      |  json_extract_string(body, '$.mainEntity[' || k || '].acceptedAnswer.text') AS answer
+      |FROM i
+      |WHERE json_extract_string(body, '$.mainEntity[' || k || ']."@type"') = 'Question'
+      |ORDER BY url, pos""".stripMargin
+  }
+
+  // ---- blockquotes ------------------------------------------------------------
+
+  /** `<blockquote>` elements in document order as (cite, quote): the cite
+    * attribute ("" when absent) and the body with nested markup stripped to
+    * text, entity-decoded, whitespace-collapsed. Quotes are the
+    * attribution-bearing text spans a citation-aware corpus keeps linked to
+    * their source; comments and script/style rawtext are skipped so
+    * JS-string lookalikes never emit.
+    */
+  def blockquotes(html: String): Vector[(String, String)] = {
+    val s = html
+    val n = s.length
+    val out = ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) return out.toVector
+      if (s.startsWith("<!--", lt)) {
+        val e = s.indexOf("-->", lt + 4); i = if (e < 0) n else e + 3
+      } else if (lt + 7 <= n && s.regionMatches(true, lt + 1, "script", 0, 6) &&
+        (lt + 7 == n || !Character.isLetterOrDigit(s.charAt(lt + 7)))) {
+        i = findClose(s, lt + 7, "script")._2
+      } else if (lt + 6 <= n && s.regionMatches(true, lt + 1, "style", 0, 5) &&
+        (lt + 6 == n || !Character.isLetterOrDigit(s.charAt(lt + 6)))) {
+        i = findClose(s, lt + 6, "style")._2
+      } else if (lt + 11 <= n && s.regionMatches(true, lt + 1, "blockquote", 0, 10) &&
+        (lt + 11 == n || !Character.isLetterOrDigit(s.charAt(lt + 11)))) {
+        val (attrs, inner) = parseAttrs(s, lt + 11)
+        val (bEnd, past) = findClose(s, inner, "blockquote")
+        val raw = s.substring(inner, bEnd).replaceAll("<[^>]*>", " ")
+        out += ((attr(attrs, "cite"), collapseWs(Entities.decodeAll(raw))))
+        i = past
+      } else i = lt + 1
+    }
+    out.toVector
+  }
+
+  def exBlockquote(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .flatMap { case (url, html) =>
+        blockquotes(html).zipWithIndex.map { case ((cite, quote), p) =>
+          (url, p.toLong, cite, quote)
+        }
+      }
+      .toDF("url", "seq", "cite", "quote")
+      .orderBy("url", "seq")
+  }
+
+  /** Precondition (corpus-guaranteed): quotes emitted as
+    * `<blockquote cite="…">` or bare `<blockquote>`, nested markup only
+    * `<em>`, the only entity `&amp;`, no lookalikes in scripts/comments.
+    */
+  val exBlockquoteSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    """WITH m AS (
+      |  SELECT url,
+      |    regexp_extract_all(html_str, '<blockquote(?: cite="([^"]*)")?>(.*?)</blockquote>', 1) cs,
+      |    regexp_extract_all(html_str, '<blockquote(?: cite="([^"]*)")?>(.*?)</blockquote>', 2) qs
+      |  FROM """.stripMargin + H + """),
+      |e AS (
+      |  SELECT url, CAST(i - 1 AS BIGINT) seq, coalesce(cs[i], '') cite, qs[i] raw
+      |  FROM m, unnest(generate_series(1, len(qs))) AS u(i))
+      |SELECT url, seq, cite,
+      |       trim(regexp_replace(replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+      |                                   '&amp;', '&'), ' +', ' ', 'g')) AS "quote"
+      |FROM e ORDER BY url, seq""".stripMargin
+  }
+
+  // ---- definition lists ---------------------------------------------------------
+
+  /** `<dl>` definition lists flattened to (dl, ord, term, defn) in document
+    * order: each `<dd>` pairs with the most recent `<dt>` (multiple `<dd>`
+    * per `<dt>` repeat the term — the general HTML rule, unit-pinned), text
+    * entity-decoded, nested markup stripped, ws collapsed. Glossaries and
+    * FAQ-ish term/definition structure an instruction miner flattens to
+    * pairs; comments and script/style rawtext skipped.
+    */
+  def dlItems(html: String): Vector[(Int, Int, String, String)] = {
+    val s = html
+    val n = s.length
+    val out = ArrayBuffer.empty[(Int, Int, String, String)]
+    var dl = 0
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) return out.toVector
+      if (s.startsWith("<!--", lt)) {
+        val e = s.indexOf("-->", lt + 4); i = if (e < 0) n else e + 3
+      } else if (lt + 7 <= n && s.regionMatches(true, lt + 1, "script", 0, 6) &&
+        (lt + 7 == n || !Character.isLetterOrDigit(s.charAt(lt + 7)))) {
+        i = findClose(s, lt + 7, "script")._2
+      } else if (lt + 6 <= n && s.regionMatches(true, lt + 1, "style", 0, 5) &&
+        (lt + 6 == n || !Character.isLetterOrDigit(s.charAt(lt + 6)))) {
+        i = findClose(s, lt + 6, "style")._2
+      } else if (lt + 3 <= n && s.regionMatches(true, lt + 1, "dl", 0, 2) &&
+        (lt + 3 == n || !Character.isLetterOrDigit(s.charAt(lt + 3)))) {
+        val (_, inner) = parseAttrs(s, lt + 3)
+        val (dEnd, past) = findClose(s, inner, "dl")
+        val body = s.substring(inner, dEnd)
+        var term = ""
+        var ord = 0
+        var k = 0
+        while (k < body.length) {
+          val dt = body.indexOf("<dt", k)
+          val dd = body.indexOf("<dd", k)
+          val nxt = if (dt < 0) dd else if (dd < 0) dt else math.min(dt, dd)
+          if (nxt < 0) k = body.length
+          else if (nxt + 3 < body.length && !Character.isLetterOrDigit(body.charAt(nxt + 3))) {
+            val name = if (nxt == dt) "dt" else "dd"
+            val (_, cs) = parseAttrs(body, nxt + 3)
+            val (ce, cPast) = findClose(body, cs, name)
+            val txt = collapseWs(Entities.decodeAll(
+              body.substring(cs, ce).replaceAll("<[^>]*>", " ")))
+            if (name == "dt") term = txt
+            else { out += ((dl, ord, term, txt)); ord += 1 }
+            k = cPast
+          } else k = nxt + 3
+        }
+        dl += 1
+        i = past
+      } else i = lt + 1
+    }
+    out.toVector
+  }
+
+  def exDl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .flatMap { case (url, html) =>
+        dlItems(html).map { case (d, o, t, f) => (url, d.toLong, o.toLong, t, f) }
+      }
+      .toDF("url", "dl", "ord", "term", "defn")
+      .orderBy("url", "dl", "ord")
+  }
+
+  /** Precondition (corpus-guaranteed): strict dt/dd alternation (one dd per
+    * dt) emitted as bare `<dt>`/`<dd>`, nested markup only `<i>`, the only
+    * entity `&amp;` — so the j-th dt pairs with the j-th dd.
+    */
+  val exDlSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    """WITH m AS (
+      |  SELECT url, regexp_extract_all(html_str, '<dl>(.*?)</dl>') ds
+      |  FROM """.stripMargin + H + """),
+      |d AS (
+      |  SELECT url, CAST(i - 1 AS BIGINT) dl, ds[i] body
+      |  FROM m, unnest(generate_series(1, len(ds))) AS u(i)),
+      |p AS (
+      |  SELECT url, dl,
+      |         regexp_extract_all(body, '<dt>(.*?)</dt>', 1) ts,
+      |         regexp_extract_all(body, '<dd>(.*?)</dd>', 1) fs
+      |  FROM d),
+      |e AS (
+      |  SELECT url, dl, CAST(j - 1 AS BIGINT) ord, ts[j] rawt, fs[j] rawd
+      |  FROM p, unnest(generate_series(1, len(fs))) AS u(j))
+      |SELECT url, dl, ord,
+      |       trim(regexp_replace(replace(regexp_replace(rawt, '<[^>]*>', ' ', 'g'),
+      |                                   '&amp;', '&'), ' +', ' ', 'g')) term,
+      |       trim(regexp_replace(replace(regexp_replace(rawd, '<[^>]*>', ' ', 'g'),
+      |                                   '&amp;', '&'), ' +', ' ', 'g')) defn
+      |FROM e ORDER BY url, dl, ord""".stripMargin
+  }
+
   // ---- contract surface ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1357,7 +1587,10 @@ object Structured {
     "ex_codeblocks" -> (exCodeblocks _),
     "ex_lists" -> (exLists _),
     "ex_license" -> (exLicense _),
-    "ex_paginate" -> (exPaginate _)
+    "ex_paginate" -> (exPaginate _),
+    "ex_faq" -> (exFaq _),
+    "ex_blockquote" -> (exBlockquote _),
+    "ex_dl" -> (exDl _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1377,6 +1610,9 @@ object Structured {
     "ex_codeblocks" -> exCodeblocksSql,
     "ex_lists" -> exListsSql,
     "ex_license" -> exLicenseSql,
-    "ex_paginate" -> exPaginateSql
+    "ex_paginate" -> exPaginateSql,
+    "ex_faq" -> exFaqSql,
+    "ex_blockquote" -> exBlockquoteSql,
+    "ex_dl" -> exDlSql
   )
 }

@@ -273,6 +273,72 @@ object StructuredCorpus {
     }
   }
 
+  /** Blockquotes for page i (residue 2 of 3): 1..2 quotes alternating a
+    * `cite=`-attributed form with a bare one; bodies carry nested `<em>`
+    * markup (strip pinned) and planted `&amp;` entities, never raw '<'/'&'.
+    */
+  def quotesFor(i: Long): String =
+    if (i % 3 != 2) ""
+    else {
+      val n = 1 + (i % 2).toInt
+      (0 until n).map { k =>
+        val base = phrase(i, 1300 + k * 13, 4 + Rng.nextInt(SEED, 1310L + k, i, 4))
+        val body = Rng.nextInt(SEED, 1320L + k, i, 3) match {
+          case 0 => s"$base <em>${word(i, 1330 + k)}</em> coda"
+          case 1 => s"$base &amp; after"
+          case _ => base
+        }
+        if (k % 2 == 0)
+          s"""<blockquote cite="https://quotes.example.org/q/$i/$k">$body</blockquote>"""
+        else s"<blockquote>$body</blockquote>"
+      }.mkString
+    }
+
+  /** Definition lists for page i (residue 3 of 4): 1..2 `<dl>`s of 2..4
+    * strictly-alternating dt/dd pairs (one dd per dt — the oracle pairing
+    * precondition); dd bodies carry nested `<i>` markup and `&amp;`.
+    */
+  def dlFor(i: Long): String =
+    if (i % 4 != 3) ""
+    else {
+      val n = 1 + (i % 2).toInt
+      (0 until n).map { d =>
+        val pairs = (0 until (2 + Rng.nextInt(SEED, 1400L + d, i, 3))).map { k =>
+          val term = phrase(i, 1410 + d * 29 + k, 1 + Rng.nextInt(SEED, 1420L + d, i, 2))
+          val defn = Rng.nextInt(SEED, 1430L + d * 7 + k, i, 3) match {
+            case 0 => s"${phrase(i, 1440 + d * 31 + k, 3)} <i>${word(i, 1450 + d + k)}</i> note"
+            case 1 => s"${phrase(i, 1460 + d * 37 + k, 4)} &amp; rest"
+            case _ => phrase(i, 1470 + d * 41 + k, 3 + Rng.nextInt(SEED, 1480L + d, i, 3))
+          }
+          s"<dt>$term</dt><dd>$defn</dd>"
+        }.mkString
+        s"<dl>$pairs</dl>"
+      }.mkString
+    }
+
+  /** schema.org FAQPage JSON-LD for page i (residue 2 of 5): 2..4
+    * Question/acceptedAnswer entries; every 10th FAQ page plants a
+    * non-Question entry MID-LIST (the declared-array-index pin: question
+    * positions must skip over it, not renumber). Values single-line, no
+    * quotes/entities, and never the `datePublished` key (exPubdate's
+    * channel discriminator).
+    */
+  def faqScript(i: Long): String =
+    if (i % 5 != 2) ""
+    else {
+      val n = 2 + Rng.nextInt(SEED, 1500L, i, 3)
+      val qs = (0 until n).map { k =>
+        val q = s"how does ${phrase(i, 1510 + k * 17, 2)} work"
+        val a = phrase(i, 1520 + k * 19, 5 + Rng.nextInt(SEED, 1530L + k, i, 5))
+        s"""{"@type":"Question","name":"$q","acceptedAnswer":{"@type":"Answer","text":"$a"}}"""
+      }
+      val entries =
+        if (i % 10 == 7)
+          (qs.take(1) ++ Vector(s"""{"@type":"Tip","name":"${phrase(i, 1540, 2)}","acceptedAnswer":{"@type":"Answer","text":"decoy"}}""") ++ qs.drop(1)).mkString(",")
+        else qs.mkString(",")
+      s"""<script type="application/ld+json">{"@context":"https://schema.org","@type":"FAQPage","mainEntity":[$entries]}</script>"""
+    }
+
   /** schema.org BreadcrumbList JSON-LD (every 3rd page, 2..4 levels). */
   private def breadcrumbScript(i: Long): String =
     if (i % 3 == 0) {
@@ -306,9 +372,12 @@ object StructuredCorpus {
     sb.append(s"<p>${phrase(i, 2, 8)}.</p>")
     sb.append(codeFor(i))
     sb.append(listsFor(i))
+    sb.append(quotesFor(i))
+    sb.append(dlFor(i))
     sb.append(timeTagFor(i))
     sb.append(imagesFor(i))
     sb.append(breadcrumbScript(i))
+    sb.append(faqScript(i))
     (0 until nLd).foreach(s => sb.append(ldScript(i, s)))
     // decoys: a plain JS script with JSON-looking content, a layout table
     if (i % 2 == 0)

@@ -91,7 +91,9 @@ class PropertySpec extends AnyFunSuite {
       "<script>", "</script>", "<style>", "</style>", "<!--", "-->",
       "<title>", "</title>", "=", ">", "<", "\"", "'", " ", "x", "1", ";url=",
       "<pre>", "</pre>", "<code", "</code>", "language-", "class=",
-      "<ul>", "</ul>", "<ol>", "</ol>", "<li>", "</li>", "<a ", "license", "next"
+      "<ul>", "</ul>", "<ol>", "</ol>", "<li>", "</li>", "<a ", "license", "next",
+      "<blockquote", "</blockquote>", "cite=", "<dl>", "</dl>",
+      "<dt>", "</dt>", "<dd>", "</dd>"
     )).map(_.mkString)
     samples(soup, 400).foreach { s =>
       Structured.ogCard(s)
@@ -109,6 +111,8 @@ class PropertySpec extends AnyFunSuite {
       Structured.listItems(s)
       Structured.licenseOf(s)
       Structured.nextHref(s)
+      Structured.blockquotes(s)
+      Structured.dlItems(s)
     }
     samples(anyString, 300).foreach { s =>
       Structured.ogCard(s); Structured.imageHarvest(s); Structured.timeDatetime(s)

@@ -188,6 +188,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(Structured.nextHref(StructuredCorpus.htmlFor(22L)).isEmpty)
   }
 
+  test("instruction-mining scanners: blockquote, definition list — general rules") {
+    // blockquote: cite attr optional ("" when absent), nested markup
+    // stripped, entity decode + ws collapse, script lookalike and comment out
+    val quotes = Structured.blockquotes(
+      """<script>var q = '<blockquote>js fake</blockquote>';</script>
+        |<blockquote cite="https://s.example.org/1" class=pull>to be <em>or</em> not</blockquote>
+        |<!-- <blockquote>gone</blockquote> -->
+        |<blockquote> a &amp; b </blockquote>""".stripMargin)
+    assert(quotes == Vector(
+      ("https://s.example.org/1", "to be or not"),
+      ("", "a & b")), quotes)
+
+    // dl: dd pairs with the MOST RECENT dt — two dds after one dt repeat the
+    // term; a dd before any dt gets ""; nested markup stripped; second dl
+    // gets its own index
+    val dl = Structured.dlItems(
+      """<dl><dd>orphan</dd><dt>alpha</dt><dd>first <i>def</i></dd><dd>second</dd></dl>
+        |<script>var d = '<dl><dt>x</dt><dd>y</dd></dl>';</script>
+        |<dl id=g><dt>beta &amp; co</dt><dd>only</dd></dl>""".stripMargin)
+    assert(dl == Vector(
+      (0, 0, "", "orphan"),
+      (0, 1, "alpha", "first def"),
+      (0, 2, "alpha", "second"),
+      (1, 0, "beta & co", "only")), dl)
+  }
+
   test("head-surface scanners: og/twitter, hreflang, pubdate precedence, breadcrumb") {
     // og: property= vs name= split; attr order variance; first-wins; head scope
     val og = Structured.ogCard(
