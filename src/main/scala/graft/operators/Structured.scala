@@ -1568,6 +1568,292 @@ object Structured {
       |FROM e ORDER BY url, dl, ord""".stripMargin
   }
 
+  // ---- markdown serialization ---------------------------------------------------
+
+  /** Structure-preserving HTML→Markdown serialization: the whole page's
+    * BLOCK surfaces rendered to markdown chunks in true document order —
+    * paragraphs (inner markup stripped to text), fenced code (lang tag +
+    * whitespace preserved), ul/ol lists (`- ` / `1. `), blockquotes (`> `),
+    * definition lists (`term\n: defn`), images (`![alt](src)`), and
+    * data-class tables (header + `---` separator + body rows). Inline-only
+    * elements outside any block (a bare `<time>`, stray text) are chrome and
+    * drop; scripts/styles/comments, bare `<pre>` without `<code>`, and
+    * layout (class-less) tables are skipped. This is the product
+    * serialization a code/instruction-literate training corpus stores
+    * instead of flat text — structure survives tokenization.
+    */
+  def mdBlocks(html: String): Vector[String] = {
+    val s = html
+    val n = s.length
+    val out = ArrayBuffer.empty[String]
+    def txt(raw: String): String =
+      collapseWs(Entities.decodeAll(raw.replaceAll("<[^>]*>", " ")))
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) return out.toVector
+      if (s.startsWith("<!--", lt)) {
+        val e = s.indexOf("-->", lt + 4); i = if (e < 0) n else e + 3
+      } else if (lt + 7 <= n && s.regionMatches(true, lt + 1, "script", 0, 6) &&
+        (lt + 7 == n || !Character.isLetterOrDigit(s.charAt(lt + 7)))) {
+        i = findClose(s, lt + 7, "script")._2
+      } else if (lt + 6 <= n && s.regionMatches(true, lt + 1, "style", 0, 5) &&
+        (lt + 6 == n || !Character.isLetterOrDigit(s.charAt(lt + 6)))) {
+        i = findClose(s, lt + 6, "style")._2
+      } else if (lt + 4 <= n && s.regionMatches(true, lt + 1, "pre", 0, 3) &&
+        (lt + 4 == n || !Character.isLetterOrDigit(s.charAt(lt + 4)))) {
+        val (_, inner) = parseAttrs(s, lt + 4)
+        val (pEnd, past) = findClose(s, inner, "pre")
+        val body = s.substring(inner, pEnd)
+        var k = 0
+        var found = false
+        while (!found && k < body.length) {
+          val c = body.indexOf("<code", k)
+          if (c < 0) k = body.length
+          else if (c + 5 < body.length && !Character.isLetterOrDigit(body.charAt(c + 5))) {
+            val (attrs, cs) = parseAttrs(body, c + 5)
+            val (ce, _) = findClose(body, cs, "code")
+            val lang = attr(attrs, "class").split("\\s+")
+              .collectFirst { case t if t.startsWith("language-") => t.substring(9) }
+              .getOrElse("")
+            out += s"```$lang\n${Entities.decodeAll(body.substring(cs, ce))}\n```"
+            found = true
+          } else k = c + 5
+        }
+        i = past
+      } else if (lt + 2 <= n && s.regionMatches(true, lt + 1, "p", 0, 1) &&
+        (lt + 2 == n || !Character.isLetterOrDigit(s.charAt(lt + 2)))) {
+        val (_, inner) = parseAttrs(s, lt + 2)
+        val (pEnd, past) = findClose(s, inner, "p")
+        val t = txt(s.substring(inner, pEnd))
+        if (t.nonEmpty) out += t
+        i = past
+      } else if (lt + 3 <= n &&
+        (s.regionMatches(true, lt + 1, "ul", 0, 2) || s.regionMatches(true, lt + 1, "ol", 0, 2)) &&
+        (lt + 3 == n || !Character.isLetterOrDigit(s.charAt(lt + 3)))) {
+        val kind = s.substring(lt + 1, lt + 3).toLowerCase
+        val (_, inner) = parseAttrs(s, lt + 3)
+        val (lEnd, past) = findClose(s, inner, kind)
+        val body = s.substring(inner, lEnd)
+        val lines = ArrayBuffer.empty[String]
+        var k = 0
+        while (k < body.length) {
+          val li = body.indexOf("<li", k)
+          if (li < 0) k = body.length
+          else if (li + 3 < body.length && !Character.isLetterOrDigit(body.charAt(li + 3))) {
+            val (_, is) = parseAttrs(body, li + 3)
+            val (ie, iPast) = findClose(body, is, "li")
+            val item = txt(body.substring(is, ie))
+            lines += (if (kind == "ul") s"- $item" else s"${lines.length + 1}. $item")
+            k = iPast
+          } else k = li + 3
+        }
+        if (lines.nonEmpty) out += lines.mkString("\n")
+        i = past
+      } else if (lt + 11 <= n && s.regionMatches(true, lt + 1, "blockquote", 0, 10) &&
+        (lt + 11 == n || !Character.isLetterOrDigit(s.charAt(lt + 11)))) {
+        val (_, inner) = parseAttrs(s, lt + 11)
+        val (bEnd, past) = findClose(s, inner, "blockquote")
+        out += ("> " + txt(s.substring(inner, bEnd)))
+        i = past
+      } else if (lt + 3 <= n && s.regionMatches(true, lt + 1, "dl", 0, 2) &&
+        (lt + 3 == n || !Character.isLetterOrDigit(s.charAt(lt + 3)))) {
+        val (_, inner) = parseAttrs(s, lt + 3)
+        val (dEnd, past) = findClose(s, inner, "dl")
+        val body = s.substring(inner, dEnd)
+        val lines = ArrayBuffer.empty[String]
+        var term = ""
+        var k = 0
+        while (k < body.length) {
+          val dt = body.indexOf("<dt", k)
+          val dd = body.indexOf("<dd", k)
+          val nxt = if (dt < 0) dd else if (dd < 0) dt else math.min(dt, dd)
+          if (nxt < 0) k = body.length
+          else if (nxt + 3 < body.length && !Character.isLetterOrDigit(body.charAt(nxt + 3))) {
+            val name = if (nxt == dt) "dt" else "dd"
+            val (_, cs) = parseAttrs(body, nxt + 3)
+            val (ce, cPast) = findClose(body, cs, name)
+            val t = txt(body.substring(cs, ce))
+            if (name == "dt") term = t else lines += s"$term\n: $t"
+            k = cPast
+          } else k = nxt + 3
+        }
+        if (lines.nonEmpty) out += lines.mkString("\n")
+        i = past
+      } else if (lt + 4 <= n && s.regionMatches(true, lt + 1, "img", 0, 3) &&
+        (lt + 4 == n || !Character.isLetterOrDigit(s.charAt(lt + 4)))) {
+        val (attrs, past) = parseAttrs(s, lt + 4)
+        out += s"![${Entities.decodeAll(attr(attrs, "alt"))}](${attr(attrs, "src")})"
+        i = past
+      } else if (lt + 6 <= n && s.regionMatches(true, lt + 1, "table", 0, 5) &&
+        (lt + 6 == n || !Character.isLetterOrDigit(s.charAt(lt + 6)))) {
+        val (attrs, inner) = parseAttrs(s, lt + 6)
+        val (tEnd, past) = findClose(s, inner, "table")
+        val classes = attr(attrs, "class").split("\\s+").toSet
+        if (classes.contains("data")) {
+          val body = s.substring(inner, tEnd)
+          val rows = ArrayBuffer.empty[String]
+          var nCols = 0
+          var j = 0
+          while (j < body.length) {
+            val tr = body.indexOf("<tr", j)
+            if (tr < 0) j = body.length
+            else {
+              val (_, rowStart) = parseAttrs(body, tr + 3)
+              val (rowEnd, rowPast) = findClose(body, rowStart, "tr")
+              val row = body.substring(rowStart, rowEnd)
+              val cells = ArrayBuffer.empty[String]
+              var k = 0
+              while (k < row.length) {
+                val th = row.indexOf("<th", k)
+                val td = row.indexOf("<td", k)
+                val cell = if (th < 0) td else if (td < 0) th else math.min(th, td)
+                if (cell < 0) k = row.length
+                else {
+                  val name = if (cell == th) "th" else "td"
+                  val (_, cs) = parseAttrs(row, cell + 3)
+                  val (ce, cPast) = findClose(row, cs, name)
+                  cells += txt(row.substring(cs, ce))
+                  k = cPast
+                }
+              }
+              if (rows.isEmpty) nCols = cells.length
+              rows += cells.mkString("| ", " | ", " |")
+              if (rows.length == 1)
+                rows += Seq.fill(nCols)("---").mkString("| ", " | ", " |")
+              j = rowPast
+            }
+          }
+          if (rows.nonEmpty) out += rows.mkString("\n")
+        }
+        i = past
+      } else i = lt + 1
+    }
+    out.toVector
+  }
+
+  /** Markdown serialization of every page: (url, md), chunks joined by
+    * blank lines. Zero-exchange per-row scan — the whole-page product
+    * transform runs exactly as wide as the scan.
+    */
+  def exMarkdown(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .map { case (url, html) => (url, mdBlocks(html).mkString("\n\n")) }
+      .toDF("url", "md")
+      .orderBy("url")
+  }
+
+  /** Oracle: re-derives the SAME markdown from the staged strings, exploiting
+    * the corpus's fixed per-page block emission order (license-p, first
+    * plain p, code fences, inline-code p, lists, quotes, dls, images, data
+    * tables, last plain p) — each block family re-extracted by the regexes
+    * its own oracle uses, rendered to md, and string_agg'd on (rank, sub).
+    * The Spark side does NOT see this order: it scans in true document
+    * order; the rank table just happens to equal it on this corpus.
+    */
+  val exMarkdownSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    val clean = (g: String) =>
+      s"trim(regexp_replace(replace(regexp_replace($g, '<[^>]*>', ' ', 'g'), '&amp;', '&'), ' +', ' ', 'g'))"
+    s"""WITH src AS (SELECT url, html_str FROM $H),
+       |lic AS (
+       |  SELECT url, 0 rk, 0 sub,
+       |         regexp_extract(html_str, '<p><a rel="(?:nofollow )?license"[^>]*>([^<]*)</a></p>', 1) chunk
+       |  FROM src),
+       |plain AS (SELECT url, regexp_extract_all(html_str, '<p>([^<]*)</p>', 1) ps FROM src),
+       |p1 AS (SELECT url, 1 rk, 0 sub, ps[1] chunk FROM plain WHERE len(ps) >= 1),
+       |p3 AS (SELECT url, 9 rk, 0 sub, ps[len(ps)] chunk FROM plain WHERE len(ps) >= 2),
+       |code0 AS (
+       |  SELECT url,
+       |    regexp_extract_all(html_str, '(?s)<pre><code(?: class="language-([a-z]+)")?>(.*?)</code></pre>', 1) ls,
+       |    regexp_extract_all(html_str, '(?s)<pre><code(?: class="language-([a-z]+)")?>(.*?)</code></pre>', 2) bs
+       |  FROM src),
+       |code AS (
+       |  SELECT url, 2 rk, CAST(i AS INT) sub,
+       |         '``' || '`' || coalesce(ls[i], '') || chr(10) ||
+       |         replace(replace(bs[i], '&lt;', '<'), '&amp;', '&') || chr(10) || '``' || '`' chunk
+       |  FROM code0, unnest(generate_series(1, len(bs))) AS u(i)),
+       |icode AS (
+       |  SELECT url, 3 rk, 0 sub,
+       |         'call ' || regexp_extract(html_str, '<p>call <code>([^<]*)</code> inline\\.</p>', 1) || ' inline.' chunk
+       |  FROM src
+       |  WHERE regexp_extract(html_str, '<p>call <code>([^<]*)</code> inline\\.</p>', 1) <> ''),
+       |l0 AS (SELECT url, regexp_extract_all(html_str, '<[uo]l>.*?</[uo]l>') ms FROM src),
+       |l1 AS (
+       |  SELECT url, CAST(i AS INT) sub, substr(ms[i], 2, 2) kind,
+       |         regexp_extract_all(ms[i], '<li>(.*?)</li>', 1) items
+       |  FROM l0, unnest(generate_series(1, len(ms))) AS u(i)),
+       |l2 AS (
+       |  SELECT url, sub, kind, CAST(j AS INT) ord, ${clean("items[j]")} item
+       |  FROM l1, unnest(generate_series(1, len(items))) AS u(j)),
+       |lists AS (
+       |  SELECT url, 4 rk, sub,
+       |         string_agg(CASE WHEN kind = 'ul' THEN '- ' || item
+       |                         ELSE ord || '. ' || item END, chr(10) ORDER BY ord) chunk
+       |  FROM l2 GROUP BY url, sub),
+       |q0 AS (
+       |  SELECT url,
+       |         regexp_extract_all(html_str, '<blockquote(?: cite="[^"]*")?>(.*?)</blockquote>', 1) qs
+       |  FROM src),
+       |quotes AS (
+       |  SELECT url, 5 rk, CAST(i AS INT) sub, '> ' || ${clean("qs[i]")} chunk
+       |  FROM q0, unnest(generate_series(1, len(qs))) AS u(i)),
+       |d0 AS (SELECT url, regexp_extract_all(html_str, '<dl>(.*?)</dl>', 1) ds FROM src),
+       |d1 AS (
+       |  SELECT url, CAST(i AS INT) sub,
+       |         regexp_extract_all(ds[i], '<dt>(.*?)</dt>', 1) ts,
+       |         regexp_extract_all(ds[i], '<dd>(.*?)</dd>', 1) fs
+       |  FROM d0, unnest(generate_series(1, len(ds))) AS u(i)),
+       |d2 AS (
+       |  SELECT url, sub, CAST(j AS INT) ord, ${clean("ts[j]")} term, ${clean("fs[j]")} defn
+       |  FROM d1, unnest(generate_series(1, len(fs))) AS u(j)),
+       |dls AS (
+       |  SELECT url, 6 rk, sub,
+       |         string_agg(term || chr(10) || ': ' || defn, chr(10) ORDER BY ord) chunk
+       |  FROM d2 GROUP BY url, sub),
+       |im0 AS (
+       |  SELECT url,
+       |         regexp_extract_all(html_str, '<img src="([^"]*)"', 1) srcs,
+       |         regexp_extract_all(html_str, '<img src="[^"]*" alt="([^"]*)"', 1) alts
+       |  FROM src),
+       |imgs AS (
+       |  SELECT url, 7 rk, CAST(i AS INT) sub, '![' || alts[i] || '](' || srcs[i] || ')' chunk
+       |  FROM im0, unnest(generate_series(1, len(srcs))) AS u(i)),
+       |t0 AS (SELECT url, regexp_extract_all(html_str, '<table class="data">(.*?)</table>', 1) ts FROM src),
+       |t1 AS (
+       |  SELECT url, CAST(ti AS INT) sub, regexp_extract_all(ts[ti], '<tr>(.*?)</tr>', 1) rs
+       |  FROM t0, unnest(generate_series(1, len(ts))) AS u(ti)),
+       |t2 AS (
+       |  SELECT url, sub, CAST(ri AS INT) r,
+       |         regexp_extract_all(rs[ri], '<t[hd]>(.*?)</t[hd]>', 1) cs
+       |  FROM t1, unnest(generate_series(1, len(rs))) AS u(ri)),
+       |t3 AS (
+       |  SELECT url, sub, r,
+       |         CASE WHEN r = 1 THEN
+       |           '| ' || array_to_string(cs, ' | ') || ' |' || chr(10) ||
+       |           '| ' || array_to_string(list_transform(cs, x -> '---'), ' | ') || ' |'
+       |         ELSE '| ' || array_to_string(cs, ' | ') || ' |' END line
+       |  FROM t2),
+       |tables AS (
+       |  SELECT url, 8 rk, sub, string_agg(line, chr(10) ORDER BY r) chunk
+       |  FROM t3 GROUP BY url, sub),
+       |allc AS (
+       |  SELECT * FROM lic WHERE chunk <> ''
+       |  UNION ALL SELECT * FROM p1
+       |  UNION ALL SELECT * FROM code
+       |  UNION ALL SELECT * FROM icode
+       |  UNION ALL SELECT * FROM lists
+       |  UNION ALL SELECT * FROM quotes
+       |  UNION ALL SELECT * FROM dls
+       |  UNION ALL SELECT * FROM imgs
+       |  UNION ALL SELECT * FROM tables
+       |  UNION ALL SELECT * FROM p3)
+       |SELECT url, string_agg(chunk, chr(10) || chr(10) ORDER BY rk, sub) md
+       |FROM allc GROUP BY url ORDER BY url""".stripMargin
+  }
+
   // ---- contract surface ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1590,7 +1876,8 @@ object Structured {
     "ex_paginate" -> (exPaginate _),
     "ex_faq" -> (exFaq _),
     "ex_blockquote" -> (exBlockquote _),
-    "ex_dl" -> (exDl _)
+    "ex_dl" -> (exDl _),
+    "ex_markdown" -> (exMarkdown _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1613,6 +1900,7 @@ object Structured {
     "ex_paginate" -> exPaginateSql,
     "ex_faq" -> exFaqSql,
     "ex_blockquote" -> exBlockquoteSql,
-    "ex_dl" -> exDlSql
+    "ex_dl" -> exDlSql,
+    "ex_markdown" -> exMarkdownSql
   )
 }

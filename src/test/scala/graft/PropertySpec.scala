@@ -113,6 +113,7 @@ class PropertySpec extends AnyFunSuite {
       Structured.nextHref(s)
       Structured.blockquotes(s)
       Structured.dlItems(s)
+      Structured.mdBlocks(s)
     }
     samples(anyString, 300).foreach { s =>
       Structured.ogCard(s); Structured.imageHarvest(s); Structured.timeDatetime(s)

@@ -214,6 +214,39 @@ class TrainingOpsSpec extends AnyFunSuite {
       (1, 0, "beta & co", "only")), dl)
   }
 
+  test("markdown serialization: true document order, block dispatch, decoys out") {
+    // Interleaving is DOCUMENT order (list between two paragraphs — the
+    // corpus's fixed emission order must not be baked into the scanner);
+    // layout table, bare pre, script/comment lookalikes, inline <time> drop.
+    val md = Structured.mdBlocks(
+      """<html><head><title>skip me</title></head><body>
+        |<p>first &amp; para</p>
+        |<ul><li>a <b>b</b></li><li>c</li></ul>
+        |<p>mid</p>
+        |<script>var x = '<p>fake</p>';</script>
+        |<pre>bare pre drops</pre>
+        |<pre><code class="language-py">x = 1
+        |  y &lt; 2</code></pre>
+        |<blockquote cite="u">q text</blockquote>
+        |<dl><dt>t</dt><dd>d1</dd><dd>d2</dd></dl>
+        |<time datetime="2024-01-01">posted chrome</time>
+        |<figure><img src="s.jpg" alt="cap"><figcaption>ignored</figcaption></figure>
+        |<table><tr><td>layout</td></tr></table>
+        |<table class="data"><tr><th>h1</th><th>h2</th></tr><tr><td>v1</td><td>v2</td></tr></table>
+        |<ol><li>one</li><li>two</li></ol>
+        |</body></html>""".stripMargin)
+    assert(md == Vector(
+      "first & para",
+      "- a b\n- c",
+      "mid",
+      "```py\nx = 1\n  y < 2\n```",
+      "> q text",
+      "t\n: d1\nt\n: d2",
+      "![cap](s.jpg)",
+      "| h1 | h2 |\n| --- | --- |\n| v1 | v2 |",
+      "1. one\n2. two"), md)
+  }
+
   test("head-surface scanners: og/twitter, hreflang, pubdate precedence, breadcrumb") {
     // og: property= vs name= split; attr order variance; first-wins; head scope
     val og = Structured.ogCard(
