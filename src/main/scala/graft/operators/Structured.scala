@@ -1854,6 +1854,115 @@ object Structured {
        |FROM allc GROUP BY url ORDER BY url""".stripMargin
   }
 
+  // ---- recrawl snapshot diff ------------------------------------------------------
+
+  /** Recrawl change classification — per (url, crawl): `new` on first sight,
+    * `changed` when the body differs from the previous crawl, `unchanged`
+    * when identical; plus `is_latest` marking the snapshot a latest-view
+    * compaction keeps. The CDX/revisit diff a recrawl scheduler feeds back
+    * into per-host crawl budgets (hosts that never change get visited less).
+    *
+    * Scale shape: ONE url-hash exchange serves BOTH windows (lag and max
+    * ride the same partitioning — exchange reuse); change detection is a
+    * per-row comparison after the sort, and no driver state exists. At
+    * 100 TB this is exactly the daily-snapshot diff shape.
+    */
+  def exRecrawl(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUrl = Window.partitionBy("url").orderBy("crawl")
+    StructuredCorpus.recrawls(spark)
+      .withColumn("prev", lag("body", 1).over(byUrl))
+      .withColumn("change",
+        when(col("prev").isNull, "new")
+          .when(col("prev") =!= col("body"), "changed")
+          .otherwise("unchanged"))
+      .withColumn("is_latest",
+        col("crawl") === max("crawl").over(Window.partitionBy("url")))
+      .select("url", "crawl", "change", "is_latest")
+      .orderBy("url", "crawl")
+  }
+
+  val exRecrawlSql: String = {
+    val R = StructuredCorpus.RECRAWLS_PQ
+    s"""WITH w AS (
+       |  SELECT url, crawl, body,
+       |         lag(body) OVER (PARTITION BY url ORDER BY crawl) prev,
+       |         max(crawl) OVER (PARTITION BY url) mx
+       |  FROM $R)
+       |SELECT url, crawl,
+       |       CASE WHEN prev IS NULL THEN 'new'
+       |            WHEN prev <> body THEN 'changed'
+       |            ELSE 'unchanged' END AS "change",
+       |       (crawl = mx) AS is_latest
+       |FROM w ORDER BY url, crawl""".stripMargin
+  }
+
+  // ---- site-declared alias edges ------------------------------------------------
+
+  /** The consolidated duplicate-edge table from one page's head
+    * declarations, as (alias, canon, via): rel=canonical (this page is the
+    * alias of its declared target — self-canonical is NOT an edge),
+    * rel=amphtml (the declared AMP mirror is the alias of THIS page — note
+    * the flipped direction), and meta-refresh (the refreshing page is
+    * chrome; its target carries the document).
+    */
+  def aliasEdges(url: String, html: String): Seq[(String, String, String)] = {
+    val c = canonicalHref(html) match {
+      case t if t.nonEmpty && t != url => Seq((url, t, "canonical"))
+      case _ => Seq()
+    }
+    val a = ampHref(html) match {
+      case "" => Seq()
+      case t => Seq((t, url, "amp"))
+    }
+    val r = metaRefresh(html) match {
+      case Some((_, t)) if t != url => Seq((url, t, "refresh"))
+      case _ => Seq()
+    }
+    c ++ a ++ r
+  }
+
+  /** Alias-edge harvest — the FIRST dedup structure a 100 TB crawl folds,
+    * before any content similarity runs: site-declared duplicate edges from
+    * all three channels in one table. Downstream unions this with
+    * url-normalization identities and resolves connected components; every
+    * edge here removes a candidate from the (much more expensive) near-dup
+    * similarity join. Zero-exchange per-row scan.
+    */
+  def exAliases(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StructuredCorpus.htmlStrs(spark)
+      .as[(String, String)]
+      .flatMap { case (url, html) => aliasEdges(url, html) }
+      .toDF("alias", "canon", "via")
+      .orderBy("alias", "via", "canon")
+  }
+
+  val exAliasesSql: String = {
+    val H = StructuredCorpus.HTML_PQ
+    s"""WITH h AS (
+       |  SELECT url, regexp_extract(html_str, '<head>(.*?)</head>', 1) hd
+       |  FROM $H),
+       |c AS (
+       |  SELECT url alias, regexp_extract(hd, '<link rel="canonical" href="([^"]*)">', 1) canon,
+       |         'canonical' via
+       |  FROM h),
+       |a AS (
+       |  SELECT regexp_extract(hd, '<link rel="amphtml" href="([^"]*)">', 1) alias,
+       |         url canon, 'amp' via
+       |  FROM h),
+       |r AS (
+       |  SELECT url alias,
+       |         regexp_extract(hd, '<meta http-equiv="refresh" content="[0-9]+;url=([^"]*)">', 1) canon,
+       |         'refresh' via
+       |  FROM h)
+       |SELECT alias, canon, via FROM (
+       |  SELECT * FROM c WHERE canon <> '' AND canon <> alias
+       |  UNION ALL SELECT * FROM a WHERE alias <> ''
+       |  UNION ALL SELECT * FROM r WHERE canon <> '')
+       |ORDER BY alias, via, canon""".stripMargin
+  }
+
   // ---- contract surface ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1877,7 +1986,9 @@ object Structured {
     "ex_faq" -> (exFaq _),
     "ex_blockquote" -> (exBlockquote _),
     "ex_dl" -> (exDl _),
-    "ex_markdown" -> (exMarkdown _)
+    "ex_markdown" -> (exMarkdown _),
+    "ex_recrawl" -> (exRecrawl _),
+    "ex_aliases" -> (exAliases _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1901,6 +2012,8 @@ object Structured {
     "ex_faq" -> exFaqSql,
     "ex_blockquote" -> exBlockquoteSql,
     "ex_dl" -> exDlSql,
-    "ex_markdown" -> exMarkdownSql
+    "ex_markdown" -> exMarkdownSql,
+    "ex_recrawl" -> exRecrawlSql,
+    "ex_aliases" -> exAliasesSql
   )
 }

@@ -431,6 +431,25 @@ object StructuredCorpus {
     s"""<?xml version="1.0" encoding="UTF-8"?><rss version="2.0"><channel><title>${phrase(h, 980, 3)} feed</title><link>https://host$h.example.org/</link>$items</channel></rss>"""
   }
 
+  // ---- recrawl snapshots --------------------------------------------------------
+
+  val RECRAWLS_PQ = s"read_parquet('$DIR/recrawls/*.parquet')"
+
+  /** Recrawl snapshots for page i: 1..3 crawls of the same url; between
+    * consecutive crawls the body either changes (a fresh phrase) or repeats
+    * verbatim, decided per (i, crawl) residue — the CDX-style revisit table
+    * a recrawl scheduler diffs. Pure function of (SEED, i, crawl).
+    */
+  def recrawlRows(i: Long): Seq[(String, Long, String)] = {
+    val url = s"https://structured.example.org/a/$i"
+    val nSnap = 1 + (i % 3).toInt
+    var c = 0
+    (0 until nSnap).map { j =>
+      if (j > 0 && Rng.nextInt(SEED, 2100L + j, i, 2) == 0) c += 1
+      (url, j.toLong, phrase(i, 2000 + c * 13, 6))
+    }
+  }
+
   @volatile private var done = false
 
   /** Idempotent marker-gated staging (OracleCorpus protocol: page count +
@@ -455,6 +474,10 @@ object StructuredCorpus {
         .map(h => (s"host$h.example.org", feedFor(h)))
         .toDF("host", "feed_xml")
         .write.mode("overwrite").parquet(s"$DIR/feeds")
+      spark.range(N_PAGES)
+        .flatMap(i => recrawlRows(i))
+        .toDF("url", "crawl", "body")
+        .write.mode("overwrite").parquet(s"$DIR/recrawls")
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -473,5 +496,10 @@ object StructuredCorpus {
   def feeds(spark: SparkSession): DataFrame = {
     ensure(spark)
     spark.read.parquet(s"$DIR/feeds")
+  }
+
+  def recrawls(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/recrawls")
   }
 }

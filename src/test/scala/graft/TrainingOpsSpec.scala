@@ -247,6 +247,28 @@ class TrainingOpsSpec extends AnyFunSuite {
       "1. one\n2. two"), md)
   }
 
+  test("alias edges: direction per channel, self-canonical excluded") {
+    val u = "https://s.example.org/a/1"
+    // canonical: page is the alias of its target; self-canonical is no edge
+    assert(Structured.aliasEdges(u,
+      s"""<head><link rel="canonical" href="https://s.example.org/a/0"></head>""")
+      == Seq((u, "https://s.example.org/a/0", "canonical")))
+    assert(Structured.aliasEdges(u,
+      s"""<head><link rel="canonical" href="$u"></head>""").isEmpty)
+    // amp: the DECLARED MIRROR is the alias of THIS page (flipped direction)
+    assert(Structured.aliasEdges(u,
+      """<head><link rel="amphtml" href="https://amp.example.org/a/1"></head>""")
+      == Seq(("https://amp.example.org/a/1", u, "amp")))
+    // refresh: the refreshing page is chrome; its target carries the doc
+    assert(Structured.aliasEdges(u,
+      """<head><meta http-equiv="refresh" content="3;url=https://s.example.org/moved"></head>""")
+      == Seq((u, "https://s.example.org/moved", "refresh")))
+    // all three channels stack
+    assert(Structured.aliasEdges(u,
+      """<head><link rel="canonical" href="/c"><link rel="amphtml" href="/m"><meta http-equiv="refresh" content="0;url=/t"></head>""")
+      .map(_._3).sorted == Seq("amp", "canonical", "refresh"))
+  }
+
   test("head-surface scanners: og/twitter, hreflang, pubdate precedence, breadcrumb") {
     // og: property= vs name= split; attr order variance; first-wins; head scope
     val og = Structured.ogCard(
