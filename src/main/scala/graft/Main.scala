@@ -27,6 +27,7 @@ object Main {
     if (args.length < minArgs) {
       System.err.println(
         "usage: graft.Main extract <nPages> <outDir> [seed] | extract-dir <pagesDir> <outDir> | " +
+          "markdown-dir <pagesDir> <outDir> | " +
           "write-pages <n> <dir> | append-pages <from> <to> <dir> | run <dir> <out> <manifest> | " +
           "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] [near-dedup] | " +
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
@@ -76,6 +77,30 @@ object Main {
           val buckets = if (args.length > 4) args(4).toInt else graft.sources.PageTable.DEFAULT_BUCKETS
           graft.sources.PageTable.write(Corpus.pages(spark, n, seed), args(2), buckets)
           println(s"wrote $n pages -> ${args(2)} ($buckets buckets)")
+          return
+        case "markdown-dir" =>
+          // structure-preserving serialization of an existing pages table:
+          // sniff -> charset decode -> markdown block dispatch, (url,
+          // warc_ts, md) parquet out. This is the SERIALIZER, deliberately
+          // orthogonal to extraction: extract strips boilerplate to flat
+          // text; markdown keeps every block's structure (code fences,
+          // lists, tables, quotes) for code/instruction-literate corpora.
+          // Per-row codegen'd decode + scan — zero exchanges.
+          import spark.implicits._
+          val t0 = System.nanoTime()
+          spark.read.schema(Model.PAGES).parquet(args(1))
+            .filter(col("html").isNotNull &&
+              graft.functions.exprs.sniffKind(col("html")) === "html")
+            .select(col("url"), col("warc_ts"),
+              graft.functions.exprs.decodeSniff(col("html")).as("h"))
+            .as[(String, java.sql.Timestamp, String)]
+            .map { case (url, ts, h) =>
+              (url, ts, graft.operators.Structured.mdBlocks(h).mkString("\n\n"))
+            }
+            .toDF("url", "warc_ts", "md")
+            .write.mode("overwrite").parquet(args(2))
+          val nMd = spark.read.parquet(args(2)).count()
+          println(f"serialized $nMd%d pages to markdown in ${(System.nanoTime() - t0) / 1e9}%.2f s -> ${args(2)}")
           return
         case "profile" =>
           // stage-by-stage timing against an existing pages table
