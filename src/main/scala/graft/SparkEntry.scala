@@ -28,6 +28,7 @@ object SparkEntry {
       TextAnalysis.queries ++
       ExtractOracle.queries ++
       Structured.queries ++
+      CrawlOps.queries ++
       graft.streaming.StreamingOps.queries ++
       Multimodal.queries ++
       graft.sources.Formats.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       TextAnalysis.oracles ++
       ExtractOracle.oracles ++
       Structured.oracles ++
+      CrawlOps.oracles ++
       graft.streaming.StreamingOps.oracles ++
       Multimodal.oracles ++
       graft.sources.Formats.oracles ++

@@ -1,0 +1,357 @@
+package graft.operators
+
+import graft.sources.StructuredCorpus
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crawl-corpus hygiene operators — the passes between raw crawl and clean
+  * training text that act on CROSS-PAGE structure rather than a single
+  * document: per-host template discovery (boilerplate that only shows up as
+  * repetition across a host's pages), outlink spam profiles, URL-template
+  * mining for crawler traps, recrawl freshness scheduling, and the unicode
+  * scrub every web-text pipeline runs first.
+  *
+  * House rules as the rest of the oracle surface: deterministic synthetic
+  * staging ([[StructuredCorpus]]), integer-only arithmetic, typed DuckDB
+  * oracle per query, explicit total ordering.
+  */
+object CrawlOps {
+
+  // ---- per-host template-line discovery (the CCNet-shaped boilerplate pass) --
+
+  /** A line is a TEMPLATE line of its host iff the host has at least
+    * `MIN_HOST_PAGES` pages and the line appears on a STRICT majority of
+    * them. Strict: a line on exactly half the pages is content that happens
+    * to repeat (pagination halves, A/B variants), not chrome.
+    */
+  val MIN_HOST_PAGES = 4
+
+  private def hostLines(spark: SparkSession): (DataFrame, DataFrame, DataFrame) = {
+    val docs = StructuredCorpus.hostdocs(spark)
+    val lines = docs.select(
+      col("host"), col("url"),
+      posexplode(split(col("text"), "\n")).as(Seq("ord", "line")))
+    // url is the table key — one row per page, so the page count needs no
+    // distinct (and no second exchange)
+    val hostPages = docs.groupBy("host")
+      .agg(count(lit(1)).as("host_pages"))
+    // two-phase distinct count: partial agg on (host, line, url) combines
+    // same-doc repeats map-side, then one row per page-presence shuffles to
+    // the (host, line) reducer — a hot footer line never arrives as raw
+    // per-occurrence volume
+    val counts = lines.groupBy("host", "line")
+      .agg(countDistinct(col("url")).as("n_pages"))
+    val tpl = counts
+      .join(broadcast(hostPages), "host") // #hosts rows — broadcast at any SF
+      .filter(col("host_pages") >= MIN_HOST_PAGES &&
+        col("n_pages") * 2 > col("host_pages"))
+    (lines, hostPages, tpl)
+  }
+
+  /** Template-line table: every (host, line) a strict majority of the
+    * host's pages share — the per-host boilerplate a cross-page pass
+    * discovers where single-document heuristics can't (the chrome is
+    * fluent prose; only its REPETITION gives it away). Scale shape: one
+    * (host, line) hash exchange with map-side combine; hot template lines
+    * never deliver raw per-page volume to one reducer.
+    */
+  def exHostlines(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, _, tpl) = hostLines(spark)
+    tpl.select("host", "line", "n_pages", "host_pages")
+      .orderBy("host", "line")
+  }
+
+  val exHostlinesSql: String = {
+    val H = StructuredCorpus.HOSTDOCS_PQ
+    s"""WITH s AS (SELECT host, url, string_split(text, chr(10)) ls FROM $H),
+       |l AS (SELECT host, url, ls[i] line
+       |      FROM s, unnest(generate_series(1, len(ls))) AS u(i)),
+       |hp AS (SELECT host, count(DISTINCT url) host_pages FROM s GROUP BY 1),
+       |c AS (SELECT host, line, count(DISTINCT url) n_pages FROM l GROUP BY 1, 2)
+       |SELECT c.host, line, n_pages, host_pages
+       |FROM c JOIN hp USING (host)
+       |WHERE host_pages >= $MIN_HOST_PAGES AND 2 * n_pages > host_pages
+       |ORDER BY host, line""".stripMargin
+  }
+
+  /** Template-line REMOVAL — the product side of exHostlines: every doc
+    * rewritten with its host's template lines dropped, original line order
+    * preserved. The join back rides the same (host, line) key the discovery
+    * pass already produced; reassembly is an order-keyed array fold (no
+    * per-group sort task, no UDAF).
+    */
+  def exHostclean(spark: SparkSession, sfDir: String): DataFrame = {
+    val (lines, _, tpl) = hostLines(spark)
+    val flagged = lines.join(
+        tpl.select(col("host"), col("line"), lit(1L).as("is_tpl")),
+        Seq("host", "line"), "left")
+      .withColumn("is_tpl", coalesce(col("is_tpl"), lit(0L)))
+    flagged.groupBy("url")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_tpl") === 1L, 0L).otherwise(1L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_tpl") === 0L, struct(col("ord"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+      .orderBy("url")
+  }
+
+  val exHostcleanSql: String = {
+    val H = StructuredCorpus.HOSTDOCS_PQ
+    s"""WITH s AS (SELECT host, url, string_split(text, chr(10)) ls FROM $H),
+       |l AS (SELECT host, url, ls[i] line, CAST(i AS BIGINT) ord
+       |      FROM s, unnest(generate_series(1, len(ls))) AS u(i)),
+       |hp AS (SELECT host, count(DISTINCT url) host_pages FROM s GROUP BY 1),
+       |c AS (SELECT host, line, count(DISTINCT url) n_pages FROM l GROUP BY 1, 2),
+       |tpl AS (SELECT c.host, line FROM c JOIN hp USING (host)
+       |        WHERE host_pages >= $MIN_HOST_PAGES AND 2 * n_pages > host_pages),
+       |k AS (SELECT l.url, l.line, l.ord, (t.line IS NOT NULL) is_tpl
+       |      FROM l LEFT JOIN tpl t ON l.host = t.host AND l.line = t.line)
+       |SELECT url,
+       |       CAST(count(*) AS BIGINT) n_lines,
+       |       CAST(sum(CASE WHEN is_tpl THEN 0 ELSE 1 END) AS BIGINT) n_kept,
+       |       coalesce(string_agg(CASE WHEN is_tpl THEN NULL ELSE line END,
+       |                           chr(10) ORDER BY ord), '') clean_text
+       |FROM k GROUP BY url ORDER BY url""".stripMargin
+  }
+
+  // ---- per-page outlink profile (link-spam features) -------------------------
+
+  /** Outlink profile per page — the link-shape features a spam/quality
+    * classifier reads before any text model: total links, internal
+    * (path-relative) vs external (absolute) split, distinct external host
+    * fan-out, total anchor characters. A link farm shows as high n_ext +
+    * high n_ext_hosts; nav chrome as high n_int with short anchors. Runs
+    * the production [[Links]] scanner; zero exchanges before the per-url
+    * partial agg.
+    */
+  def exLinkstats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = StructuredCorpus.linkpages(spark)
+      .as[(String, String)]
+      .flatMap { case (url, html) =>
+        Links.extract(html).map(l => (url, l.href, l.anchor))
+      }
+      .toDF("url", "href", "anchor")
+    e.groupBy("url")
+      .agg(
+        count(lit(1)).as("n_links"),
+        sum(when(col("href").startsWith("/"), 1L).otherwise(0L)).as("n_int"),
+        sum(when(col("href").startsWith("http"), 1L).otherwise(0L)).as("n_ext"),
+        countDistinct(when(col("href").startsWith("http"),
+          regexp_extract(col("href"), "^https?://([^/]+)", 1))).as("n_ext_hosts"),
+        sum(length(col("anchor")).cast("long")).as("anchor_chars"))
+      .orderBy("url")
+  }
+
+  val exLinkstatsSql: String = {
+    val L = StructuredCorpus.LINKPAGES_PQ
+    s"""WITH m AS (
+       |  SELECT url,
+       |         regexp_extract_all(html_str, '<a href="([^"]*)">([^<]*)</a>', 1) hs,
+       |         regexp_extract_all(html_str, '<a href="([^"]*)">([^<]*)</a>', 2) an
+       |  FROM $L),
+       |e AS (SELECT url, hs[i] href, an[i] anchor
+       |      FROM m, unnest(generate_series(1, len(hs))) AS u(i))
+       |SELECT url,
+       |       CAST(count(*) AS BIGINT) n_links,
+       |       CAST(sum(CASE WHEN href LIKE '/%' THEN 1 ELSE 0 END) AS BIGINT) n_int,
+       |       CAST(sum(CASE WHEN href LIKE 'http%' THEN 1 ELSE 0 END) AS BIGINT) n_ext,
+       |       CAST(count(DISTINCT CASE WHEN href LIKE 'http%'
+       |              THEN regexp_extract(href, '^https?://([^/]+)', 1) END) AS BIGINT) n_ext_hosts,
+       |       CAST(sum(length(anchor)) AS BIGINT) anchor_chars
+       |FROM e GROUP BY url ORDER BY url""".stripMargin
+  }
+
+  // ---- URL-template mining / crawler-trap detection ---------------------------
+
+  /** Trap threshold: a single url template accounting for ≥ this many urls
+    * of one host is an infinite-space signature (calendars, faceted search,
+    * session ids) a frontier scheduler caps.
+    */
+  val TRAP_URLS = 50L
+
+  /** Exposed for the boundary-pin spec (crafted urls). */
+  def urlTemplate(url: Column): Column = {
+    val path = regexp_extract(url, "^https?://[^/]+([^?]*)", 1)
+    val tplPath = array_join(
+      transform(split(path, "/"), s =>
+        when(s.rlike("^[0-9]+$"), "{n}")
+          .when(length(s) >= 13, "{s}")
+          .otherwise(s)),
+      "/")
+    val params = array_join(
+      array_sort(regexp_extract_all(url, lit("[?&]([a-z]+)="), lit(1))), ",")
+    concat(tplPath,
+      when(params === "", "").otherwise(concat(lit("?"), params)))
+  }
+
+  /** URL-template mining over the crawl log: each url's path is normalized
+    * segment-wise (all-digit segment → `{n}`, ≥13-char segment → `{s}`,
+    * short literals kept) and query params canonicalize to their sorted
+    * name set — then templates roll up per host. A template whose url count
+    * crosses [[TRAP_URLS]] is a crawler-trap signature. Pure codegen'd
+    * column expressions (no UDF) + one (host, tpl) exchange with map-side
+    * combine; at 10^12 urls the hot trap templates are exactly the ones
+    * that pre-aggregate best.
+    */
+  def exUrltemplate(spark: SparkSession, sfDir: String): DataFrame =
+    StructuredCorpus.crawllog(spark)
+      .select(col("host"), urlTemplate(col("url")).as("tpl"))
+      .groupBy("host", "tpl")
+      .agg(count(lit(1)).as("n_urls"))
+      .select(col("host"), col("tpl"), col("n_urls"),
+        when(col("n_urls") >= TRAP_URLS, 1L).otherwise(0L).as("is_trap"))
+      .orderBy("host", "tpl")
+
+  val exUrltemplateSql: String = {
+    val C = StructuredCorpus.CRAWLLOG_PQ
+    s"""WITH t AS (
+       |  SELECT host,
+       |         array_to_string(list_transform(
+       |           string_split(regexp_extract(url, '^https?://[^/]+([^?]*)', 1), '/'),
+       |           s -> CASE WHEN regexp_full_match(s, '[0-9]+') THEN '{n}'
+       |                     WHEN length(s) >= 13 THEN '{s}' ELSE s END), '/')
+       |         || CASE WHEN coalesce(array_to_string(list_sort(
+       |                        regexp_extract_all(url, '[?&]([a-z]+)=', 1)), ','), '') = ''
+       |                 THEN ''
+       |                 ELSE '?' || array_to_string(list_sort(
+       |                        regexp_extract_all(url, '[?&]([a-z]+)=', 1)), ',') END tpl
+       |  FROM $C)
+       |SELECT host, tpl, CAST(count(*) AS BIGINT) n_urls,
+       |       CAST(CASE WHEN count(*) >= $TRAP_URLS THEN 1 ELSE 0 END AS BIGINT) is_trap
+       |FROM t GROUP BY host, tpl ORDER BY host, tpl""".stripMargin
+  }
+
+  // ---- recrawl freshness / change-rate scheduling ------------------------------
+
+  /** Per-url freshness profile over the CDX-style revisit table: crawl
+    * count, observed content changes (body differs from the previous
+    * crawl), latest change index, and the scheduling class a recrawl
+    * budgeter reads — `hot` (changed at the latest crawl), `warm` (changed
+    * at least once), `cold` (never observed changing). One url-hash
+    * exchange; the lag window and the rollup ride the same key.
+    */
+  def exFreshness(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url").orderBy("crawl")
+    StructuredCorpus.recrawls(spark)
+      .withColumn("prev", lag(col("body"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNotNull && col("prev") =!= col("body"), 1L)
+          .otherwise(0L))
+      .groupBy("url")
+      .agg(
+        count(lit(1)).as("n_crawls"),
+        sum(col("chg")).as("n_changes"),
+        coalesce(max(when(col("chg") === 1L, col("crawl"))), lit(-1L))
+          .as("last_change"),
+        max(col("crawl")).as("last_crawl"))
+      .select(
+        col("url"), col("n_crawls"), col("n_changes"), col("last_change"),
+        when(col("n_changes") > 0 && col("last_change") === col("last_crawl"),
+          "hot")
+          .when(col("n_changes") > 0, "warm")
+          .otherwise("cold").as("priority"))
+      .orderBy("url")
+  }
+
+  val exFreshnessSql: String = {
+    val R = StructuredCorpus.RECRAWLS_PQ
+    s"""WITH d AS (
+       |  SELECT url, crawl, body,
+       |         lag(body) OVER (PARTITION BY url ORDER BY crawl) prev
+       |  FROM $R),
+       |c AS (SELECT url, crawl,
+       |             CASE WHEN prev IS NOT NULL AND prev <> body THEN 1 ELSE 0 END chg
+       |      FROM d),
+       |g AS (SELECT url,
+       |             CAST(count(*) AS BIGINT) n_crawls,
+       |             CAST(sum(chg) AS BIGINT) n_changes,
+       |             coalesce(max(CASE WHEN chg = 1 THEN crawl END), -1) last_change,
+       |             max(crawl) last_crawl
+       |      FROM c GROUP BY url)
+       |SELECT url, n_crawls, n_changes, last_change,
+       |       CASE WHEN n_changes > 0 AND last_change = last_crawl THEN 'hot'
+       |            WHEN n_changes > 0 THEN 'warm'
+       |            ELSE 'cold' END priority
+       |FROM g ORDER BY url""".stripMargin
+  }
+
+  // ---- unicode scrub (the first pass of every web-text pipeline) --------------
+
+  /** Per-doc unicode scrub: count and strip the invisible artifacts web
+    * text arrives with — soft hyphens (U+00AD), zero-width chars
+    * (ZWSP/ZWNJ/BOM), NBSPs (→ plain space), stray control chars (BEL/SOH),
+    * CRLF / lone-CR line endings (→ LF). Pure codegen'd `replace` chains —
+    * zero exchanges before the presentation sort, and the counts come from
+    * length deltas (BMP-only corpus: UTF-16 length == codepoint length).
+    */
+  /** The scrub select, factored so the spec can run it on crafted rows. */
+  def cleanColumns(df: DataFrame): DataFrame = {
+    val t = col("text")
+    def stripAll(c: Column, chars: Seq[String]): Column =
+      chars.foldLeft(c)((acc, ch) => regexp_replace(acc, lit(ch), lit("")))
+    val noSoft = stripAll(t, Seq("\u00AD"))
+    val noZw = stripAll(t, Seq("\u200B", "\u200C", "\uFEFF"))
+    val noNbsp = stripAll(t, Seq("\u00A0"))
+    val noCtrl = stripAll(t, Seq("\u0007", "\u0001"))
+    val cleaned = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          stripAll(t, Seq("\u00AD", "\u200B", "\u200C", "\uFEFF",
+            "\u0007", "\u0001")),
+          lit("\u00A0"), lit(" ")),
+        lit("\r\n"), lit("\n")),
+      lit("\r"), lit("\n"))
+    df.select(
+      col("url"),
+      (length(t) - length(noSoft)).cast("long").as("n_soft"),
+      (length(t) - length(noZw)).cast("long").as("n_zw"),
+      (length(t) - length(noNbsp)).cast("long").as("n_nbsp"),
+      (length(t) - length(noCtrl)).cast("long").as("n_ctrl"),
+      cleaned.as("clean_text"))
+  }
+
+  def taClean(spark: SparkSession, sfDir: String): DataFrame =
+    cleanColumns(StructuredCorpus.dirtydocs(spark)).orderBy("url")
+
+  val taCleanSql: String = {
+    val D = StructuredCorpus.DIRTYDOCS_PQ
+    s"""SELECT url,
+       |  CAST(length(text) - length(replace(text, chr(173), '')) AS BIGINT) n_soft,
+       |  CAST(length(text) - length(replace(replace(replace(text,
+       |       chr(8203), ''), chr(8204), ''), chr(65279), '')) AS BIGINT) n_zw,
+       |  CAST(length(text) - length(replace(text, chr(160), '')) AS BIGINT) n_nbsp,
+       |  CAST(length(text) - length(replace(replace(text,
+       |       chr(7), ''), chr(1), '')) AS BIGINT) n_ctrl,
+       |  replace(replace(replace(replace(replace(replace(replace(replace(replace(text,
+       |       chr(173), ''), chr(8203), ''), chr(8204), ''), chr(65279), ''),
+       |       chr(7), ''), chr(1), ''), chr(160), ' '),
+       |       chr(13) || chr(10), chr(10)), chr(13), chr(10)) clean_text
+       |FROM $D ORDER BY url""".stripMargin
+  }
+
+  // ---- registration -----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ex_hostlines" -> (exHostlines _),
+    "ex_hostclean" -> (exHostclean _),
+    "ex_linkstats" -> (exLinkstats _),
+    "ex_urltemplate" -> (exUrltemplate _),
+    "ex_freshness" -> (exFreshness _),
+    "ta_clean" -> (taClean _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ex_hostlines" -> exHostlinesSql,
+    "ex_hostclean" -> exHostcleanSql,
+    "ex_linkstats" -> exLinkstatsSql,
+    "ex_urltemplate" -> exUrltemplateSql,
+    "ex_freshness" -> exFreshnessSql,
+    "ta_clean" -> taCleanSql
+  )
+}

@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.functions.Rng
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable.ArrayBuffer
 
 /** Deterministic synthetic corpus for the STRUCTURED-data extraction
   * operators (JSON-LD metadata, data tables): pages carrying
@@ -450,6 +451,148 @@ object StructuredCorpus {
     }
   }
 
+  // ---- per-host document table (template-line discovery) -----------------------
+
+  val HOSTDOCS_PQ = s"read_parquet('$DIR/hostdocs/*.parquet')"
+  val N_DHOSTS = 24
+
+  /** Page counts per doc-host: 2..10 — hosts below the 4-page min-support
+    * floor are template-discovery negatives BY CONSTRUCTION.
+    */
+  def dhostPages(h: Long): Int = 2 + (h % 9).toInt
+
+  /** Text of page `i` of doc-host `h`, as newline-joined lines:
+    *
+    *   - 1..3 TEMPLATE lines keyed by `h` alone — identical on every page of
+    *     the host (the nav/footer chrome a per-host boilerplate pass finds);
+    *   - a MAJORITY line planted on floor(p/2)+1 pages — strictly more than
+    *     half, must be discovered;
+    *   - a HALF line planted on exactly floor(p/2) pages — at or below half,
+    *     must NOT be discovered (the threshold boundary witness);
+    *   - 3..6 unique lines carrying a `p<i>` literal token — unique across
+    *     pages by construction, no birthday-collision reasoning needed.
+    */
+  def hostdocText(h: Long, i: Int): String = {
+    val p = dhostPages(h)
+    val lines = ArrayBuffer.empty[String]
+    val nTpl = 1 + (h % 3).toInt
+    (0 until nTpl).foreach(k => lines += s"site$h ${phrase(h, 1100 + k, 4)}")
+    if (i <= p / 2) lines += s"maj$h ${phrase(h, 1200, 3)}" // floor(p/2)+1 pages
+    if (i < p / 2) lines += s"half$h ${phrase(h, 1210, 3)}" // floor(p/2) pages
+    val nU = 3 + (i % 4)
+    (0 until nU).foreach(j => lines += s"p$i u$j ${phrase(h * 31 + i, 1300 + j, 4)}")
+    lines.mkString("\n")
+  }
+
+  def hostdocRows(h: Long): Seq[(String, String, String)] = {
+    val host = s"dhost$h.example.org"
+    (0 until dhostPages(h)).map(i =>
+      (s"https://$host/d/$i", host, hostdocText(h, i)))
+  }
+
+  // ---- link-rich pages (outlink profile) ----------------------------------------
+
+  val LINKPAGES_PQ = s"read_parquet('$DIR/linkpages/*.parquet')"
+  val N_LINKPAGES = 60L
+
+  /** One link-rich page per index: 4 relative nav anchors, 0..4 absolute
+    * external anchors over a 9-host external universe, every 4th page an
+    * empty-anchor-text deep link. Oracle-equivalence shape as [[exLinks]]:
+    * every anchor is `<a href="...">plain text</a>`, non-empty double-quoted
+    * href, no entities/markup in anchor text, never inside comments/rawtext.
+    */
+  def linkpageHtml(i: Long): String = {
+    val sb = new StringBuilder
+    sb.append(s"<html><head><title>${phrase(i, 1400, 3)}</title></head><body><ul>")
+    (0 until 4).foreach(k =>
+      sb.append(s"""<li><a href="/cat$k">${word(i, 1410 + k)} ${word(i, 1420 + k)}</a></li>"""))
+    sb.append("</ul>")
+    val e = (i % 5).toInt
+    (0 until e).foreach { j =>
+      val eh = (i * 7 + j) % 9
+      sb.append(s"""<p>see <a href="https://ext$eh.example.net/x/$j">${phrase(i, 1430 + j, 2)}</a>.</p>""")
+    }
+    if (i % 4 == 0) sb.append(s"""<a href="/deep$i"></a>""")
+    sb.append(s"<p>${phrase(i, 1440, 6)}.</p></body></html>")
+    sb.toString
+  }
+
+  // ---- crawl-log urls (template mining / trap detection) ------------------------
+
+  val CRAWLLOG_PQ = s"read_parquet('$DIR/crawllog/*.parquet')"
+  val N_CHOSTS = 18
+
+  private def hex16(h: Long, k: Int): String = {
+    val sb = new StringBuilder
+    (0 until 16).foreach(j =>
+      sb.append("0123456789abcdef".charAt(Rng.nextInt(SEED, 1500L + k * 17 + j, h, 16))))
+    sb.toString
+  }
+
+  /** Crawl-log urls for host `h`: article pages `/a/{k}` (odd hosts carry
+    * `?id=&ref=` tracking params — the param-canonicalization witness), tag
+    * pages `/tag/<word>` (short literal segments — stay distinct templates),
+    * session urls `/s/<16-hex>` (≥13-char segment → `{s}`), and for every
+    * 3rd host a calendar TRAP `/cal/2026/{m}/{d}` whose url count crosses
+    * the ≥50 trap threshold.
+    */
+  def crawllogRows(h: Long): Seq[(String, String)] = {
+    val host = s"chost$h.example.org"
+    val base = s"https://$host"
+    val out = ArrayBuffer.empty[(String, String)]
+    val nA = 5 + ((h * 3) % 28).toInt
+    (0 until nA).foreach { k =>
+      val u =
+        if (h % 2 == 1) s"$base/a/$k?id=$k&ref=${word(h, 1600 + k)}"
+        else s"$base/a/$k"
+      out += ((host, u))
+    }
+    val nT = 3 + (h % 6).toInt
+    (0 until nT).foreach(k => out += ((host, s"$base/tag/${word(h, 1700 + k)}")))
+    val nS = (h % 4).toInt
+    (0 until nS).foreach(k => out += ((host, s"$base/s/${hex16(h, k)}")))
+    if (h % 3 == 0) {
+      val days = 10 + (h % 15).toInt
+      (1 to 12).foreach(m => (1 to days).foreach(d =>
+        out += ((host, s"$base/cal/2026/$m/$d"))))
+    }
+    out.toSeq.distinct
+  }
+
+  // ---- dirty documents (unicode scrub) -------------------------------------------
+
+  val DIRTYDOCS_PQ = s"read_parquet('$DIR/dirtydocs/*.parquet')"
+  val N_DIRTY = 120L
+
+  /** Text with planted web-text artifacts, all BMP (Spark UTF-16 length ==
+    * DuckDB codepoint length): soft hyphens inside a word, zero-width
+    * chars (ZWSP/ZWNJ/BOM cycling), NBSPs, control chars (BEL/SOH), and for
+    * every 5th doc CRLF + lone-CR line breaks.
+    */
+  def dirtyText(i: Long): String = {
+    val sb = new StringBuilder
+    sb.append(phrase(i, 1800, 5))
+    val soft = (i % 4).toInt
+    if (soft > 0) {
+      sb.append(" hy")
+      (0 until soft).foreach(_ => sb.append("\u00ADphen"))
+      sb.append("ation")
+    }
+    val zw = ((i + 1) % 3).toInt
+    (0 until zw).foreach { j =>
+      sb.append(" zw")
+      sb.append(Array('\u200B', '\u200C', '\uFEFF')((j + i.toInt) % 3))
+      sb.append("join")
+    }
+    val nb = (i % 3).toInt
+    (0 until nb).foreach(_ => sb.append("\u00A0nb"))
+    val ct = ((i + 2) % 3).toInt
+    (0 until ct).foreach(j => sb.append(Array('\u0007', '\u0001')(j % 2)))
+    if (i % 5 == 0) sb.append("\r\nline two\rline three")
+    sb.append(" ").append(phrase(i, 1810, 4))
+    sb.toString
+  }
+
   @volatile private var done = false
 
   /** Idempotent marker-gated staging (OracleCorpus protocol: page count +
@@ -478,6 +621,22 @@ object StructuredCorpus {
         .flatMap(i => recrawlRows(i))
         .toDF("url", "crawl", "body")
         .write.mode("overwrite").parquet(s"$DIR/recrawls")
+      spark.range(N_DHOSTS.toLong)
+        .flatMap(h => hostdocRows(h))
+        .toDF("url", "host", "text")
+        .write.mode("overwrite").parquet(s"$DIR/hostdocs")
+      spark.range(N_LINKPAGES)
+        .map(i => (s"https://lhost${i % 12}.example.org/p/$i", linkpageHtml(i)))
+        .toDF("url", "html_str")
+        .write.mode("overwrite").parquet(s"$DIR/linkpages")
+      spark.range(N_CHOSTS.toLong)
+        .flatMap(h => crawllogRows(h))
+        .toDF("host", "url")
+        .write.mode("overwrite").parquet(s"$DIR/crawllog")
+      spark.range(N_DIRTY)
+        .map(i => (s"https://dirty.example.org/t/$i", dirtyText(i)))
+        .toDF("url", "text")
+        .write.mode("overwrite").parquet(s"$DIR/dirtydocs")
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -501,5 +660,25 @@ object StructuredCorpus {
   def recrawls(spark: SparkSession): DataFrame = {
     ensure(spark)
     spark.read.parquet(s"$DIR/recrawls")
+  }
+
+  def hostdocs(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/hostdocs")
+  }
+
+  def linkpages(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/linkpages")
+  }
+
+  def crawllog(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/crawllog")
+  }
+
+  def dirtydocs(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/dirtydocs")
   }
 }
