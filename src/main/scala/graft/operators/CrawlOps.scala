@@ -335,6 +335,153 @@ object CrawlOps {
        |FROM $D ORDER BY url""".stripMargin
   }
 
+  // ---- mixed-language span segmentation ----------------------------------------
+
+  /** Mixed-language document segmentation: classify each LINE's language by
+    * disjoint-vocab marker scoring (the per-line form of the `ta_langid`
+    * argmax heuristic), then sessionize consecutive same-language lines into
+    * contiguous spans — the pass a multilingual curation pipeline runs to
+    * split code-switched pages into per-language training segments instead
+    * of mislabeling (or dropping) the whole doc.
+    *
+    * Scale shape: line scoring is pure codegen'd column expressions; the
+    * two stacked windows (lag boundary flag, running span id) and the span
+    * rollup all ride ONE url-hash exchange — `HashPartitioning(url)`
+    * satisfies the rollup's `ClusteredDistribution(url, span_id)`, so the
+    * groupBy adds no second shuffle. Runs at scan speed + one exchange at
+    * 100 TB.
+    */
+  def taSeglang(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = graft.sources.StructuredCorpus.SEG_LANGS
+    val names = langs.map(_._1)
+    val lines = graft.sources.StructuredCorpus.mixeddocs(spark)
+      .select(col("url"),
+        posexplode(split(col("text"), "\n")).as(Seq("ord", "line")))
+      .withColumn("tk", split(col("line"), " "))
+    val scored = lines.select(
+      Seq(col("url"), col("ord").cast("long").as("ord")) ++
+        langs.map { case (l, vs) =>
+          size(filter(col("tk"), x => x.isin(vs: _*))).cast("long").as(s"s_$l")
+        }: _*)
+    // argmax with alphabetical tie-break — the same when-chain as ta_langid
+    val pred = names.tail.foldLeft(
+      when(names.tail.map(o => col(s"s_${names.head}") >= col(s"s_$o")).reduce(_ && _),
+        lit(names.head))) { (acc, l) =>
+      acc.when(
+        names.filterNot(_ == l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _),
+        lit(l))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url").orderBy("ord")
+    scored
+      .withColumn("pred", pred)
+      .withColumn("chg",
+        when(lag(col("pred"), 1).over(w).isNull ||
+          lag(col("pred"), 1).over(w) =!= col("pred"), 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("chg")).over(w))
+      .groupBy("url", "span_id")
+      .agg(
+        min(col("pred")).as("lang"),
+        count(lit(1)).as("n_lines"),
+        min(col("ord")).as("start_ord"),
+        max(col("ord")).as("end_ord"))
+      .orderBy("url", "span_id")
+  }
+
+  val taSeglangSql: String = {
+    val M = graft.sources.StructuredCorpus.MIXEDDOCS_PQ
+    val langs = graft.sources.StructuredCorpus.SEG_LANGS
+    val names = langs.map(_._1)
+    def sqlList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString(", ")
+    val scoreCols = langs
+      .map { case (l, vs) =>
+        s"CAST(len(list_filter(tk, x -> x IN (${sqlList(vs)}))) AS BIGINT) s_$l"
+      }
+      .mkString(",\n       |             ")
+    val predCase = names
+      .map { l =>
+        val conds = names.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }
+      .mkString("\n       |                  ")
+    s"""WITH s AS (SELECT url, string_split(text, chr(10)) ls FROM $M),
+       |l AS (SELECT url, CAST(i - 1 AS BIGINT) ord, string_split(ls[i], ' ') tk
+       |      FROM s, unnest(generate_series(1, len(ls))) AS u(i)),
+       |sc AS (SELECT url, ord,
+       |             $scoreCols
+       |       FROM l),
+       |p AS (SELECT url, ord,
+       |             CASE $predCase
+       |                  END pred
+       |      FROM sc),
+       |b AS (SELECT url, ord, pred,
+       |             CASE WHEN lag(pred) OVER (PARTITION BY url ORDER BY ord) IS NULL
+       |                    OR lag(pred) OVER (PARTITION BY url ORDER BY ord) <> pred
+       |                  THEN 1 ELSE 0 END chg
+       |      FROM p),
+       |sp AS (SELECT url, ord, pred,
+       |              CAST(sum(chg) OVER (PARTITION BY url ORDER BY ord) AS BIGINT) span_id
+       |       FROM b)
+       |SELECT url, span_id, min(pred) lang, CAST(count(*) AS BIGINT) n_lines,
+       |       min(ord) start_ord, max(ord) end_ord
+       |FROM sp GROUP BY url, span_id ORDER BY url, span_id""".stripMargin
+  }
+
+  // ---- host-level link graph -----------------------------------------------------
+
+  /** Host→host link-graph rollup: every anchor becomes an edge from its
+    * page's host to the href's host (path-relative hrefs stay on-host), then
+    * edges aggregate to (src_host, dst_host, n_links, n_pages) — the
+    * domain-graph table that seeds host authority ranking, spam
+    * neighborhoods, and crawl-frontier budgeting. Runs the production
+    * [[Links]] scanner.
+    *
+    * Scale shape: one (src_host, dst_host) exchange with map-side combine —
+    * a hub host's millions of in-links pre-aggregate per mapper before the
+    * shuffle, so hot edges never arrive as raw per-anchor volume.
+    */
+  def exHostgraph(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = StructuredCorpus.linkpages(spark)
+      .as[(String, String)]
+      .flatMap { case (url, html) =>
+        Links.extract(html).map(l => (url, l.href))
+      }
+      .toDF("url", "href")
+    val srcHost = regexp_extract(col("url"), "^https?://([^/]+)", 1)
+    val dstHost = when(col("href").startsWith("http"),
+      regexp_extract(col("href"), "^https?://([^/]+)", 1)).otherwise(srcHost)
+    e.select(srcHost.as("src_host"), dstHost.as("dst_host"), col("url"))
+      .groupBy("src_host", "dst_host")
+      .agg(
+        count(lit(1)).as("n_links"),
+        countDistinct(col("url")).as("n_pages"))
+      .select(col("src_host"), col("dst_host"), col("n_links"), col("n_pages"),
+        when(col("src_host") === col("dst_host"), 1L).otherwise(0L).as("is_internal"))
+      .orderBy("src_host", "dst_host")
+  }
+
+  val exHostgraphSql: String = {
+    val L = StructuredCorpus.LINKPAGES_PQ
+    s"""WITH m AS (
+       |  SELECT url,
+       |         regexp_extract_all(html_str, '<a href="([^"]*)">([^<]*)</a>', 1) hs
+       |  FROM $L),
+       |e AS (SELECT url, hs[i] href
+       |      FROM m, unnest(generate_series(1, len(hs))) AS u(i)),
+       |h AS (SELECT url,
+       |             regexp_extract(url, '^https?://([^/]+)', 1) src_host,
+       |             CASE WHEN href LIKE 'http%'
+       |                  THEN regexp_extract(href, '^https?://([^/]+)', 1)
+       |                  ELSE regexp_extract(url, '^https?://([^/]+)', 1) END dst_host
+       |      FROM e)
+       |SELECT src_host, dst_host,
+       |       CAST(count(*) AS BIGINT) n_links,
+       |       CAST(count(DISTINCT url) AS BIGINT) n_pages,
+       |       CAST(CASE WHEN src_host = dst_host THEN 1 ELSE 0 END AS BIGINT) is_internal
+       |FROM h GROUP BY src_host, dst_host ORDER BY src_host, dst_host""".stripMargin
+  }
+
   // ---- registration -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -343,7 +490,9 @@ object CrawlOps {
     "ex_linkstats" -> (exLinkstats _),
     "ex_urltemplate" -> (exUrltemplate _),
     "ex_freshness" -> (exFreshness _),
-    "ta_clean" -> (taClean _)
+    "ta_clean" -> (taClean _),
+    "ta_seglang" -> (taSeglang _),
+    "ex_hostgraph" -> (exHostgraph _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -352,6 +501,8 @@ object CrawlOps {
     "ex_linkstats" -> exLinkstatsSql,
     "ex_urltemplate" -> exUrltemplateSql,
     "ex_freshness" -> exFreshnessSql,
-    "ta_clean" -> taCleanSql
+    "ta_clean" -> taCleanSql,
+    "ta_seglang" -> taSeglangSql,
+    "ex_hostgraph" -> exHostgraphSql
   )
 }

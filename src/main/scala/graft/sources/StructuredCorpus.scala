@@ -593,6 +593,67 @@ object StructuredCorpus {
     sb.toString
   }
 
+  // ---- mixed-language documents (language-span segmentation) -------------------
+
+  val MIXEDDOCS_PQ = s"read_parquet('$DIR/mixeddocs/*.parquet')"
+  val N_MIXED = 80L
+
+  /** Pairwise-disjoint per-language vocabularies, also disjoint from the
+    * base [[WORDS]] salad: every generated line is majority-vocab of its
+    * planted language, so argmax marker scoring recovers the label exactly
+    * in both engines — the segmentation operator is tested on its real
+    * classify-then-sessionize plan, not on a lookup.
+    */
+  val SEG_LANGS: Seq[(String, Vector[String])] = Seq(
+    "de" -> Vector("zug", "berg", "wald", "stadt", "fluss", "nacht", "baum", "wolke"),
+    "en" -> Vector("river", "stone", "cloud", "field", "night", "road", "grass", "hill"),
+    "fr" -> Vector("fleuve", "pierre", "nuage", "champ", "nuit", "route", "herbe", "mont"))
+
+  /** Planted language index of each line of mixed doc `i`: runs of 1..3
+    * consecutive same-language lines with FORCED switches between runs (a
+    * span boundary is always a real language change); every 10th doc is
+    * single-language end to end — the one-span witness.
+    */
+  def mixedLineLangs(i: Long): Seq[Int] = {
+    val n = 4 + (i % 9).toInt
+    if (i % 10 == 0) Seq.fill(n)(Rng.nextInt(SEED, 2200L, i, SEG_LANGS.length))
+    else {
+      val out = ArrayBuffer.empty[Int]
+      var cur = Rng.nextInt(SEED, 2200L, i, SEG_LANGS.length)
+      var r = 0
+      while (out.length < n) {
+        val run = 1 + Rng.nextInt(SEED, 2210L + r, i, 3)
+        (0 until math.min(run, n - out.length)).foreach(_ => out += cur)
+        cur = (cur + 1 + Rng.nextInt(SEED, 2220L + r, i, SEG_LANGS.length - 1)) %
+          SEG_LANGS.length
+        r += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /** Line `j` of doc `i` in language `langIdx`: 3..5 own-vocab words; every
+    * 4th line carries ONE decoy word of the next language — the classifier
+    * must win by majority (≥3 own vs 1 decoy), not by mere presence.
+    */
+  def mixedLine(i: Long, j: Int, langIdx: Int): String = {
+    val vocab = SEG_LANGS(langIdx)._2
+    val n = 3 + Rng.nextInt(SEED, 2230L + j, i, 3)
+    val own = (0 until n).map(k =>
+      vocab(Rng.nextInt(SEED, 2240L + j * 7 + k, i, vocab.length)))
+    val decoy =
+      if (j % 4 == 3) {
+        val dv = SEG_LANGS((langIdx + 1) % SEG_LANGS.length)._2
+        Seq(dv(Rng.nextInt(SEED, 2250L + j, i, dv.length)))
+      } else Seq.empty
+    (own ++ decoy).mkString(" ")
+  }
+
+  def mixedText(i: Long): String =
+    mixedLineLangs(i).zipWithIndex
+      .map { case (l, j) => mixedLine(i, j, l) }
+      .mkString("\n")
+
   @volatile private var done = false
 
   /** Idempotent marker-gated staging (OracleCorpus protocol: page count +
@@ -637,6 +698,10 @@ object StructuredCorpus {
         .map(i => (s"https://dirty.example.org/t/$i", dirtyText(i)))
         .toDF("url", "text")
         .write.mode("overwrite").parquet(s"$DIR/dirtydocs")
+      spark.range(N_MIXED)
+        .map(i => (s"https://mixed.example.org/m/$i", mixedText(i)))
+        .toDF("url", "text")
+        .write.mode("overwrite").parquet(s"$DIR/mixeddocs")
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -680,5 +745,10 @@ object StructuredCorpus {
   def dirtydocs(spark: SparkSession): DataFrame = {
     ensure(spark)
     spark.read.parquet(s"$DIR/dirtydocs")
+  }
+
+  def mixeddocs(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/mixeddocs")
   }
 }

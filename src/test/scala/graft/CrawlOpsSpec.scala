@@ -182,4 +182,70 @@ class CrawlOpsSpec extends AnyFunSuite {
     val deep = out.filter(_.getAs[String]("url").endsWith("/p/0"))(0)
     assert(deep.getAs[Long]("n_int") == 5L)
   }
+
+  // ---- mixed-language span segmentation -----------------------------------------
+
+  test("seglang: spans reconstruct the planted language runs exactly, " +
+    "single-span witnesses present, decoy lines classify by majority") {
+    val out = CrawlOps.taSeglang(spark, "").collect()
+      .groupBy(_.getAs[String]("url"))
+    val names = StructuredCorpus.SEG_LANGS.map(_._1)
+    var singles = 0
+    (0L until StructuredCorpus.N_MIXED).foreach { i =>
+      val url = s"https://mixed.example.org/m/$i"
+      val planted = StructuredCorpus.mixedLineLangs(i).map(names)
+      // run-length encode the planted labels → expected spans
+      val exp = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Int)]
+      var s = 0
+      while (s < planted.length) {
+        var e = s
+        while (e + 1 < planted.length && planted(e + 1) == planted(s)) e += 1
+        exp += ((planted(s), e - s + 1, s, e))
+        s = e + 1
+      }
+      val got = out(url).sortBy(_.getAs[Long]("span_id"))
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_lines").toInt,
+          r.getAs[Long]("start_ord").toInt, r.getAs[Long]("end_ord").toInt))
+        .toSeq
+      assert(got == exp.toSeq, s"doc $i: got $got expected $exp")
+      if (exp.length == 1) singles += 1
+    }
+    assert(singles >= (StructuredCorpus.N_MIXED / 10).toInt)
+  }
+
+  test("plan pins: seglang rides ONE url exchange (windows + rollup share it); " +
+    "hostgraph = two-phase distinct page count") {
+    // taSeglang: HashPartitioning(url) from the window satisfies the span
+    // rollup's ClusteredDistribution(url, span_id) — no second shuffle
+    val sl = CrawlOps.taSeglang(spark, "")
+    val slEx = exchanges(sl).filterNot(_.contains("rangepartitioning"))
+    assert(slEx.count(_.contains("hashpartitioning")) == 1,
+      s"seglang exchanges:\n${slEx.mkString("\n")}")
+    // exHostgraph: (src,dst,url) partial dedup then the (src,dst) final agg
+    val hg = CrawlOps.exHostgraph(spark, "")
+    val hgEx = exchanges(hg).filterNot(_.contains("rangepartitioning"))
+    assert(hgEx.count(_.contains("hashpartitioning")) == 2,
+      s"hostgraph exchanges:\n${hgEx.mkString("\n")}")
+  }
+
+  // ---- host link graph ------------------------------------------------------------
+
+  test("hostgraph: edge volume reconciles with the per-page profile; " +
+    "internal self-edges on every source host; externals stay in-universe") {
+    val edges = CrawlOps.exHostgraph(spark, "").collect()
+    edges.foreach { r =>
+      val s = r.getAs[String]("src_host")
+      val d = r.getAs[String]("dst_host")
+      assert(s.startsWith("lhost"), s"unexpected src $s")
+      assert(r.getAs[Long]("is_internal") == (if (s == d) 1L else 0L))
+      if (s != d) assert(d.startsWith("ext"), s"unexpected dst $d")
+      assert(r.getAs[Long]("n_pages") <= r.getAs[Long]("n_links"))
+    }
+    val totLinks = CrawlOps.exLinkstats(spark, "").collect()
+      .map(_.getAs[Long]("n_links")).sum
+    assert(edges.map(_.getAs[Long]("n_links")).sum == totLinks)
+    // all 12 page hosts carry an internal self-edge (4 nav links per page)
+    assert(edges.filter(_.getAs[Long]("is_internal") == 1L)
+      .map(_.getAs[String]("src_host")).toSet.size == 12)
+  }
 }
