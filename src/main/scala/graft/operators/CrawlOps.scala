@@ -482,6 +482,74 @@ object CrawlOps {
        |FROM h GROUP BY src_host, dst_host ORDER BY src_host, dst_host""".stripMargin
   }
 
+  // ---- redirect-chain resolution (pointer doubling) -------------------------------
+
+  /** Doubling rounds: resolves chains up to 2^4 = 16 hops — the DuckDB
+    * oracle's recursive hop cap matches, so both engines flag anything
+    * longer (only cycles here) identically.
+    */
+  val REDIRECT_ROUNDS = 4
+
+  /** Redirect-chain resolution over a functional edge list (one outgoing
+    * edge per src — the http-redirect invariant): every source url resolves
+    * to its terminal target and exact hop count, or flags as a cycle member
+    * / cycle-feeding tail (`final_url` = '', `n_hops` = -1). The dedup pass
+    * needs this table to collapse soft-redirect families onto their
+    * canonical target before URL-level dedup.
+    *
+    * Scale shape — POINTER DOUBLING, not hop-by-hop walking: each round
+    * joins the successor table with itself (`succ'(u) = succ(succ(u))`,
+    * distances add), so a chain of length L resolves in ⌈log₂ L⌉ hash
+    * exchanges instead of L sequential joins. At 10^12 urls with redirect
+    * chains up to ~16 hops that is 4 shuffles, each functional-keyed
+    * (no fan-out: one row per src, ever). Rounds are `localCheckpoint`ed —
+    * the plan stays one join deep instead of 2^R scans of the base.
+    */
+  def exRedirects(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = StructuredCorpus.redirects(spark)
+    var p = edges.select(col("src"), col("dst").as("nxt"), lit(1L).as("d"))
+    (1 to REDIRECT_ROUNDS).foreach { _ =>
+      p = p.as("a")
+        .join(
+          p.select(col("src").as("nsrc"), col("nxt").as("nnxt"),
+            col("d").as("nd")).as("b"),
+          col("a.nxt") === col("nsrc"), "left")
+        .select(col("a.src"),
+          coalesce(col("nnxt"), col("a.nxt")).as("nxt"),
+          (col("a.d") + coalesce(col("nd"), lit(0L))).as("d"))
+        .localCheckpoint()
+    }
+    // resolved iff the final successor has no outgoing edge of its own
+    p.join(edges.select(col("src").as("t")).distinct(),
+        col("nxt") === col("t"), "left")
+      .select(col("src"),
+        when(col("t").isNull, col("nxt")).otherwise(lit("")).as("final_url"),
+        when(col("t").isNull, col("d")).otherwise(lit(-1L)).as("n_hops"),
+        when(col("t").isNull, 0L).otherwise(1L).as("is_cycle"))
+      .orderBy("src")
+  }
+
+  val exRedirectsSql: String = {
+    val E = StructuredCorpus.REDIRECTS_PQ
+    val cap = 1 << REDIRECT_ROUNDS
+    s"""WITH RECURSIVE chain AS (
+       |  SELECT src, dst, 1 AS hops FROM $E
+       |  UNION ALL
+       |  SELECT c.src, e.dst, c.hops + 1
+       |  FROM chain c JOIN $E e ON c.dst = e.src
+       |  WHERE c.hops < $cap),
+       |term AS (
+       |  SELECT c.src, c.dst, c.hops FROM chain c
+       |  WHERE c.dst NOT IN (SELECT src FROM $E)),
+       |srcs AS (SELECT DISTINCT src FROM $E)
+       |SELECT s.src,
+       |       coalesce(t.dst, '') final_url,
+       |       CAST(coalesce(t.hops, -1) AS BIGINT) n_hops,
+       |       CAST(CASE WHEN t.src IS NULL THEN 1 ELSE 0 END AS BIGINT) is_cycle
+       |FROM srcs s LEFT JOIN term t ON s.src = t.src
+       |ORDER BY s.src""".stripMargin
+  }
+
   // ---- registration -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -492,7 +560,8 @@ object CrawlOps {
     "ex_freshness" -> (exFreshness _),
     "ta_clean" -> (taClean _),
     "ta_seglang" -> (taSeglang _),
-    "ex_hostgraph" -> (exHostgraph _)
+    "ex_hostgraph" -> (exHostgraph _),
+    "ex_redirects" -> (exRedirects _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -503,6 +572,7 @@ object CrawlOps {
     "ex_freshness" -> exFreshnessSql,
     "ta_clean" -> taCleanSql,
     "ta_seglang" -> taSeglangSql,
-    "ex_hostgraph" -> exHostgraphSql
+    "ex_hostgraph" -> exHostgraphSql,
+    "ex_redirects" -> exRedirectsSql
   )
 }

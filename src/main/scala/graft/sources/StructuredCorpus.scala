@@ -654,6 +654,38 @@ object StructuredCorpus {
       .map { case (l, j) => mixedLine(i, j, l) }
       .mkString("\n")
 
+  // ---- redirect edges (chain resolution) ----------------------------------------
+
+  val REDIRECTS_PQ = s"read_parquet('$DIR/redirects/*.parquet')"
+  val N_CHAINS = 40
+  val N_CYCLES = 6
+
+  /** Redirect edge list with planted topology every resolver case needs a
+    * witness for: linear chains of length 1..8 (crosses several doubling
+    * rounds), pure cycles of length 2..4 (must flag, never loop), and a
+    * tail-into-cycle chain per cycle (unresolvable srcs that are NOT cycle
+    * members themselves). Edges are FUNCTIONAL — one outgoing edge per src,
+    * the http-redirect invariant.
+    */
+  def redirectEdges(): Seq[(String, String)] = {
+    val out = ArrayBuffer.empty[(String, String)]
+    (0 until N_CHAINS).foreach { c =>
+      val len = 1 + c % 8
+      (0 until len).foreach(k =>
+        out += ((s"https://redir.example.org/c$c/$k",
+          s"https://redir.example.org/c$c/${k + 1}")))
+    }
+    (0 until N_CYCLES).foreach { y =>
+      val len = 2 + y % 3
+      (0 until len).foreach(k =>
+        out += ((s"https://redir.example.org/y$y/$k",
+          s"https://redir.example.org/y$y/${(k + 1) % len}")))
+      out += ((s"https://redir.example.org/t$y/0",
+        s"https://redir.example.org/y$y/0"))
+    }
+    out.toSeq
+  }
+
   @volatile private var done = false
 
   /** Idempotent marker-gated staging (OracleCorpus protocol: page count +
@@ -702,6 +734,8 @@ object StructuredCorpus {
         .map(i => (s"https://mixed.example.org/m/$i", mixedText(i)))
         .toDF("url", "text")
         .write.mode("overwrite").parquet(s"$DIR/mixeddocs")
+      spark.createDataFrame(redirectEdges()).toDF("src", "dst")
+        .write.mode("overwrite").parquet(s"$DIR/redirects")
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -750,5 +784,10 @@ object StructuredCorpus {
   def mixeddocs(spark: SparkSession): DataFrame = {
     ensure(spark)
     spark.read.parquet(s"$DIR/mixeddocs")
+  }
+
+  def redirects(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/redirects")
   }
 }

@@ -248,4 +248,41 @@ class CrawlOpsSpec extends AnyFunSuite {
     assert(edges.filter(_.getAs[Long]("is_internal") == 1L)
       .map(_.getAs[String]("src_host")).toSet.size == 12)
   }
+
+  // ---- redirect-chain resolution ---------------------------------------------------
+
+  test("redirects: pointer doubling equals a brute-force walk — exact " +
+    "terminals + hop counts on chains, cycle flags on loops and " +
+    "cycle-feeding tails") {
+    val edgeMap = StructuredCorpus.redirectEdges().toMap
+    val out = CrawlOps.exRedirects(spark, "").collect()
+    assert(out.length == edgeMap.size)
+    out.foreach { r =>
+      val src = r.getAs[String]("src")
+      // brute-force reference: follow edges up to the doubling capacity
+      var cur = src
+      var hops = 0L
+      val cap = 1 << CrawlOps.REDIRECT_ROUNDS
+      while (edgeMap.contains(cur) && hops < cap) {
+        cur = edgeMap(cur); hops += 1
+      }
+      if (edgeMap.contains(cur)) { // still mid-graph after cap hops = cycle
+        assert(r.getAs[Long]("is_cycle") == 1L, s"$src should flag cycle")
+        assert(r.getAs[String]("final_url") == "")
+        assert(r.getAs[Long]("n_hops") == -1L)
+      } else {
+        assert(r.getAs[Long]("is_cycle") == 0L, s"$src resolved")
+        assert(r.getAs[String]("final_url") == cur, s"$src terminal")
+        assert(r.getAs[Long]("n_hops") == hops, s"$src hop count")
+      }
+    }
+    // topology witnesses all present: an 8-hop chain head, a cycle member,
+    // and a tail that FEEDS a cycle without being on it
+    val bySrc = out.map(r => r.getAs[String]("src") -> r).toMap
+    val eight = bySrc("https://redir.example.org/c39/0") // len = 1 + 39%8 = 8
+    assert(eight.getAs[Long]("n_hops") == 8L &&
+      eight.getAs[String]("final_url") == "https://redir.example.org/c39/8")
+    assert(bySrc("https://redir.example.org/y0/0").getAs[Long]("is_cycle") == 1L)
+    assert(bySrc("https://redir.example.org/t0/0").getAs[Long]("is_cycle") == 1L)
+  }
 }
