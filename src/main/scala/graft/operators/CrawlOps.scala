@@ -550,6 +550,167 @@ object CrawlOps {
        |ORDER BY s.src""".stripMargin
   }
 
+  // ---- seed-distance labeling (multi-source BFS over the host graph) -------
+
+  /** Seed hosts for the BFS / trust surface — fixed in both engines. */
+  val SEED_HOSTS = Seq("h0.example.org", "h30.example.org")
+
+  /** Hard round cap: the web host graph's effective diameter is small
+    * (tens); anything not reached within the cap is treated as outside the
+    * trusted frontier. The oracle's recursive CTE carries the same cap.
+    */
+  val MAX_DEPTH = 12
+
+  /** Multi-source BFS: every host reachable from the seed set gets its
+    * MINIMUM hop distance — the crawl-depth label a frontier budgeter reads
+    * (depth tiers get shrinking per-host page budgets; unreached hosts get
+    * none). Unreachable hosts (spam islands, the planted 3-cycle) are absent
+    * from the output by construction.
+    *
+    * Scale shape: each round joins only the FRONTIER (hosts first reached
+    * last round) against the edge list — frontier-sized, not corpus-sized —
+    * then anti-joins the visited set to keep only first sightings. The
+    * visited set is the one corpus-scale operand; at 10^9 hosts it and the
+    * edge list share a host-hash bucketing so the anti-join is
+    * co-partitioned. Rounds = reached diameter, capped at [[MAX_DEPTH]];
+    * per-round `localCheckpoint` keeps the plan one join deep, and the loop
+    * exits early the first round the frontier empties (driver learns only
+    * emptiness, never data).
+    */
+  def exSeeddepth(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = StructuredCorpus.hostedges(spark).localCheckpoint()
+    import spark.implicits._
+    var dist = SEED_HOSTS.toDF("host")
+      .withColumn("depth", lit(0L)).localCheckpoint()
+    var frontier = dist.select("host")
+    var d = 0L
+    while (d < MAX_DEPTH && !frontier.isEmpty) {
+      d += 1
+      val next = frontier.join(edges, frontier("host") === edges("src"))
+        .select(col("dst").as("host")).distinct()
+        .join(dist.select("host"), Seq("host"), "left_anti")
+        .localCheckpoint()
+      dist = dist.unionByName(next.withColumn("depth", lit(d)))
+        .localCheckpoint()
+      frontier = next
+    }
+    dist.orderBy("host")
+  }
+
+  val exSeeddepthSql: String = {
+    val E = StructuredCorpus.HOSTEDGES_PQ
+    val seeds = SEED_HOSTS.map(s => s"('$s')").mkString(", ")
+    s"""WITH RECURSIVE walk(host, d) AS (
+       |  SELECT host, 0 FROM (VALUES $seeds) s(host)
+       |  UNION ALL
+       |  SELECT e.dst, w.d + 1
+       |  FROM walk w JOIN $E e ON e.src = w.host
+       |  WHERE w.d < $MAX_DEPTH)
+       |SELECT host, CAST(min(d) AS BIGINT) AS depth
+       |FROM walk GROUP BY host ORDER BY host""".stripMargin
+  }
+
+  // ---- HITS hub/authority scores (integer-exact, fixed iterations) ---------
+
+  /** Two full HITS iterations over the host graph in EXACT unnormalized
+    * integer arithmetic: a₁ = in-degree, h₁ = Σ_out a₁, a₂ = Σ_in h₁,
+    * h₂ = Σ_out a₂ — the authority/hub separation a crawl scheduler reads
+    * (high-authority hosts get recrawl budget, pure hubs are link chrome).
+    * Skipping the per-iteration L2 normalization keeps every value a
+    * BIGINT both engines agree on bit-for-bit; the RANKING is what
+    * downstream consumes and scaling is rank-invariant. At production scale
+    * you'd renormalize with an integer `div` by the per-iteration max
+    * (same device as q_pagerank's parts-per-billion rule) to bound growth.
+    *
+    * Scale shape: each half-iteration is ONE hash exchange (groupBy src or
+    * dst) plus a key-partitioned join back to the edge list — with edges
+    * stored twice, bucketed on src AND on dst (the standard adjacency
+    * layout), every round is exchange-free on the big side. Iteration count
+    * fixed, not data-dependent.
+    */
+  def exHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = StructuredCorpus.hostedges(spark).localCheckpoint()
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    val a1 = e.groupBy("dst").agg(count(lit(1)).as("a1"))
+    val h1 = e.join(a1, Seq("dst")).groupBy("src").agg(sum("a1").as("h1"))
+    val a2 = e.join(h1, Seq("src")).groupBy("dst").agg(sum("h1").as("a2"))
+    val h2 = e.join(a2, Seq("dst")).groupBy("src").agg(sum("a2").as("h2"))
+    nodes
+      .join(h2.withColumnRenamed("src", "host"), Seq("host"), "left")
+      .join(a2.withColumnRenamed("dst", "host"), Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("h2"), lit(0L)).as("hub"),
+        coalesce(col("a2"), lit(0L)).as("auth"))
+      .orderBy("host")
+  }
+
+  val exHitsSql: String = {
+    val E = StructuredCorpus.HOSTEDGES_PQ
+    s"""WITH e AS (SELECT src, dst FROM $E),
+       |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+       |a1 AS (SELECT dst, count(*) AS a1 FROM e GROUP BY dst),
+       |h1 AS (SELECT e.src, sum(a1.a1) AS h1
+       |       FROM e JOIN a1 ON a1.dst = e.dst GROUP BY e.src),
+       |a2 AS (SELECT e.dst, sum(h1.h1) AS a2
+       |       FROM e JOIN h1 ON h1.src = e.src GROUP BY e.dst),
+       |h2 AS (SELECT e.src, sum(a2.a2) AS h2
+       |       FROM e JOIN a2 ON a2.dst = e.dst GROUP BY e.src)
+       |SELECT n.host,
+       |       CAST(coalesce(h2.h2, 0) AS BIGINT) AS hub,
+       |       CAST(coalesce(a2.a2, 0) AS BIGINT) AS auth
+       |FROM nodes n
+       |LEFT JOIN h2 ON h2.src = n.host
+       |LEFT JOIN a2 ON a2.dst = n.host
+       |ORDER BY n.host""".stripMargin
+  }
+
+  // ---- co-citation similarity (hub-capped source self-join) -----------------
+
+  /** Sources with out-degree above this never enter the pairing self-join:
+    * a directory/mega-hub page linking hundreds of hosts asserts almost
+    * nothing about any PAIR of them, and its C(od, 2) pair fan-out is
+    * exactly the quadratic term that kills all-pairs plans — the same
+    * df-cap rule dd_ngram_jaccard applies to hot shingles.
+    */
+  val COCITE_CAP = 8
+
+  /** Co-citation host similarity: two hosts are related when ≥2 distinct
+    * capped sources link BOTH (Small's co-citation measure on the host
+    * graph) — the cheap relatedness signal seeding topical clusters and
+    * spam neighborhoods before any text model runs.
+    *
+    * Scale shape: out-degree cap first (one src-keyed partial agg riding
+    * the self-join's own exchange), THEN the src-keyed self-join — pair
+    * volume per source is bounded by C(cap, 2) = 28, so candidate volume is
+    * linear in surviving edges, never quadratic in a hub's fan-out. The
+    * (host_a, host_b) count combines map-side.
+    */
+  def exCocite(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = StructuredCorpus.hostedges(spark)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val k = e.join(deg.filter(col("od") <= COCITE_CAP), Seq("src"))
+      .select("src", "dst")
+    k.as("a").join(k.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.dst").as("host_a"), col("b.dst").as("host_b"))
+      .groupBy("host_a", "host_b").agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= 2)
+      .orderBy("host_a", "host_b")
+  }
+
+  val exCociteSql: String = {
+    val E = StructuredCorpus.HOSTEDGES_PQ
+    s"""WITH deg AS (SELECT src, count(*) AS od FROM $E GROUP BY src),
+       |k AS (SELECT e.src, e.dst FROM $E e
+       |      JOIN deg ON deg.src = e.src AND deg.od <= $COCITE_CAP)
+       |SELECT a.dst AS host_a, b.dst AS host_b,
+       |       CAST(count(*) AS BIGINT) AS n_common
+       |FROM k a JOIN k b ON a.src = b.src AND a.dst < b.dst
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY host_a, host_b""".stripMargin
+  }
+
   // ---- registration -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -561,7 +722,10 @@ object CrawlOps {
     "ta_clean" -> (taClean _),
     "ta_seglang" -> (taSeglang _),
     "ex_hostgraph" -> (exHostgraph _),
-    "ex_redirects" -> (exRedirects _)
+    "ex_redirects" -> (exRedirects _),
+    "ex_seeddepth" -> (exSeeddepth _),
+    "ex_hits" -> (exHits _),
+    "ex_cocite" -> (exCocite _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -573,6 +737,9 @@ object CrawlOps {
     "ta_clean" -> taCleanSql,
     "ta_seglang" -> taSeglangSql,
     "ex_hostgraph" -> exHostgraphSql,
-    "ex_redirects" -> exRedirectsSql
+    "ex_redirects" -> exRedirectsSql,
+    "ex_seeddepth" -> exSeeddepthSql,
+    "ex_hits" -> exHitsSql,
+    "ex_cocite" -> exCociteSql
   )
 }

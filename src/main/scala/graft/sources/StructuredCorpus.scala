@@ -686,6 +686,38 @@ object StructuredCorpus {
     out.toSeq
   }
 
+  // ---- host link graph (graph analytics: BFS depth, HITS, co-citation) ----------
+
+  val HOSTEDGES_PQ = s"read_parquet('$DIR/hostedges/*.parquet')"
+  val N_GHOSTS = 64
+
+  /** Directed host-graph edge list with a witness for every graph-analytics
+    * case: a 10-deep chain (BFS layer structure), quadratic-ish skip edges
+    * among the first 30 hosts (mixing + cycles the BFS must not re-expand),
+    * a co-citation block (12 sources all linking h50+h51, the even half also
+    * h52, plus mod-4 fan-out to h42..h45), one mega-hub h49 whose out-degree
+    * exceeds the co-citation cap (must be excluded from pairing, the df-cap
+    * rule), and a 3-cycle island unreachable from the seed set. Edges are
+    * distinct; no self-loops by construction.
+    */
+  def hostEdges(): Seq[(String, String)] = {
+    def h(i: Int) = s"h$i.example.org"
+    val out = ArrayBuffer.empty[(String, String)]
+    (0 until 9).foreach(i => out += ((h(i), h(i + 1))))
+    (0 until 30).foreach(i => out += ((h(i), h((3 * i + 7) % 30))))
+    (30 to 41).foreach { i =>
+      out += ((h(i), h(50)))
+      out += ((h(i), h(51)))
+      if (i % 2 == 0) out += ((h(i), h(52)))
+      out += ((h(i), h(42 + i % 4)))
+    }
+    (50 to 59).foreach(j => out += ((h(49), h(j))))
+    out += ((h(60), h(61)))
+    out += ((h(61), h(62)))
+    out += ((h(62), h(60)))
+    out.distinct.toSeq
+  }
+
   @volatile private var done = false
 
   /** Idempotent marker-gated staging (OracleCorpus protocol: page count +
@@ -736,6 +768,8 @@ object StructuredCorpus {
         .write.mode("overwrite").parquet(s"$DIR/mixeddocs")
       spark.createDataFrame(redirectEdges()).toDF("src", "dst")
         .write.mode("overwrite").parquet(s"$DIR/redirects")
+      spark.createDataFrame(hostEdges()).toDF("src", "dst")
+        .write.mode("overwrite").parquet(s"$DIR/hostedges")
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -789,5 +823,10 @@ object StructuredCorpus {
   def redirects(spark: SparkSession): DataFrame = {
     ensure(spark)
     spark.read.parquet(s"$DIR/redirects")
+  }
+
+  def hostedges(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/hostedges")
   }
 }

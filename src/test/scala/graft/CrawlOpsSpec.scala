@@ -285,4 +285,80 @@ class CrawlOpsSpec extends AnyFunSuite {
     assert(bySrc("https://redir.example.org/y0/0").getAs[Long]("is_cycle") == 1L)
     assert(bySrc("https://redir.example.org/t0/0").getAs[Long]("is_cycle") == 1L)
   }
+
+  // ---- host-graph analytics: BFS depth, HITS, co-citation -------------------
+
+  private lazy val graphEdges = StructuredCorpus.hostEdges()
+
+  test("seeddepth: BFS labels equal a brute-force multi-source BFS; the " +
+    "island and the unreached spam block are absent; skip edges shortcut " +
+    "the chain") {
+    // brute-force reference BFS
+    val adj = graphEdges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var dist = CrawlOps.SEED_HOSTS.map(_ -> 0L).toMap
+    var frontier = CrawlOps.SEED_HOSTS.toSet
+    var d = 0L
+    while (frontier.nonEmpty && d < CrawlOps.MAX_DEPTH) {
+      d += 1
+      val next = frontier.flatMap(h => adj.getOrElse(h, Nil))
+        .filterNot(dist.contains)
+      dist ++= next.map(_ -> d)
+      frontier = next
+    }
+    val out = CrawlOps.exSeeddepth(spark, "").collect()
+      .map(r => r.getAs[String]("host") -> r.getAs[Long]("depth")).toMap
+    assert(out == dist)
+    // chain tail reached through the h0->h7 skip edge then the chain — the
+    // min-over-paths semantics the skip edges exist to exercise (9 chain
+    // hops lose to skip + 2)
+    assert(out("h9.example.org") == 3L)
+    assert(out("h50.example.org") == 1L) // co-citation target, one hop from h30
+    assert(!out.contains("h60.example.org")) // 3-cycle island unreachable
+    assert(!out.contains("h49.example.org")) // mega-hub has no in-edges
+  }
+
+  test("hits: two-iteration scores equal a brute-force recomputation; the " +
+    "co-citation target is the top authority and the mega-hub the top hub") {
+    val nodes = graphEdges.flatMap(e => Seq(e._1, e._2)).distinct
+    val a1 = graphEdges.groupBy(_._2).map { case (v, es) => v -> es.size.toLong }
+    def sumOut(m: Map[String, Long])(u: String): Long =
+      graphEdges.filter(_._1 == u).map(e => m.getOrElse(e._2, 0L)).sum
+    def sumIn(m: Map[String, Long])(v: String): Long =
+      graphEdges.filter(_._2 == v).map(e => m.getOrElse(e._1, 0L)).sum
+    val h1 = nodes.map(u => u -> sumOut(a1)(u)).toMap
+    val a2 = nodes.map(v => v -> sumIn(h1)(v)).toMap
+    val h2 = nodes.map(u => u -> sumOut(a2)(u)).toMap
+    val out = CrawlOps.exHits(spark, "").collect()
+    assert(out.length == nodes.size)
+    out.foreach { r =>
+      val host = r.getAs[String]("host")
+      assert(r.getAs[Long]("hub") == h2(host), s"hub($host)")
+      assert(r.getAs[Long]("auth") == a2(host), s"auth($host)")
+    }
+    val byScore = out.map(r => (r.getAs[String]("host"),
+      r.getAs[Long]("hub"), r.getAs[Long]("auth")))
+    assert(byScore.maxBy(_._3)._1 == "h50.example.org") // 13 in-links, hub-fed
+    assert(byScore.maxBy(_._2)._1 == "h49.example.org") // links every 5x host
+  }
+
+  test("cocite: pair counts equal a brute-force recomputation with the " +
+    "out-degree cap; the mega-hub's exclusive targets never pair") {
+    val deg = graphEdges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val capped = graphEdges.filter(e => deg(e._1) <= CrawlOps.COCITE_CAP)
+    val ref = capped.groupBy(_._1).values.flatMap { es =>
+      val ds = es.map(_._2).sorted
+      for (a <- ds; b <- ds if a < b) yield (a, b)
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= 2L)
+    val out = CrawlOps.exCocite(spark, "").collect()
+      .map(r => (r.getAs[String]("host_a"), r.getAs[String]("host_b")) ->
+        r.getAs[Long]("n_common")).toMap
+    assert(out == ref)
+    // the strong pair: all 12 block sources co-cite (h50, h51); the capped
+    // mega-hub h49 must NOT inflate it to 13
+    assert(out(("h50.example.org", "h51.example.org")) == 12L)
+    // h53..h59 are linked ONLY by the over-cap hub: no pair may contain them
+    assert(!out.keys.exists { case (a, b) =>
+      Seq(a, b).exists(h => (53 to 59).exists(i => h == s"h$i.example.org")) })
+  }
 }
