@@ -711,6 +711,147 @@ object CrawlOps {
        |ORDER BY host_a, host_b""".stripMargin
   }
 
+  // ---- registrable-domain extraction (public-suffix rule) -------------------
+
+  /** Embedded public-suffix subset: two-label suffixes (including one
+    * PRIVATE registry, github.io) and one-label TLDs in policy. A real
+    * pipeline ships the full ~9k-rule PSL the same way — as a broadcast
+    * lookup the candidate last-1/last-2 labels probe; the rule shape below
+    * is exactly that probe, just with a literal IN-list standing in for the
+    * broadcast side.
+    */
+  val PSL2 = Seq("co.uk", "org.uk", "com.au", "github.io", "co.jp")
+  val PSL1 = Seq("com", "org", "net", "io", "uk", "au", "jp", "edu")
+
+  /** Registrable domain per host (the PSL rule): longest matching public
+    * suffix wins (last-2 labels before last-1), registrable domain = one
+    * label + the suffix; a host that IS a bare suffix, or whose TLD is out
+    * of policy, is unregistrable ("" / suffix "") — per-DOMAIN crawl
+    * budgets, dedup scopes, and spam rollups all key on this, not on the
+    * raw host (a spammer mints unlimited hosts under one domain). Pure
+    * codegen'd array expressions, zero exchanges; `when` guards keep the
+    * 1-based element_at probes in-bounds under ANSI.
+    */
+  def exDomain(spark: SparkSession, sfDir: String): DataFrame = {
+    val two = PSL2.map(lit(_))
+    val one = PSL1.map(lit(_))
+    StructuredCorpus.rawhosts(spark)
+      .withColumn("p", split(col("host"), "\\."))
+      .withColumn("n", size(col("p")))
+      .withColumn("l1", element_at(col("p"), -1))
+      .withColumn("l2", when(col("n") >= 2,
+        concat_ws(".", expr("element_at(p, n - 1)"), col("l1"))))
+      .withColumn("slab",
+        when(col("l2").isin(PSL2: _*), 2)
+          .when(col("l1").isin(PSL1: _*), 1)
+          .otherwise(0))
+      .select(
+        col("host"),
+        when(col("slab") === 2, col("l2"))
+          .when(col("slab") === 1, col("l1"))
+          .otherwise(lit("")).as("psl"),
+        when(col("slab") > 0 && col("n") > col("slab"),
+          expr("array_join(slice(p, n - slab, slab + 1), '.')"))
+          .otherwise(lit("")).as("domain"))
+      .orderBy("host")
+  }
+
+  val exDomainSql: String = {
+    val H = StructuredCorpus.RAWHOSTS_PQ
+    val in2 = PSL2.map(s => s"'$s'").mkString(", ")
+    val in1 = PSL1.map(s => s"'$s'").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT host, string_split(host, '.') AS p, len(string_split(host, '.')) AS n
+       |  FROM $H),
+       |s AS (
+       |  SELECT host, p, n,
+       |         p[n] AS l1,
+       |         CASE WHEN n >= 2 THEN p[n-1] || '.' || p[n] END AS l2
+       |  FROM q),
+       |c AS (
+       |  SELECT host, p, n, l1, l2,
+       |         CASE WHEN l2 IN ($in2) THEN 2
+       |              WHEN l1 IN ($in1) THEN 1
+       |              ELSE 0 END AS slab
+       |  FROM s)
+       |SELECT host,
+       |       CASE WHEN slab = 2 THEN l2 WHEN slab = 1 THEN l1 ELSE '' END AS psl,
+       |       CASE WHEN slab > 0 AND n > slab
+       |            THEN array_to_string(p[n - slab : n], '.')
+       |            ELSE '' END AS domain
+       |FROM c ORDER BY host""".stripMargin
+  }
+
+  // ---- TrustRank (seed-personalized integer PageRank) -----------------------
+
+  /** Four TrustRank iterations in EXACT parts-per-billion integer
+    * arithmetic: trust mass starts entirely on the [[SEED_HOSTS]] and the
+    * teleport term returns ONLY to them (`r' = seed·(15e7 div |seeds|) +
+    * (85·Σ_in (r div odeg)) div 100`, identical `div` truncation in both
+    * engines) — the spam-demotion measure (Gyöngyi et al., VLDB 2004):
+    * hosts whose trust stays 0 after k rounds are ≥k link-hops from
+    * anything trusted, the strongest cheap spam prior a frontier budgeter
+    * has. Differs from q_pagerank in exactly the two ways TrustRank
+    * differs from PageRank: personalized teleport vector and a REAL edge
+    * table (out-degrees measured, not formulaic). Sinks leak mass
+    * (unnormalized, same documented truncation as q_pagerank).
+    *
+    * Scale shape: per-iteration ONE contribution shuffle (groupBy dst) +
+    * a key-partitioned join back to nodes; lineage cut per round; 4 rounds
+    * fixed. The zero-trust frontier never needs to materialize — absent
+    * rows coalesce to the teleport-only value.
+    */
+  def exTrustrank(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = StructuredCorpus.hostedges(spark).localCheckpoint()
+    val odeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val edges = e.join(odeg, Seq("src")).localCheckpoint()
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct().localCheckpoint()
+    val nSeeds = SEED_HOSTS.size
+    def isSeed(c: Column) = c.isin(SEED_HOSTS: _*)
+    var r = nodes.select(col("host"),
+      when(isSeed(col("host")), lit(1000000000L / nSeeds))
+        .otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to 4) {
+      val contrib = r.join(edges, r("host") === edges("src"))
+        .groupBy("dst").agg(sum(expr("r div odeg")).as("s"))
+      r = nodes.join(contrib, nodes("host") === contrib("dst"), "left")
+        .select(nodes("host"),
+          (when(isSeed(nodes("host")), lit(150000000L / nSeeds)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    r.orderBy("host")
+  }
+
+  val exTrustrankSql: String = {
+    val E = StructuredCorpus.HOSTEDGES_PQ
+    val seeds = SEED_HOSTS.map(s => s"'$s'").mkString(", ")
+    val nSeeds = SEED_HOSTS.size
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.host,
+         |         CASE WHEN n.host IN ($seeds) THEN ${150000000L / nSeeds} ELSE 0 END
+         |           + (85 * coalesce(sum(p.r // ed.odeg), 0)) // 100 AS r
+         |  FROM nodes n
+         |  LEFT JOIN ed ON ed.dst = n.host
+         |  LEFT JOIN $prev p ON p.host = ed.src
+         |  GROUP BY n.host)""".stripMargin
+    s"""WITH e AS (SELECT src, dst FROM $E),
+       |deg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.odeg FROM e JOIN deg ON deg.src = e.src),
+       |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT host,
+       |              CASE WHEN host IN ($seeds) THEN ${1000000000L / nSeeds}
+       |                   ELSE 0 END AS r
+       |       FROM nodes),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")},
+       |${step("r3", "r4")}
+       |SELECT host, CAST(r AS BIGINT) AS r FROM r4 ORDER BY host""".stripMargin
+  }
+
   // ---- registration -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -725,7 +866,9 @@ object CrawlOps {
     "ex_redirects" -> (exRedirects _),
     "ex_seeddepth" -> (exSeeddepth _),
     "ex_hits" -> (exHits _),
-    "ex_cocite" -> (exCocite _)
+    "ex_cocite" -> (exCocite _),
+    "ex_domain" -> (exDomain _),
+    "ex_trustrank" -> (exTrustrank _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -740,6 +883,8 @@ object CrawlOps {
     "ex_redirects" -> exRedirectsSql,
     "ex_seeddepth" -> exSeeddepthSql,
     "ex_hits" -> exHitsSql,
-    "ex_cocite" -> exCociteSql
+    "ex_cocite" -> exCociteSql,
+    "ex_domain" -> exDomainSql,
+    "ex_trustrank" -> exTrustrankSql
   )
 }

@@ -718,6 +718,30 @@ object StructuredCorpus {
     out.distinct.toSeq
   }
 
+  // ---- raw host names (registrable-domain extraction) ---------------------------
+
+  val RAWHOSTS_PQ = s"read_parquet('$DIR/rawhosts/*.parquet')"
+
+  /** Host names with a witness per public-suffix rule class: two-label
+    * suffixes (co.uk, org.uk, com.au, co.jp), the PRIVATE-registry case
+    * (github.io — user sites are registrable one label below it), deep
+    * subdomain chains, hosts that ARE a bare suffix (unregistrable), and
+    * unknown TLDs (out of policy → unregistrable).
+    */
+  def rawHosts(): Seq[String] = Seq(
+    "www.example.co.uk", "example.co.uk", "co.uk",
+    "news.bbc.org.uk",
+    "shop.example.com.au",
+    "user.github.io", "proj.user.github.io", "github.io",
+    "a.b.c.example.com", "example.com", "com",
+    "sub.example.org", "example.net",
+    "example.xyz", "weird.internal",
+    "blog.example.co.jp",
+    "example.io", "deep.sub.example.io",
+    "edu", "school.example.edu",
+    "uk", "au.com"
+  ) ++ (0 until 30).map(i => s"host$i.bulk${i % 5}.example.com")
+
   @volatile private var done = false
 
   /** Idempotent marker-gated staging (OracleCorpus protocol: page count +
@@ -770,6 +794,8 @@ object StructuredCorpus {
         .write.mode("overwrite").parquet(s"$DIR/redirects")
       spark.createDataFrame(hostEdges()).toDF("src", "dst")
         .write.mode("overwrite").parquet(s"$DIR/hostedges")
+      spark.createDataFrame(rawHosts().map(Tuple1(_))).toDF("host")
+        .write.mode("overwrite").parquet(s"$DIR/rawhosts")
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -828,5 +854,10 @@ object StructuredCorpus {
   def hostedges(spark: SparkSession): DataFrame = {
     ensure(spark)
     spark.read.parquet(s"$DIR/hostedges")
+  }
+
+  def rawhosts(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/rawhosts")
   }
 }

@@ -361,4 +361,62 @@ class CrawlOpsSpec extends AnyFunSuite {
     assert(!out.keys.exists { case (a, b) =>
       Seq(a, b).exists(h => (53 to 59).exists(i => h == s"h$i.example.org")) })
   }
+
+  // ---- registrable-domain extraction ----------------------------------------
+
+  test("domain: PSL rule equals a brute-force recomputation; private " +
+    "registry, bare suffixes, and out-of-policy TLDs all witness") {
+    def ref(host: String): (String, String) = {
+      val p = host.split('.')
+      val l1 = p.last
+      val l2 = if (p.length >= 2) p.takeRight(2).mkString(".") else ""
+      val slab =
+        if (CrawlOps.PSL2.contains(l2)) 2
+        else if (CrawlOps.PSL1.contains(l1)) 1
+        else 0
+      val psl = slab match { case 2 => l2; case 1 => l1; case _ => "" }
+      val dom =
+        if (slab > 0 && p.length > slab) p.takeRight(slab + 1).mkString(".")
+        else ""
+      (psl, dom)
+    }
+    val out = CrawlOps.exDomain(spark, "").collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[String]("psl"), r.getAs[String]("domain")))).toMap
+    assert(out.size == StructuredCorpus.rawHosts().size)
+    StructuredCorpus.rawHosts().foreach(h =>
+      assert(out(h) == ref(h), s"host $h"))
+    // the rule-class witnesses, spelled out
+    assert(out("proj.user.github.io") == (("github.io", "user.github.io")))
+    assert(out("co.uk") == (("co.uk", ""))) // bare suffix: unregistrable
+    assert(out("example.xyz") == (("", ""))) // out-of-policy TLD
+    assert(out("a.b.c.example.com") == (("com", "example.com")))
+    assert(out("au.com") == (("com", "au.com"))) // suffix label used as name
+  }
+
+  // ---- TrustRank -------------------------------------------------------------
+
+  test("trustrank: four integer iterations equal a brute-force recompute; " +
+    "trust reaches only the seed-reachable set and the island stays at zero") {
+    val nodes = graphEdges.flatMap(e => Seq(e._1, e._2)).distinct
+    val odeg = graphEdges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nSeeds = CrawlOps.SEED_HOSTS.size
+    var r = nodes.map(h => h ->
+      (if (CrawlOps.SEED_HOSTS.contains(h)) 1000000000L / nSeeds else 0L)).toMap
+    for (_ <- 1 to 4) {
+      val in = graphEdges.groupBy(_._2)
+      r = nodes.map { h =>
+        val s = in.getOrElse(h, Nil).map(e => r(e._1) / odeg(e._1)).sum
+        h -> ((if (CrawlOps.SEED_HOSTS.contains(h)) 150000000L / nSeeds else 0L)
+          + 85L * s / 100L)
+      }.toMap
+    }
+    val out = CrawlOps.exTrustrank(spark, "").collect()
+      .map(x => x.getAs[String]("host") -> x.getAs[Long]("r")).toMap
+    assert(out == r)
+    assert(out("h50.example.org") > 0L) // one hop from seed h30
+    assert(out("h60.example.org") == 0L) // island: no trust path
+    assert(out("h49.example.org") == 0L) // mega-hub has no in-edges
+    assert(out.values.sum <= 1000000000L) // mass only leaks (sinks + div)
+  }
 }
