@@ -689,8 +689,10 @@ object CrawlOps {
   def exCocite(spark: SparkSession, sfDir: String): DataFrame = {
     val e = StructuredCorpus.hostedges(spark)
     val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    // materialize the capped edge set ONCE: without this both self-join
+    // sides replan the deg aggregate — a doubled edge-table pass at scale
     val k = e.join(deg.filter(col("od") <= COCITE_CAP), Seq("src"))
-      .select("src", "dst")
+      .select("src", "dst").localCheckpoint()
     k.as("a").join(k.as("b"),
         col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .select(col("a.dst").as("host_a"), col("b.dst").as("host_b"))

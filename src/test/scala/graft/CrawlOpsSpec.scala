@@ -169,6 +169,24 @@ class CrawlOpsSpec extends AnyFunSuite {
       s"linkstats exchanges:\n${lsEx.mkString("\n")}")
   }
 
+  test("plan pins: ex_domain = scan->project->sort with zero hash exchanges; " +
+    "ex_cocite self-join reads ONE materialized capped edge set and pair " +
+    "counts combine map-side") {
+    val dom = CrawlOps.exDomain(spark, "")
+    assert(exchanges(dom).forall(_.contains("rangepartitioning")),
+      s"ex_domain must be pure per-row codegen:\n${exchanges(dom).mkString("\n")}")
+    val cc = CrawlOps.exCocite(spark, "")
+    val ccEx = exchanges(cc).filterNot(_.contains("rangepartitioning"))
+    // one pair-count exchange; the deg aggregate is inside the checkpoint
+    assert(ccEx.count(_.contains("hashpartitioning")) == 1,
+      s"cocite exchanges:\n${ccEx.mkString("\n")}")
+    val ccPlan = cc.queryExecution.executedPlan.toString
+    assert(ccPlan.contains("partial_count"), "pair count must combine map-side")
+    // both self-join sides read the materialized RDD — no recomputed agg
+    assert(!ccPlan.contains("partial_count(1) AS od") &&
+      ccPlan.linesIterator.count(_.contains("Scan ExistingRDD")) == 2, ccPlan)
+  }
+
   // ---- outlink profile ---------------------------------------------------------
 
   test("linkstats: empty-anchor links counted with zero anchor chars; " +
