@@ -854,6 +854,107 @@ object CrawlOps {
        |SELECT host, CAST(r AS BIGINT) AS r FROM r4 ORDER BY host""".stripMargin
   }
 
+  // ---- sitemap frontier backlog (declared vs crawled) ------------------------
+
+  /** Per-host frontier backlog: sitemap-declared urls not yet in the crawl
+    * log — the gap table a frontier scheduler drains first (site-declared
+    * urls are the cheapest high-precision frontier there is), and the
+    * coverage metric a crawl SLA reports. Off-sitemap crawled urls (link /
+    * feed discoveries) are ignored by construction — backlog is declared
+    * MINUS crawled-within-declared and can never go negative.
+    *
+    * Scale shape: sitemap locs are frontier-sized, the crawl log is
+    * corpus-sized — the join keys on url so the log side is pruned to one
+    * column, partial-agg'd by the join itself; the per-host rollup rides a
+    * second (host) exchange on the frontier-sized survivor set.
+    */
+  def exBacklog(spark: SparkSession, sfDir: String): DataFrame = {
+    val locs = StructuredCorpus.sitemaps(spark)
+      .select(col("host"),
+        from_xml(col("sitemap_xml"), Structured.SITEMAP_SCHEMA).as("p"))
+      .select(col("host"), explode(col("p.url")).as("u"))
+      .select(col("host"), col("u.loc").as("loc"))
+    val crawledSet = StructuredCorpus.crawled(spark)
+      .select(col("url").as("loc")).distinct()
+      .withColumn("hit", lit(1L))
+    locs.join(crawledSet, Seq("loc"), "left")
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_sitemap"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_crawled"))
+      .select(col("host"), col("n_sitemap"), col("n_crawled"),
+        (col("n_sitemap") - col("n_crawled")).as("n_backlog"))
+      .orderBy("host")
+  }
+
+  val exBacklogSql: String = {
+    val S = StructuredCorpus.SITEMAPS_PQ
+    val C = StructuredCorpus.CRAWLED_PQ
+    s"""WITH m AS (
+       |  SELECT host, regexp_extract_all(sitemap_xml, '<url>(.*?)</url>', 1) es
+       |  FROM $S),
+       |e AS (
+       |  SELECT host, regexp_extract(entry, '<loc>(.*?)</loc>', 1) loc
+       |  FROM (SELECT host, unnest(es) AS entry FROM m)),
+       |c AS (SELECT DISTINCT url FROM $C),
+       |j AS (
+       |  SELECT e.host, CASE WHEN c.url IS NULL THEN 0 ELSE 1 END hit
+       |  FROM e LEFT JOIN c ON c.url = e.loc)
+       |SELECT host, CAST(count(*) AS BIGINT) AS n_sitemap,
+       |       CAST(sum(hit) AS BIGINT) AS n_crawled,
+       |       CAST(count(*) - sum(hit) AS BIGINT) AS n_backlog
+       |FROM j GROUP BY host ORDER BY host""".stripMargin
+  }
+
+  // ---- URL-pattern bitext alignment (CCAligned / WikiMatrix trick) ------------
+
+  /** Language codes the aligner recognizes as a path segment. */
+  val BITEXT_LANGS = Seq("en", "fr", "de", "es")
+
+  /** Translation-pair candidates by URL pattern: two urls whose paths are
+    * identical except for the language segment are declared variants of one
+    * document (the CCAligned/WikiMatrix URL-matching trick — the highest-
+    * precision zero-text bitext miner at crawl scale; candidate pairs then
+    * go to an alignment scorer). Key = url with its language segment
+    * wildcarded; pairs = same key, different language, url_a < url_b.
+    * Corpus precondition (documented in staging): exactly one language
+    * segment per url, so Spark's replace-all regexp equals DuckDB's
+    * replace-first.
+    *
+    * Scale shape: one key hash exchange for the self-join; pairs per key
+    * are bounded by C(|langs|, 2) — candidate volume is linear in urls,
+    * never quadratic (the key IS the document identity).
+    */
+  def exBitext(spark: SparkSession, sfDir: String): DataFrame = {
+    val pat = s"/(${BITEXT_LANGS.mkString("|")})/"
+    val d = StructuredCorpus.l10nurls(spark)
+      .withColumn("lang", regexp_extract(col("url"), pat, 1))
+      .filter(col("lang") =!= "")
+      .withColumn("k", regexp_replace(col("url"), pat, "/*/"))
+      .localCheckpoint()
+    d.as("a").join(d.as("b"),
+        col("a.k") === col("b.k") && col("a.url") < col("b.url") &&
+          col("a.lang") =!= col("b.lang"))
+      .select(col("a.url").as("url_a"), col("a.lang").as("lang_a"),
+        col("b.url").as("url_b"), col("b.lang").as("lang_b"))
+      .orderBy("url_a", "url_b")
+  }
+
+  val exBitextSql: String = {
+    val U = StructuredCorpus.L10NURLS_PQ
+    val pat = s"/(${BITEXT_LANGS.mkString("|")})/"
+    s"""WITH d AS (
+       |  SELECT url,
+       |         coalesce(regexp_extract(url, '$pat', 1), '') AS lang,
+       |         regexp_replace(url, '$pat', '/*/') AS k
+       |  FROM $U),
+       |f AS (SELECT * FROM d WHERE lang <> '')
+       |SELECT a.url AS url_a, a.lang AS lang_a,
+       |       b.url AS url_b, b.lang AS lang_b
+       |FROM f a JOIN f b
+       |  ON a.k = b.k AND a.url < b.url AND a.lang <> b.lang
+       |ORDER BY url_a, url_b""".stripMargin
+  }
+
   // ---- registration -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -870,7 +971,9 @@ object CrawlOps {
     "ex_hits" -> (exHits _),
     "ex_cocite" -> (exCocite _),
     "ex_domain" -> (exDomain _),
-    "ex_trustrank" -> (exTrustrank _)
+    "ex_trustrank" -> (exTrustrank _),
+    "ex_backlog" -> (exBacklog _),
+    "ex_bitext" -> (exBitext _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -887,6 +990,8 @@ object CrawlOps {
     "ex_hits" -> exHitsSql,
     "ex_cocite" -> exCociteSql,
     "ex_domain" -> exDomainSql,
-    "ex_trustrank" -> exTrustrankSql
+    "ex_trustrank" -> exTrustrankSql,
+    "ex_backlog" -> exBacklogSql,
+    "ex_bitext" -> exBitextSql
   )
 }

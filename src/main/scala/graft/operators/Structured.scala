@@ -368,7 +368,7 @@ object Structured {
 
   // ---- sitemap parse -----------------------------------------------------------
 
-  private val SITEMAP_SCHEMA = StructType(Seq(
+  private[operators] val SITEMAP_SCHEMA = StructType(Seq(
     StructField("url", ArrayType(StructType(Seq(
       StructField("loc", StringType),
       StructField("lastmod", StringType),

@@ -742,6 +742,54 @@ object StructuredCorpus {
     "uk", "au.com"
   ) ++ (0 until 30).map(i => s"host$i.bulk${i % 5}.example.com")
 
+  // ---- crawled-url log (frontier backlog vs the sitemap) ------------------------
+
+  val CRAWLED_PQ = s"read_parquet('$DIR/crawled/*.parquet')"
+
+  /** Crawled-url log over the SITEMAP hosts' universe: per host, every
+    * sitemap loc except the k % 3 == 0 entries (the planted backlog), plus
+    * off-sitemap urls discovered via links/feeds (which must never make a
+    * backlog count negative).
+    */
+  def crawledUrls(): Seq[(String, String)] =
+    (0 until N_HOSTS).flatMap { h =>
+      val host = s"host$h.example.org"
+      val n = 5 + Rng.nextInt(SEED, 900L, h.toLong, 26)
+      val inMap = (0 until n).filter(_ % 3 != 0)
+        .map(k => (host, s"https://$host/p/$k"))
+      val extra = Seq((host, s"https://$host/news/0")) ++
+        (if (h % 4 == 0) Seq((host, s"https://$host/extra/$h")) else Nil)
+      inMap ++ extra
+    }
+
+  // ---- language-variant urls (URL-pattern bitext alignment) ---------------------
+
+  val L10NURLS_PQ = s"read_parquet('$DIR/l10nurls/*.parquet')"
+
+  /** Url lists with language path segments: every doc has an /en/ variant,
+    * deterministic subsets add /fr/ and /de/ (one /es/ witness makes a
+    * four-language clique), plus the cases the aligner must NOT pair — an
+    * orphan translation with no counterpart, a lang-free static path, and a
+    * decoy segment (`/env/`) that merely starts with a lang code. Exactly
+    * one lang segment per url by construction (the documented precondition
+    * that makes Spark's replace-all == DuckDB's replace-first).
+    */
+  def l10nUrls(): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    (0 until 10).foreach { s =>
+      (0 until 20).foreach { d =>
+        out += s"https://site$s.example.org/en/doc$d"
+        if ((s + d) % 2 == 0) out += s"https://site$s.example.org/fr/doc$d"
+        if ((s + d) % 3 == 0) out += s"https://site$s.example.org/de/doc$d"
+        out += s"https://site$s.example.org/env/doc$d"
+      }
+      out += s"https://site$s.example.org/fr/only$s"
+      out += s"https://site$s.example.org/static/page$s"
+    }
+    out += "https://site0.example.org/es/doc0"
+    out.toSeq
+  }
+
   @volatile private var done = false
 
   /** Idempotent marker-gated staging (OracleCorpus protocol: page count +
@@ -796,6 +844,10 @@ object StructuredCorpus {
         .write.mode("overwrite").parquet(s"$DIR/hostedges")
       spark.createDataFrame(rawHosts().map(Tuple1(_))).toDF("host")
         .write.mode("overwrite").parquet(s"$DIR/rawhosts")
+      spark.createDataFrame(crawledUrls()).toDF("host", "url")
+        .write.mode("overwrite").parquet(s"$DIR/crawled")
+      spark.createDataFrame(l10nUrls().map(Tuple1(_))).toDF("url")
+        .write.mode("overwrite").parquet(s"$DIR/l10nurls")
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -859,5 +911,15 @@ object StructuredCorpus {
   def rawhosts(spark: SparkSession): DataFrame = {
     ensure(spark)
     spark.read.parquet(s"$DIR/rawhosts")
+  }
+
+  def crawled(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/crawled")
+  }
+
+  def l10nurls(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/l10nurls")
   }
 }

@@ -437,4 +437,55 @@ class CrawlOpsSpec extends AnyFunSuite {
     assert(out("h49.example.org") == 0L) // mega-hub has no in-edges
     assert(out.values.sum <= 1000000000L) // mass only leaks (sinks + div)
   }
+
+  // ---- sitemap frontier backlog ----------------------------------------------
+
+  test("backlog: per-host counts equal a brute-force recompute from the " +
+    "generators; off-sitemap crawled urls never drive backlog negative") {
+    val crawledSet = StructuredCorpus.crawledUrls().map(_._2).toSet
+    val out = CrawlOps.exBacklog(spark, "").collect()
+    assert(out.length == StructuredCorpus.N_HOSTS)
+    out.foreach { r =>
+      val host = r.getAs[String]("host")
+      val h = host.stripPrefix("host").stripSuffix(".example.org").toLong
+      // reference: re-parse the generator's sitemap XML for the loc set
+      val locs = "<loc>(.*?)</loc>".r
+        .findAllMatchIn(StructuredCorpus.sitemapFor(h)).map(_.group(1)).toSeq
+      val nCrawled = locs.count(crawledSet.contains)
+      assert(r.getAs[Long]("n_sitemap") == locs.size, s"$host n_sitemap")
+      assert(r.getAs[Long]("n_crawled") == nCrawled, s"$host n_crawled")
+      assert(r.getAs[Long]("n_backlog") == locs.size - nCrawled, s"$host backlog")
+      // planted gap: exactly the k % 3 == 0 locs are uncrawled
+      assert(r.getAs[Long]("n_backlog") == (locs.size + 2) / 3, s"$host planted")
+      assert(r.getAs[Long]("n_backlog") >= 0L)
+    }
+  }
+
+  // ---- URL-pattern bitext alignment --------------------------------------------
+
+  test("bitext: pairs equal a brute-force recompute; orphan translations, " +
+    "lang-free paths, and the /env/ decoy never pair; the four-language doc " +
+    "yields the full clique") {
+    val pat = s"/(${CrawlOps.BITEXT_LANGS.mkString("|")})/".r
+    val keyed = StructuredCorpus.l10nUrls().flatMap { u =>
+      pat.findFirstMatchIn(u).map(m =>
+        (pat.replaceAllIn(u, "/*/"), m.group(1), u))
+    }
+    val ref = keyed.groupBy(_._1).values.flatMap { vs =>
+      for (a <- vs; b <- vs if a._3 < b._3 && a._2 != b._2)
+        yield (a._3, a._2, b._3, b._2)
+    }.toSet
+    val out = CrawlOps.exBitext(spark, "").collect()
+      .map(r => (r.getAs[String]("url_a"), r.getAs[String]("lang_a"),
+        r.getAs[String]("url_b"), r.getAs[String]("lang_b"))).toSet
+    assert(out == ref)
+    // negative witnesses
+    assert(!out.exists(p => p._1.contains("/only") || p._3.contains("/only")))
+    assert(!out.exists(p => p._1.contains("/env/") || p._3.contains("/env/")))
+    assert(!out.exists(p => p._1.contains("/static/") || p._3.contains("/static/")))
+    // site0/doc0 has en+fr+de+es: C(4,2) = 6 pairs on its key
+    assert(out.count(p =>
+      p._1.contains("site0.example.org") && p._1.endsWith("/doc0") &&
+        p._3.contains("site0.example.org") && p._3.endsWith("/doc0")) == 6)
+  }
 }
