@@ -672,6 +672,83 @@ object StreamingOps {
        |FROM w ORDER BY url, crawl""".stripMargin
   }
 
+  // ---- streaming per-key rate limiter (politeness budget) -----------------
+
+  /** Requests allowed per (key, window) before deferral. */
+  private[graft] val RL_BUDGET = 1L
+
+  /** Streaming politeness rate-limiter — the crawl-side budget enforcer: per
+    * (user, 4-hour window) only the first [[RL_BUDGET]] requests in
+    * (event-time, id) order are `allowed`; the rest classify `deferred` for
+    * the next window's frontier. Windows are OFFSET one hour so they
+    * straddle the two-microbatch split: a window's budget consumed in batch
+    * 1 must defer that window's batch-2 arrivals — the cross-batch state
+    * carry this query exists to exercise (state = requests seen so far,
+    * evicted by event-time timeout once the watermark passes the window
+    * end; bounded by live windows × active keys, never history).
+    *
+    * In-batch determinism: group rows sort on (event-time micros, id)
+    * inside the state function — bounded by one key's requests in one
+    * window, i.e. the quantity the limiter itself bounds. Across batches
+    * the file split is event-time ordered, so stream classification ==
+    * the batch oracle's global rank.
+    */
+  def stRatelimit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = streamEventsSplit(spark, sfDir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        window(col("ts"), "4 hours", "4 hours", "1 hour").as("w"))
+      // ts itself rides along: the watermark attribute must reach the
+      // stateful operator or event-time timeout is rejected at analysis
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        unix_micros(col("w.start")).as("ws"), unix_micros(col("w.end")).as("we"),
+        col("ts"))
+    val ss = ev.sparkSession
+    import ss.implicits._
+    val out = ev.as[(Long, Long, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._2, r._4))
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((user, ws), rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toIndexedSeq.sortBy(r => (r._3, r._1))
+            val c0 = state.getOption.getOrElse(0L)
+            state.update(c0 + sorted.size)
+            // evict once the watermark passes the window end (which must
+            // stay strictly ahead of the current watermark to be legal)
+            state.setTimeoutTimestamp(
+              math.max(sorted.head._5 / 1000L, state.getCurrentWatermarkMs + 1))
+            sorted.iterator.zipWithIndex.map { case (r, i) =>
+              (r._1, user, ws, if (c0 + i < RL_BUDGET) 1L else 0L)
+            }
+          }
+      }
+    runToTable(out.toDF("event_id", "user_id", "ws", "allowed"),
+      "st_ratelimit", "append", requireFeedingBatches = 2)
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("ws")).cast("timestamp_ntz").as("wstart"),
+        col("allowed"))
+      .orderBy("event_id")
+  }
+
+  val stRatelimitSql: String =
+    s"""WITH b AS (
+       |  SELECT event_id, user_id, ts,
+       |         time_bucket(INTERVAL 4 HOUR, ts,
+       |                     TIMESTAMP '2024-01-01 01:00:00') AS wstart
+       |  FROM events),
+       |r AS (
+       |  SELECT event_id, user_id, wstart,
+       |         row_number() OVER (PARTITION BY user_id, wstart
+       |                            ORDER BY ts, event_id) AS rn
+       |  FROM b)
+       |SELECT event_id, user_id, wstart,
+       |       CAST(CASE WHEN rn <= $RL_BUDGET THEN 1 ELSE 0 END AS BIGINT) AS allowed
+       |FROM r ORDER BY event_id""".stripMargin
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -684,7 +761,8 @@ object StreamingOps {
     "st_seq" -> (stSeq _),
     "st_tws" -> (stTws _),
     "st_dedup" -> (stDedup _),
-    "st_recrawl" -> (stRecrawl _)
+    "st_recrawl" -> (stRecrawl _),
+    "st_ratelimit" -> (stRatelimit _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -697,6 +775,7 @@ object StreamingOps {
     "st_seq" -> stSeqSql,
     "st_tws" -> stTwsSql,
     "st_dedup" -> stDedupSql,
-    "st_recrawl" -> stRecrawlSql
+    "st_recrawl" -> stRecrawlSql,
+    "st_ratelimit" -> stRatelimitSql
   )
 }

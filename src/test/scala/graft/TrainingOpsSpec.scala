@@ -872,6 +872,38 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming rate limiter: classification equals the batch window-rank; " +
+    "a split-spanning window defers batch-2 arrivals against batch-1 budget") {
+    val sf = "/root/testdata/sf0.01" // sf0.001 is too sparse for a spanning witness
+    val out = graft.streaming.StreamingOps.stRatelimit(spark, sf).collect()
+    val ref = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("wstart",
+        window(col("ts"), "4 hours", "4 hours", "1 hour").getField("start"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "wstart").orderBy("ts", "event_id")))
+      .select(col("event_id"), col("user_id"),
+        col("wstart").cast("timestamp_ntz").as("wstart"),
+        when(col("rn") <= 1, 1L).otherwise(0L).as("allowed"))
+      .orderBy("event_id").collect()
+    assert(out.map(_.toString).toSeq == ref.map(_.toString).toSeq)
+    // the cross-batch witness: a DEFERRED event that arrived in batch 2
+    // (ts >= split) inside a window that opened in batch 1 — its budget was
+    // consumed across the microbatch boundary. Absence = degenerate staging,
+    // which must fail here, not silently weaken the query.
+    val splitLdt = java.time.LocalDateTime.parse("2024-01-15T00:00:00")
+    val tsById = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime]("ts")).toMap
+    val spanningDeferred = out.filter { r =>
+      r.getAs[Long]("allowed") == 0L &&
+        r.getAs[java.time.LocalDateTime]("wstart").isBefore(splitLdt) &&
+        !tsById(r.getAs[Long]("event_id")).isBefore(splitLdt)
+    }
+    assert(spanningDeferred.nonEmpty,
+      "no split-spanning deferral — staged split no longer crosses a window")
+  }
+
   test("line dedup: first occurrence wins, docs reassemble in order, empties survive as rows") {
     import spark.implicits._
     // 'y' appears in a(pos 2), b(pos 1), c(pos 1): keeper = (a,2) (min url/pos)
