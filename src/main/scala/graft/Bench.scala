@@ -32,7 +32,9 @@ object Bench {
     * seventh adds PQ encode+ADC search and the bigram-LM fluency scorer;
     * round 4 adds the banded-history incremental near-dedup and the
     * content-defined-chunking dedup (corpus-sized chunk shuffle — a
-    * different cost shape from the shingle index).
+    * different cost shape from the shingle index); the continuation adds
+    * the stateful streaming rate limiter (flatMapGroupsWithState + event-
+    * time timeout over a two-batch split — the state-store cost shape).
     */
   private val HEADLINE = Seq(
     "q1_agg", "q3_join", "q_window", "q_range_join", "q_distinct",
@@ -41,7 +43,7 @@ object Bench {
     "dd_components", "dd_lines", "dd_substr", "dd_bloom", "dd_incr_near", "dd_cdc", "ta_gopher",
     "sim_knn", "sim_ivf", "sim_pq", "dd_embed_cos", "dd_semantic", "ta_quality", "ta_tokens", "ta_ngrams",
     "ta_tfidf", "ta_pii", "ta_search", "ta_bpe", "ta_lm", "ta_dsir", "q_funnel",
-    "q_bucket_join", "st_session", "st_left_join"
+    "q_bucket_join", "st_session", "st_left_join", "st_ratelimit"
   )
 
   def main(args: Array[String]): Unit = {

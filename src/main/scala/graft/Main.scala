@@ -32,7 +32,7 @@ object Main {
           "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] [near-dedup] | " +
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
           "upsert-stream <srcDir> <tableDir> <ckpt> | " +
-          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | meta <tableDir> [snapshots|files|refs] | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | branch <tableDir> <create|append|audit|publish|discard|list> [name] [srcDir] | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
+          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | meta <tableDir> [snapshots|files|refs] | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | clone <srcDir> <dstDir> [version|tag] | branch <tableDir> <create|append|audit|publish|discard|list> [name] [srcDir] | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
           "explain <query> [sfDir] | " +
           "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps] | " +
           "soak <outBase> [mults] [reps]")
@@ -304,6 +304,18 @@ object Main {
           // from scans; the restored list commits as a NEW snapshot)
           val (v, moved) = graft.sources.Snapshots.rollback(args(1), args(2).toInt)
           println(s"rolled back ${args(1)} to v${args(2)} as v$v ($moved files moved aside)")
+          return
+        case "clone" =>
+          // clone <srcDir> <dstDir> [version|tag] — metadata-cost table
+          // clone of a chosen snapshot (hard-linked data, fresh history)
+          val sel = if (args.length > 3) Some(args(3)) else None
+          val (ver, tagRef) = sel match {
+            case Some(s) if s.forall(_.isDigit) => (Some(s.toInt), None)
+            case Some(s) => (None, Some(s))
+            case None => (None, None)
+          }
+          val (v, n) = graft.sources.Clone.run(args(1), args(2), ver, tagRef)
+          println(s"cloned ${args(1)} v$v -> ${args(2)} ($n files linked)")
           return
         case "vacuum" =>
           // vacuum <tableDir> [minAgeHours] — files younger than the floor
