@@ -21,7 +21,8 @@ object Main {
   def main(args: Array[String]): Unit = {
     val minArgs =
       if (args.nonEmpty && Set("profile", "scale", "mat-bench", "explain",
-        "compact", "vacuum", "history", "changes", "soak", "tags", "meta").contains(args(0))) 2
+        "compact", "vacuum", "history", "changes", "soak", "tags", "meta",
+        "bloomindex").contains(args(0))) 2
       else if (args.nonEmpty && Set("extract-incr", "upsert-stream").contains(args(0))) 4
       else 3
     if (args.length < minArgs) {
@@ -32,7 +33,7 @@ object Main {
           "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] [near-dedup] | " +
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
           "upsert-stream <srcDir> <tableDir> <ckpt> | " +
-          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | meta <tableDir> [snapshots|files|refs] | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | clone <srcDir> <dstDir> [version|tag] | branch <tableDir> <create|append|audit|publish|discard|list> [name] [srcDir] | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
+          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | meta <tableDir> [snapshots|files|refs] | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | clone <srcDir> <dstDir> [version|tag] | bloomindex <tableDir> | lookup <tableDir> <url> [url...] | branch <tableDir> <create|append|audit|publish|discard|list> [name] [srcDir] | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
           "explain <query> [sfDir] | " +
           "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps] | " +
           "soak <outBase> [mults] [reps]")
@@ -316,6 +317,21 @@ object Main {
           }
           val (v, n) = graft.sources.Clone.run(args(1), args(2), ver, tagRef)
           println(s"cloned ${args(1)} v$v -> ${args(2)} ($n files linked)")
+          return
+        case "bloomindex" =>
+          // bloomindex <tableDir> — (re)build per-file url bloom sidecars
+          // for the latest snapshot (point-lookup file skipping)
+          val n = graft.sources.BloomIndex.build(spark, args(1))
+          println(s"indexed $n files of ${args(1)}")
+          return
+        case "lookup" =>
+          // lookup <tableDir> <url...> — bloom-pruned point lookup
+          val (rows, scanned, total) =
+            graft.sources.BloomIndex.lookup(spark, args(1), args.drop(2).toSeq)
+          val hits = rows.select("url", "lang", "day").collect()
+          hits.foreach(r => println(
+            s"  ${r.getString(0)}  lang=${r.getString(1)}  day=${r.get(2)}"))
+          println(s"${hits.length} rows; scanned $scanned of $total files")
           return
         case "vacuum" =>
           // vacuum <tableDir> [minAgeHours] — files younger than the floor
