@@ -1453,6 +1453,61 @@ object Relational {
       |      UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', np FROM n) s
       |ORDER BY s.stage""".stripMargin
 
+  // ---- sequence-pattern matching (MATCH_RECOGNIZE subset) -------------------
+
+  /** Contiguous event-pattern regex the matcher looks for: view, 1+ clicks,
+    * purchase, with NO intervening event of any other type — the strict
+    * MATCH_RECOGNIZE contiguity semantic (q_funnel is the time-windowed,
+    * gap-tolerant complement).
+    */
+  val PATTERN = "vc+p"
+
+  /** MATCH_RECOGNIZE-subset sequence matching: each user's events collapse
+    * (in exact (ts, id) order) to a type-initial string, and the pattern
+    * runs as an ordinary regex — first match, its position, and the
+    * non-overlapping match count per user. The reduction-to-string trick is
+    * how row-pattern matching is actually deployed on engines without the
+    * clause: one user-keyed exchange, then pure codegen'd string
+    * expressions; backtracking happens on a per-user byte string, never on
+    * rows. Per-user state is bounded by that user's event count (at 100 TB,
+    * sessionize first — the string then bounds by session length).
+    *
+    * Both engines' regex runtimes (Java util.regex, RE2) agree leftmost +
+    * non-overlapping for this pattern class (no alternation ambiguity).
+    */
+  def qPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    val fm = coalesce(regexp_extract(col("seq"), PATTERN, 0), lit(""))
+    t(spark, sfDir, "events")
+      .withColumn("init", substring(col("event_type"), 1, 1))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("init")))).as("evs"))
+      .withColumn("seq", array_join(expr("transform(evs, e -> e.init)"), ""))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("n_events"),
+        fm.as("first_match"),
+        when(fm === "", 0L)
+          .otherwise(instr(col("seq"), fm).cast("long")).as("match_pos"),
+        expr(s"regexp_count(seq, '$PATTERN')").cast("long").as("n_matches"))
+      .orderBy("user_id")
+  }
+
+  val qPatternSql: String =
+    s"""WITH s AS (
+       |  SELECT user_id,
+       |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT user_id, seq,
+       |         coalesce(regexp_extract(seq, '$PATTERN', 0), '') AS fm
+       |  FROM s)
+       |SELECT user_id,
+       |       CAST(length(seq) AS BIGINT) AS n_events,
+       |       fm AS first_match,
+       |       CAST(CASE WHEN fm = '' THEN 0 ELSE strpos(seq, fm) END AS BIGINT) AS match_pos,
+       |       CAST(len(regexp_extract_all(seq, '$PATTERN')) AS BIGINT) AS n_matches
+       |FROM m ORDER BY user_id""".stripMargin
+
   // ---- cohort retention matrix ---------------------------------------------
 
   /** Retention: users cohorted by their first-purchase day; for each cohort ×
@@ -2292,6 +2347,7 @@ object Relational {
     "q_apply_cdc" -> (qApplyCdc _),
     "q_eqdepth" -> (qEqdepth _),
     "q_funnel" -> (qFunnel _),
+    "q_pattern" -> (qPattern _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
     "q1_agg" -> (q1Agg _),
@@ -2360,6 +2416,7 @@ object Relational {
     "q_apply_cdc" -> qApplyCdcSql,
     "q_eqdepth" -> qEqdepthSql,
     "q_funnel" -> qFunnelSql,
+    "q_pattern" -> qPatternSql,
     "q_retention" -> qRetentionSql,
     "q_scd2" -> qScd2Sql,
     "q1_agg" -> q1AggSql,

@@ -904,6 +904,45 @@ class TrainingOpsSpec extends AnyFunSuite {
       "no split-spanning deferral — staged split no longer crosses a window")
   }
 
+  test("sequence-pattern matching equals a driver-side regex over the " +
+    "brute-collapsed per-user strings; contiguity is strict") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Relational.qPattern(spark, sf).collect()
+    // brute-force: collapse each user's events in (ts, event_id) order and
+    // run the SAME pattern with java.util.regex directly
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime]("ts"),
+        r.getLong(2), r.getString(3).substring(0, 1)))
+    def us(t: java.time.LocalDateTime): Long = {
+      val i = t.toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val byUser = evs.groupBy(_._1).map { case (u, es) =>
+      u -> es.sortBy(e => (us(e._2), e._3)).map(_._4).mkString
+    }
+    val pat = java.util.regex.Pattern.compile(Relational.PATTERN)
+    assert(out.length == byUser.size)
+    var sawMulti = false // a c+ run longer than 1 must occur for the test to bite
+    out.foreach { r =>
+      val seq = byUser(r.getAs[Long]("user_id"))
+      val m = pat.matcher(seq)
+      val first = if (m.find()) m.group() else ""
+      assert(r.getAs[Long]("n_events") == seq.length)
+      assert(r.getAs[String]("first_match") == first)
+      assert(r.getAs[Long]("match_pos") ==
+        (if (first == "") 0L else seq.indexOf(first) + 1L))
+      val mm = pat.matcher(seq)
+      var n = 0L; while (mm.find()) n += 1
+      assert(r.getAs[Long]("n_matches") == n)
+      if (first.length > 3) sawMulti = true
+      // strict contiguity: the char before the final 'p' of a match is 'c'
+      if (first.nonEmpty) assert(first.init.tail.forall(_ == 'c'))
+    }
+    assert(sawMulti, "corpus must exercise a multi-click c+ run")
+    assert(out.exists(_.getAs[Long]("n_matches") > 1L), "non-overlap count must bite")
+  }
+
   test("line dedup: first occurrence wins, docs reassemble in order, empties survive as rows") {
     import spark.implicits._
     // 'y' appears in a(pos 2), b(pos 1), c(pos 1): keeper = (a,2) (min url/pos)
