@@ -22,7 +22,7 @@ object Main {
     val minArgs =
       if (args.nonEmpty && Set("profile", "scale", "mat-bench", "explain",
         "compact", "vacuum", "history", "changes", "soak", "tags", "meta",
-        "bloomindex").contains(args(0))) 2
+        "bloomindex", "graph-soak").contains(args(0))) 2
       else if (args.nonEmpty && Set("extract-incr", "upsert-stream").contains(args(0))) 4
       else 3
     if (args.length < minArgs) {
@@ -317,6 +317,44 @@ object Main {
           }
           val (v, n) = graft.sources.Clone.run(args(1), args(2), ver, tagRef)
           println(s"cloned ${args(1)} v$v -> ${args(2)} ($n files linked)")
+          return
+        case "graph-soak" =>
+          // graph-soak <n> [reps] — time the graph-analytics family on a
+          // DISTRIBUTED synthetic host graph of n nodes (heap-child edges
+          // for full BFS coverage + an affine mix + quadratic hubs for
+          // non-uniform in-degree). No driver-side materialization: the
+          // edge list is a spark.range expression, checkpointed once.
+          val n = args(1).toLong
+          val reps = if (args.length > 2) args(2).toInt else 2
+          import spark.implicits._
+          def h(c: org.apache.spark.sql.Column) = concat(lit("g"), c, lit(".example.org"))
+          val ids = spark.range(n)
+          val edges = ids.select(h(col("id")).as("src"), h((col("id") * 2 + 1) % n).as("dst"))
+            .unionByName(ids.select(h(col("id")).as("src"), h((col("id") * 2 + 2) % n).as("dst")))
+            .unionByName(ids.select(h(col("id")).as("src"), h((col("id") * 7 + 3) % n).as("dst")))
+            .unionByName(ids.filter(col("id") % 3 === 0)
+              .select(h(col("id")).as("src"), h((col("id") * col("id") + 13) % n).as("dst")))
+            .filter(col("src") =!= col("dst"))
+            .localCheckpoint()
+          val ne = edges.count()
+          val seeds = Seq("g0.example.org", "g1.example.org")
+          val depthCap = 2 + (64 - java.lang.Long.numberOfLeadingZeros(n)).toLong
+          def timeMin(f: => Long): (Double, Long) = {
+            var best = Double.MaxValue; var rows = 0L
+            (1 to reps).foreach { _ =>
+              val t0 = System.nanoTime(); rows = f
+              best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            }
+            (best, rows)
+          }
+          val (tb, rb) = timeMin(graft.operators.CrawlOps
+            .seeddepthOver(edges, seeds, depthCap).count())
+          println(f"GRAPH n=$n edges=$ne seeddepth(depth<=$depthCap): $tb%.2f s ($rb reached)")
+          val (tt, rt) = timeMin(graft.operators.CrawlOps
+            .trustrankOver(edges, seeds).count())
+          println(f"GRAPH n=$n edges=$ne trustrank(4 iters): $tt%.2f s ($rt nodes)")
+          val (tc, rc) = timeMin(graft.operators.CrawlOps.cociteOver(edges).count())
+          println(f"GRAPH n=$n edges=$ne cocite(cap=${graft.operators.CrawlOps.COCITE_CAP}): $tc%.2f s ($rc pairs)")
           return
         case "bloomindex" =>
           // bloomindex <tableDir> — (re)build per-file url bloom sidecars

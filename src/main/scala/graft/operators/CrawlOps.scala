@@ -577,14 +577,20 @@ object CrawlOps {
     * exits early the first round the frontier empties (driver learns only
     * emptiness, never data).
     */
-  def exSeeddepth(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = StructuredCorpus.hostedges(spark).localCheckpoint()
+  def exSeeddepth(spark: SparkSession, sfDir: String): DataFrame =
+    seeddepthOver(StructuredCorpus.hostedges(spark), SEED_HOSTS).orderBy("host")
+
+  /** Pipeline form over any (src, dst) edge list (the graph-soak entry). */
+  private[graft] def seeddepthOver(edgesIn: DataFrame, seeds: Seq[String],
+      maxDepth: Long = MAX_DEPTH): DataFrame = {
+    val spark = edgesIn.sparkSession
+    val edges = edgesIn.localCheckpoint()
     import spark.implicits._
-    var dist = SEED_HOSTS.toDF("host")
+    var dist = seeds.toDF("host")
       .withColumn("depth", lit(0L)).localCheckpoint()
     var frontier = dist.select("host")
     var d = 0L
-    while (d < MAX_DEPTH && !frontier.isEmpty) {
+    while (d < maxDepth && !frontier.isEmpty) {
       d += 1
       val next = frontier.join(edges, frontier("host") === edges("src"))
         .select(col("dst").as("host")).distinct()
@@ -594,7 +600,7 @@ object CrawlOps {
         .localCheckpoint()
       frontier = next
     }
-    dist.orderBy("host")
+    dist
   }
 
   val exSeeddepthSql: String = {
@@ -686,8 +692,11 @@ object CrawlOps {
     * linear in surviving edges, never quadratic in a hub's fan-out. The
     * (host_a, host_b) count combines map-side.
     */
-  def exCocite(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = StructuredCorpus.hostedges(spark)
+  def exCocite(spark: SparkSession, sfDir: String): DataFrame =
+    cociteOver(StructuredCorpus.hostedges(spark)).orderBy("host_a", "host_b")
+
+  /** Pipeline form over any (src, dst) edge list (the graph-soak entry). */
+  private[graft] def cociteOver(e: DataFrame): DataFrame = {
     val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
     // materialize the capped edge set ONCE: without this both self-join
     // sides replan the deg aggregate — a doubled edge-table pass at scale
@@ -698,7 +707,6 @@ object CrawlOps {
       .select(col("a.dst").as("host_a"), col("b.dst").as("host_b"))
       .groupBy("host_a", "host_b").agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= 2)
-      .orderBy("host_a", "host_b")
   }
 
   val exCociteSql: String = {
@@ -803,14 +811,18 @@ object CrawlOps {
     * fixed. The zero-trust frontier never needs to materialize — absent
     * rows coalesce to the teleport-only value.
     */
-  def exTrustrank(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = StructuredCorpus.hostedges(spark).localCheckpoint()
+  def exTrustrank(spark: SparkSession, sfDir: String): DataFrame =
+    trustrankOver(StructuredCorpus.hostedges(spark), SEED_HOSTS).orderBy("host")
+
+  /** Pipeline form over any (src, dst) edge list (the graph-soak entry). */
+  private[graft] def trustrankOver(edgesIn: DataFrame, seedList: Seq[String]): DataFrame = {
+    val e = edgesIn.localCheckpoint()
     val odeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
     val edges = e.join(odeg, Seq("src")).localCheckpoint()
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct().localCheckpoint()
-    val nSeeds = SEED_HOSTS.size
-    def isSeed(c: Column) = c.isin(SEED_HOSTS: _*)
+    val nSeeds = seedList.size
+    def isSeed(c: Column) = c.isin(seedList: _*)
     var r = nodes.select(col("host"),
       when(isSeed(col("host")), lit(1000000000L / nSeeds))
         .otherwise(lit(0L)).as("r"))
@@ -823,7 +835,7 @@ object CrawlOps {
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
         .localCheckpoint()
     }
-    r.orderBy("host")
+    r
   }
 
   val exTrustrankSql: String = {
