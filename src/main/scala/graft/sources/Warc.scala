@@ -130,6 +130,59 @@ object Warc {
       .flatMap(parse _)
   }
 
+  // ---- gzip container (.warc.gz — the Common Crawl wire convention) --------
+
+  /** Write pages as `.warc.gz` files: each record is its OWN gzip member
+    * (concatenated-member stream), exactly Common Crawl's convention — a
+    * CDX offset plus member length gives random access to one record
+    * without touching the rest of the archive. `finish()` flushes a
+    * member's trailer without closing the shared file stream.
+    */
+  def writeGz(pages: Dataset[Page], dir: String, nFiles: Int): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
+    pages
+      .repartition(nFiles, pmod(xxhash64(col("url")), lit(nFiles)))
+      .foreachPartition { (it: Iterator[Page]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.File(dir, f"part-$pid%05d.warc.gz")
+        val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+        try it.foreach { p =>
+          val gz = new java.util.zip.GZIPOutputStream(os)
+          gz.write(record(p))
+          gz.finish()
+        } finally os.close()
+      }
+  }
+
+  /** Inflate a whole concatenated-member gzip stream (JDK GZIPInputStream
+    * walks members natively; trailing garbage raises, truncation raises —
+    * never silent partial output).
+    */
+  private[graft] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Read a `.warc.gz` directory: inflate members, then the SAME framing
+    * walk as the plain reader — compression is a container concern, the
+    * record parser never knows.
+    */
+  def readGz(spark: SparkSession, dir: String): Dataset[Page] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.warc.gz")
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(b => parse(gunzipAll(b)))
+  }
+
   // ---- driver-contract query (materialized-oracle pattern) -----------------
 
   val WARC_DIR = s"${OracleCorpus.DIR}/warc"
@@ -139,12 +192,15 @@ object Warc {
 
   @volatile private var done = false
 
+  val WARC_GZ_DIR = s"${OracleCorpus.DIR}/warcgz"
+
   private def ensure(spark: SparkSession): Unit = synchronized {
     if (done) return
     val marker = new java.io.File(s"${OracleCorpus.DIR}/_WARC_READY")
     val stamp = s"$N_WARC:${OracleCorpus.codeStamp()}"
     if (!OracleCorpus.markerFresh(marker, stamp)) {
       write(Corpus.pages(spark, N_WARC), WARC_DIR, 4)
+      writeGz(Corpus.pages(spark, N_WARC), WARC_GZ_DIR, 4)
       perRecord(spark).write.mode("overwrite").parquet(WARC_RECS)
       OracleCorpus.writeMarker(marker, stamp)
     }
@@ -176,9 +232,29 @@ object Warc {
        |FROM $WARC_PQ GROUP BY kind, lang
        |ORDER BY kind, lang NULLS FIRST""".stripMargin
 
+  /** Gzip-container ingest: the production `.warc.gz` read path (inflate
+    * concatenated members → framing walk) over the SAME staged corpus, so
+    * the oracle is the plain-container per-record table — hash agreement
+    * proves the gz path is record-for-record identical to uncompressed.
+    */
+  def fmtWarcGz(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark)
+    readGz(spark, WARC_GZ_DIR).toDF()
+      .select(col("url"), col("lang"),
+        graft.functions.exprs.sniffKind(col("html")).as("kind"),
+        length(col("html")).cast("long").as("n_bytes"))
+      .groupBy("kind", "lang")
+      .agg(count(lit(1)).as("n"), sum("n_bytes").as("bytes"))
+      .orderBy("kind", "lang")
+  }
+
+  val fmtWarcGzSql: String = fmtWarcSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "fmt_warc" -> (fmtWarc _))
+    "fmt_warc" -> (fmtWarc _),
+    "fmt_warcgz" -> (fmtWarcGz _))
 
   def oracles: Map[String, String] = Map(
-    "fmt_warc" -> fmtWarcSql)
+    "fmt_warc" -> fmtWarcSql,
+    "fmt_warcgz" -> fmtWarcGzSql)
 }

@@ -764,6 +764,39 @@ class PageTableSpec extends AnyFunSuite {
     assert(e1 == e2 && e1.size == n)
   }
 
+  test("WARC gzip container: per-record members round-trip bit-exactly; " +
+    "member truncation fails loudly; members are individually addressable") {
+    import graft.sources.Warc
+    val pages = Corpus.pages(spark, 200L)
+    val dir = Files.createTempDirectory("warcgz-rt").toString
+    Warc.writeGz(pages, dir, 2)
+    def key(p: graft.Page): (String, String, String, String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val payload = if (p.html == null) Array.empty[Byte] else p.html
+      (p.url, p.warc_ts.toInstant.toString,
+        md.digest(payload).map(b => f"$b%02x").mkString, String.valueOf(p.lang))
+    }
+    val a = pages.collect().map(key).sortBy(_._1).toSeq
+    val b = Warc.readGz(spark, dir).collect().map(key).sortBy(_._1).toSeq
+    assert(a == b)
+    // one-member-per-record convention: the file starts with a gzip magic
+    // AND a second member boundary exists (count magics >= records/file avg)
+    val f = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".warc.gz")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    assert((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+    var magics = 0
+    (0 until bytes.length - 1).foreach(i =>
+      if ((bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b &&
+        (bytes(i + 2) & 0xff) == 0x08) magics += 1)
+    assert(magics >= 50, s"expected one gzip member per record, saw $magics")
+    // a SINGLE member inflates to exactly one record (CDX random access)
+    val second = bytes.indexOfSlice(Seq(0x1f.toByte, 0x8b.toByte, 0x08.toByte), 1)
+    val one = Warc.parse(Warc.gunzipAll(bytes.take(second))).toSeq
+    assert(one.size == 1)
+    // truncation mid-member must raise, never yield partial records
+    intercept[Exception](Warc.gunzipAll(bytes.take(bytes.length / 2)))
+  }
+
   test("storage-partitioned join: bucket-keyed catalog join plans with zero exchange") {
     val wh = s"$tmp/warehouse-spj"
     PageTable.write(Corpus.pages(spark, 400), s"$wh/pa", numBuckets = 8)
