@@ -142,19 +142,72 @@ object Warc {
     val d = new java.io.File(dir)
     d.mkdirs()
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
+      .filter(f => f.getName.endsWith(".warc.gz") || f.getName.endsWith(".cdx"))
+      .foreach(_.delete())
     pages
       .repartition(nFiles, pmod(xxhash64(col("url")), lit(nFiles)))
       .foreachPartition { (it: Iterator[Page]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val f = new java.io.File(dir, f"part-$pid%05d.warc.gz")
-        val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+        val cdx = new java.io.File(dir, f"part-$pid%05d.cdx")
+        val fos = new java.io.FileOutputStream(f)
+        // member offsets come from counting the UNBUFFERED stream: the CDX
+        // contract is byte-exact (offset, length) random access
+        var written = 0L
+        val counting = new java.io.FilterOutputStream(fos) {
+          override def write(b: Int): Unit = { fos.write(b); written += 1 }
+          override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+            fos.write(b, off, len); written += len
+          }
+        }
+        val cw = new java.io.PrintWriter(
+          new java.io.OutputStreamWriter(
+            new java.io.FileOutputStream(cdx), "UTF-8"))
+        val md = java.security.MessageDigest.getInstance("MD5")
         try it.foreach { p =>
-          val gz = new java.util.zip.GZIPOutputStream(os)
+          val off = written
+          val gz = new java.util.zip.GZIPOutputStream(counting)
           gz.write(record(p))
           gz.finish()
-        } finally os.close()
+          md.reset()
+          val payload = if (p.html == null) Array.empty[Byte] else p.html
+          val digest = md.digest(payload).map(b => f"$b%02x").mkString
+          val tsUs = p.warc_ts.toInstant.getEpochSecond * 1000000L +
+            p.warc_ts.toInstant.getNano / 1000L
+          cw.println(s"${p.url}\t$tsUs\t$off\t${written - off}\t$digest")
+        } finally { counting.close(); cw.close() }
       }
+  }
+
+  /** Read the CDX sidecars of a `.warc.gz` directory: one row per member
+    * with its byte-exact (offset, length) plus the payload digest, and the
+    * archive file it addresses — the random-access index a CC-style
+    * pipeline serves range reads from.
+    */
+  def readCdx(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "url STRING, ts_us BIGINT, offset BIGINT, length BIGINT, digest STRING")
+    spark.read.schema(schema).option("sep", "\t").csv(s"$dir/*.cdx")
+      .withColumn("warc_file",
+        regexp_replace(input_file_name(), "\\.cdx$", ".warc.gz"))
+  }
+
+  /** Random access: read ONE record by its CDX (offset, length) — a ranged
+    * read of the member, inflate, parse. Never touches the rest of the
+    * archive (the object-store range-GET shape).
+    */
+  def fetchCdx(warcFile: String, offset: Long, length: Int): Page = {
+    val raf = new java.io.RandomAccessFile(
+      new java.io.File(new java.net.URI(warcFile).getPath), "r")
+    try {
+      raf.seek(offset)
+      val buf = new Array[Byte](length)
+      raf.readFully(buf)
+      val it = parse(gunzipAll(buf))
+      val p = it.next()
+      require(!it.hasNext, s"CDX member at $offset:$length held >1 record")
+      p
+    } finally raf.close()
   }
 
   /** Inflate a whole concatenated-member gzip stream (JDK GZIPInputStream
@@ -193,6 +246,8 @@ object Warc {
   @volatile private var done = false
 
   val WARC_GZ_DIR = s"${OracleCorpus.DIR}/warcgz"
+  val CDX_RECS = s"${OracleCorpus.DIR}/warc-cdx"
+  val CDX_PQ = s"read_parquet('$CDX_RECS/*.parquet')"
 
   private def ensure(spark: SparkSession): Unit = synchronized {
     if (done) return
@@ -202,6 +257,8 @@ object Warc {
       write(Corpus.pages(spark, N_WARC), WARC_DIR, 4)
       writeGz(Corpus.pages(spark, N_WARC), WARC_GZ_DIR, 4)
       perRecord(spark).write.mode("overwrite").parquet(WARC_RECS)
+      readCdx(spark, WARC_GZ_DIR).drop("warc_file")
+        .write.mode("overwrite").parquet(CDX_RECS)
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -212,7 +269,8 @@ object Warc {
     read(spark, WARC_DIR).toDF()
       .select(col("url"), col("lang"),
         graft.functions.exprs.sniffKind(col("html")).as("kind"),
-        length(col("html")).cast("long").as("n_bytes"))
+        length(col("html")).cast("long").as("n_bytes"),
+        md5(coalesce(col("html"), lit(Array.empty[Byte]))).as("digest"))
 
   /** WARC ingest rollup: the production read+parse path re-runs on the
     * staged WARC files and aggregates per (kind, lang); DuckDB recomputes
@@ -250,11 +308,44 @@ object Warc {
 
   val fmtWarcGzSql: String = fmtWarcSql
 
+  /** CDX↔archive consistency, violation form (expected EMPTY — the q_approx
+    * device): Spark re-derives BOTH sides through production code (text CDX
+    * parse; gz member read + payload md5) and full-outer-joins on url; any
+    * index row without its record, record without its index row, or digest
+    * disagreement emits. DuckDB recomputes the same join from the two
+    * independently materialized tables; empty == empty is a real assertion
+    * that index and archive describe the same bytes.
+    */
+  def fmtCdx(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark)
+    val cdx = readCdx(spark, WARC_GZ_DIR).select(col("url"), col("digest"))
+    val recs = readGz(spark, WARC_GZ_DIR).toDF()
+      .select(col("url"),
+        md5(coalesce(col("html"), lit(Array.empty[Byte]))).as("rdigest"))
+    cdx.join(recs, Seq("url"), "full_outer")
+      .filter(col("digest").isNull || col("rdigest").isNull ||
+        col("digest") =!= col("rdigest"))
+      .select(col("url"),
+        coalesce(col("digest"), lit("")).as("cdx_digest"),
+        coalesce(col("rdigest"), lit("")).as("rec_digest"))
+      .orderBy("url")
+  }
+
+  val fmtCdxSql: String =
+    s"""SELECT coalesce(c.url, r.url) AS url,
+       |       coalesce(c.digest, '') AS cdx_digest,
+       |       coalesce(r.digest, '') AS rec_digest
+       |FROM $CDX_PQ c FULL OUTER JOIN $WARC_PQ r ON c.url = r.url
+       |WHERE c.digest IS NULL OR r.digest IS NULL OR c.digest <> r.digest
+       |ORDER BY url""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_warc" -> (fmtWarc _),
-    "fmt_warcgz" -> (fmtWarcGz _))
+    "fmt_warcgz" -> (fmtWarcGz _),
+    "fmt_cdx" -> (fmtCdx _))
 
   def oracles: Map[String, String] = Map(
     "fmt_warc" -> fmtWarcSql,
-    "fmt_warcgz" -> fmtWarcGzSql)
+    "fmt_warcgz" -> fmtWarcGzSql,
+    "fmt_cdx" -> fmtCdxSql)
 }

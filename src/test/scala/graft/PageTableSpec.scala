@@ -797,6 +797,41 @@ class PageTableSpec extends AnyFunSuite {
     intercept[Exception](Warc.gunzipAll(bytes.take(bytes.length / 2)))
   }
 
+  test("CDX sidecar: every member fetches byte-exactly by (offset, length); " +
+    "offsets tile each archive file completely") {
+    import graft.sources.Warc
+    val pages = Corpus.pages(spark, 150L)
+    val dir = Files.createTempDirectory("warccdx").toString
+    Warc.writeGz(pages, dir, 2)
+    val cdx = Warc.readCdx(spark, dir).collect()
+    assert(cdx.length == 150)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    cdx.foreach { r =>
+      val p = Warc.fetchCdx(r.getAs[String]("warc_file"),
+        r.getAs[Long]("offset"), r.getAs[Long]("length").toInt)
+      assert(p.url == r.getAs[String]("url"))
+      md.reset()
+      val payload = if (p.html == null) Array.empty[Byte] else p.html
+      assert(md.digest(payload).map(b => f"$b%02x").mkString ==
+        r.getAs[String]("digest"), p.url)
+    }
+    // members tile the file: offsets start at 0, lengths sum to file size,
+    // consecutive offsets touch (no gaps a range-GET could miss)
+    cdx.groupBy(_.getAs[String]("warc_file")).foreach { case (wf, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("offset"))
+      assert(sorted.head.getAs[Long]("offset") == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("offset") + a.getAs[Long]("length") ==
+            b.getAs[Long]("offset"), wf)
+        case _ => ()
+      }
+      val last = sorted.last
+      val size = new java.io.File(new java.net.URI(wf).getPath).length
+      assert(last.getAs[Long]("offset") + last.getAs[Long]("length") == size, wf)
+    }
+  }
+
   test("storage-partitioned join: bucket-keyed catalog join plans with zero exchange") {
     val wh = s"$tmp/warehouse-spj"
     PageTable.write(Corpus.pages(spark, 400), s"$wh/pa", numBuckets = 8)
