@@ -33,7 +33,7 @@ object Main {
           "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] [near-dedup] | " +
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
           "upsert-stream <srcDir> <tableDir> <ckpt> | " +
-          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | meta <tableDir> [snapshots|files|refs] | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | clone <srcDir> <dstDir> [version|tag] | bloomindex <tableDir> | lookup <tableDir> <url> [url...] | branch <tableDir> <create|append|audit|publish|discard|list> [name] [srcDir] | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
+          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | meta <tableDir> [snapshots|files|refs] | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | clone <srcDir> <dstDir> [version|tag] | rebucket <tableDir> <newBuckets> | bloomindex <tableDir> | lookup <tableDir> <url> [url...] | branch <tableDir> <create|append|audit|publish|discard|list> [name] [srcDir] | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
           "explain <query> [sfDir] | " +
           "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps] | " +
           "soak <outBase> [mults] [reps]")
@@ -305,6 +305,12 @@ object Main {
           // from scans; the restored list commits as a NEW snapshot)
           val (v, moved) = graft.sources.Snapshots.rollback(args(1), args(2).toInt)
           println(s"rolled back ${args(1)} to v${args(2)} as v$v ($moved files moved aside)")
+          return
+        case "rebucket" =>
+          // rebucket <tableDir> <newBuckets> — partition-spec evolution:
+          // full rewrite into the new bucket layout (crash-safe intent)
+          val (v, n) = graft.sources.Rebucket.run(spark, args(1), args(2).toInt)
+          println(s"rebucketed ${args(1)} to ${args(2)} buckets as v$v ($n files)")
           return
         case "clone" =>
           // clone <srcDir> <dstDir> [version|tag] — metadata-cost table

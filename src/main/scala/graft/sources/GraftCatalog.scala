@@ -93,6 +93,7 @@ class GraftCatalog extends TableCatalog {
         RowLevelCommit.replay(d)
         Snapshots.replayRollback(d)
         Branches.replayPublish(d)
+        Rebucket.replay(d)
         return MetaTables.table(ident.name, meta, d)
       case None => // fall through to the data-table path below
     }
@@ -104,6 +105,7 @@ class GraftCatalog extends TableCatalog {
     RowLevelCommit.replay(dir)
     Snapshots.replayRollback(dir)
     Branches.replayPublish(dir)
+    Rebucket.replay(dir)
     // the bucket count recorded at write time is authoritative — deriving
     // bucket with any other modulus on append would silently break the
     // layout function readers use to locate a url
