@@ -505,8 +505,14 @@ object CrawlOps {
     * (no fan-out: one row per src, ever). Rounds are `localCheckpoint`ed —
     * the plan stays one join deep instead of 2^R scans of the base.
     */
-  def exRedirects(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = StructuredCorpus.redirects(spark)
+  def exRedirects(spark: SparkSession, sfDir: String): DataFrame =
+    resolveChains(StructuredCorpus.redirects(spark)).orderBy("src")
+
+  /** Pointer-doubling chain resolution over a FUNCTIONAL (src, dst) edge
+    * list — shared by [[exRedirects]] and [[exCanonmap]] (the caller owns
+    * making the edges functional; see the election there).
+    */
+  private[graft] def resolveChains(edges: DataFrame): DataFrame = {
     var p = edges.select(col("src"), col("dst").as("nxt"), lit(1L).as("d"))
     (1 to REDIRECT_ROUNDS).foreach { _ =>
       p = p.as("a")
@@ -526,7 +532,6 @@ object CrawlOps {
         when(col("t").isNull, col("nxt")).otherwise(lit("")).as("final_url"),
         when(col("t").isNull, col("d")).otherwise(lit(-1L)).as("n_hops"),
         when(col("t").isNull, 0L).otherwise(1L).as("is_cycle"))
-      .orderBy("src")
   }
 
   val exRedirectsSql: String = {
@@ -967,6 +972,65 @@ object CrawlOps {
        |ORDER BY url_a, url_b""".stripMargin
   }
 
+  // ---- canonical-URL mapping (priority election + chain resolution) ----------
+
+  /** Canonical-URL assignment over the consolidated alias-edge table — the
+    * composition the dedup frontier actually runs: a url may declare SEVERAL
+    * alias kinds at once, so per url the strongest wins FIRST (http redirect
+    * is server-authoritative > rel=canonical is site-declared > amp is a
+    * mirror hint; dst tiebreak for determinism), making the graph functional
+    * — and THEN the elected chains resolve by pointer doubling to their
+    * terminal canonical (or flag as cycle members/feeders). Conflicting
+    * lower-priority declarations are planted in staging: if one ever won,
+    * resolution would observably diverge to a decoy target.
+    *
+    * Scale: the election is one src-keyed window riding the hash exchange
+    * the first doubling round needs anyway; the doubling inherits the
+    * ⌈log₂L⌉-shuffle shape of ex_redirects.
+    */
+  def exCanonmap(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = StructuredCorpus.canonedges(spark)
+      .withColumn("pr",
+        when(col("kind") === "http", 0)
+          .when(col("kind") === "canonical", 1).otherwise(2))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("pr"), col("dst"))
+    val elected = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("src", "dst")
+    resolveChains(elected).orderBy("src")
+  }
+
+  val exCanonmapSql: String = {
+    val E = StructuredCorpus.CANONEDGES_PQ
+    val cap = 1 << REDIRECT_ROUNDS
+    s"""WITH RECURSIVE pe AS (
+       |  SELECT src, dst,
+       |         CASE kind WHEN 'http' THEN 0 WHEN 'canonical' THEN 1
+       |              ELSE 2 END AS pr
+       |  FROM $E),
+       |el AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |           row_number() OVER (PARTITION BY src ORDER BY pr, dst) rn
+       |    FROM pe) WHERE rn = 1),
+       |chain AS (
+       |  SELECT src, dst, 1 AS hops FROM el
+       |  UNION ALL
+       |  SELECT c.src, x.dst, c.hops + 1
+       |  FROM chain c JOIN el x ON c.dst = x.src
+       |  WHERE c.hops < $cap),
+       |term AS (
+       |  SELECT c.src, c.dst, c.hops FROM chain c
+       |  WHERE c.dst NOT IN (SELECT src FROM el)),
+       |srcs AS (SELECT DISTINCT src FROM el)
+       |SELECT s.src,
+       |       coalesce(t.dst, '') AS final_url,
+       |       CAST(coalesce(t.hops, -1) AS BIGINT) AS n_hops,
+       |       CAST(CASE WHEN t.src IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_cycle
+       |FROM srcs s LEFT JOIN term t ON s.src = t.src
+       |ORDER BY s.src""".stripMargin
+  }
+
   // ---- registration -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -985,7 +1049,8 @@ object CrawlOps {
     "ex_domain" -> (exDomain _),
     "ex_trustrank" -> (exTrustrank _),
     "ex_backlog" -> (exBacklog _),
-    "ex_bitext" -> (exBitext _)
+    "ex_bitext" -> (exBitext _),
+    "ex_canonmap" -> (exCanonmap _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1004,6 +1069,7 @@ object CrawlOps {
     "ex_domain" -> exDomainSql,
     "ex_trustrank" -> exTrustrankSql,
     "ex_backlog" -> exBacklogSql,
-    "ex_bitext" -> exBitextSql
+    "ex_bitext" -> exBitextSql,
+    "ex_canonmap" -> exCanonmapSql
   )
 }

@@ -790,6 +790,38 @@ object StructuredCorpus {
     out.toSeq
   }
 
+  // ---- mixed-kind alias edges (canonical-URL mapping) ---------------------------
+
+  val CANONEDGES_PQ = s"read_parquet('$DIR/canonedges/*.parquet')"
+
+  /** Alias edges of all three kinds (http redirect / rel=canonical / amp)
+    * with the cases the canonicalizer must witness: mixed-kind chains of
+    * length 1..6, LOWER-priority conflicting declarations that must lose
+    * the per-url election (decoy targets — if one ever wins, resolution
+    * diverges observably), mixed-kind cycles, and tails feeding cycles.
+    */
+  def canonEdges(): Seq[(String, String, String)] = {
+    val out = ArrayBuffer.empty[(String, String, String)]
+    val kinds = Vector("http", "canonical", "amp")
+    def u(c: Int, k: Int) = s"https://site$c.canon.example.org/p/$k"
+    (0 until 30).foreach { c =>
+      val len = 1 + c % 6
+      (0 until len).foreach { k =>
+        out += ((u(c, k), kinds((c + k) % 3), u(c, k + 1)))
+        if (k % 4 == 0 && (c + k) % 3 < 2)
+          out += ((u(c, k), "amp", s"https://decoy.example.org/d$c-$k"))
+      }
+    }
+    (0 until 4).foreach { y =>
+      val len = 2 + y % 2
+      def cu(k: Int) = s"https://cyc$y.canon.example.org/c/$k"
+      (0 until len).foreach(k =>
+        out += ((cu(k), kinds((y + k) % 3), cu((k + 1) % len))))
+      out += ((s"https://tail$y.canon.example.org/t/0", "canonical", cu(0)))
+    }
+    out.toSeq
+  }
+
   @volatile private var done = false
 
   /** Idempotent marker-gated staging (OracleCorpus protocol: page count +
@@ -848,6 +880,8 @@ object StructuredCorpus {
         .write.mode("overwrite").parquet(s"$DIR/crawled")
       spark.createDataFrame(l10nUrls().map(Tuple1(_))).toDF("url")
         .write.mode("overwrite").parquet(s"$DIR/l10nurls")
+      spark.createDataFrame(canonEdges()).toDF("src", "kind", "dst")
+        .write.mode("overwrite").parquet(s"$DIR/canonedges")
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -921,5 +955,10 @@ object StructuredCorpus {
   def l10nurls(spark: SparkSession): DataFrame = {
     ensure(spark)
     spark.read.parquet(s"$DIR/l10nurls")
+  }
+
+  def canonedges(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/canonedges")
   }
 }

@@ -304,6 +304,39 @@ class CrawlOpsSpec extends AnyFunSuite {
     assert(bySrc("https://redir.example.org/t0/0").getAs[Long]("is_cycle") == 1L)
   }
 
+  test("canonmap: priority election + doubling equals a brute-force elect-" +
+    "and-walk; lower-priority conflicts never divert to their decoy targets") {
+    val pr = Map("http" -> 0, "canonical" -> 1, "amp" -> 2)
+    val elected = StructuredCorpus.canonEdges()
+      .groupBy(_._1).map { case (s, es) =>
+        s -> es.minBy(e => (pr(e._2), e._3))._3
+      }
+    val cap = 1 << CrawlOps.REDIRECT_ROUNDS
+    val out = CrawlOps.exCanonmap(spark, "").collect()
+    assert(out.length == elected.size)
+    out.foreach { r =>
+      val src = r.getAs[String]("src")
+      var cur = src; var hops = 0L
+      while (elected.contains(cur) && hops < cap) { cur = elected(cur); hops += 1 }
+      if (elected.contains(cur)) {
+        assert(r.getAs[Long]("is_cycle") == 1L, src)
+        assert(r.getAs[String]("final_url") == "" && r.getAs[Long]("n_hops") == -1L)
+      } else {
+        assert(r.getAs[String]("final_url") == cur, src)
+        assert(r.getAs[Long]("n_hops") == hops, src)
+      }
+    }
+    // the planted lower-priority conflicts: no resolution may end on a decoy
+    assert(!out.exists(_.getAs[String]("final_url").contains("decoy.example.org")))
+    // cycle + feeding-tail witnesses
+    val bySrc = out.map(r => r.getAs[String]("src") -> r).toMap
+    assert(bySrc("https://cyc0.canon.example.org/c/0").getAs[Long]("is_cycle") == 1L)
+    assert(bySrc("https://tail0.canon.example.org/t/0").getAs[Long]("is_cycle") == 1L)
+    // a chain head resolves past mixed kinds to its terminal
+    assert(bySrc("https://site29.canon.example.org/p/0")
+      .getAs[String]("final_url").endsWith("/p/6")) // len = 1 + 29%6 = 6
+  }
+
   // ---- host-graph analytics: BFS depth, HITS, co-citation -------------------
 
   private lazy val graphEdges = StructuredCorpus.hostEdges()
