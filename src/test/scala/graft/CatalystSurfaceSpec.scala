@@ -167,6 +167,24 @@ class CatalystSurfaceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q_pattern plan: one user_id shuffle with map-side partial collect; " +
+    "regex work is pure projection") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.Relational.qPattern(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      val hash = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+      assert(hash == 1, s"expected one user_id exchange, plan:\n$plan")
+      val all = "(?<!Reused)(?<!Broadcast)Exchange ".r.findAllIn(plan).length
+      assert(all == 2, s"one data shuffle + one presentation sort only:\n$plan")
+      // collect_list combines map-side (partial ObjectHashAggregate below
+      // the exchange) — the per-user string never ships as raw rows twice
+      assert(plan.contains("partial_collect_list") ||
+        "ObjectHashAggregate".r.findAllIn(plan).length == 2, plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q_interval_join plan: bucketized range join is hash/merge-joinable, never a nested loop") {
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     // broadcast off: a bare ts-range join would now plan as a cartesian
