@@ -1508,6 +1508,67 @@ object Relational {
        |       CAST(len(regexp_extract_all(seq, '$PATTERN')) AS BIGINT) AS n_matches
        |FROM m ORDER BY user_id""".stripMargin
 
+  // ---- distribution drift (binned two-sample KS gap) -------------------------
+
+  /** Corpus-drift monitor, the gate a continuously-crawling pipeline runs
+    * before mixing a new drop into training data: the doc-length
+    * distributions of two crawl halves compared as a BINNED two-sample KS
+    * statistic — per fixed bin, both sides' counts, cumulative counts, and
+    * the ECDF gap in exact parts-per-million integer arithmetic (`div`
+    * truncation identical in both engines; `n_chars` is a stored BIGINT so
+    * no cross-engine string-length semantics enter). The max `gap_x1e6` row
+    * IS the KS distance at bin resolution.
+    *
+    * Scale shape: the per-bin counts partial-agg map-side (32 groups — the
+    * reducer sees 32 pre-combined rows per mapper at most); the cumulative
+    * window then touches ≤32 ROWS TOTAL, so the deliberate single-task
+    * global window costs nothing — exactly how a drift gate should be
+    * shaped at 100 TB (never a global sort of raw values).
+    */
+  def qDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("side", (col("doc_id") % 2 === 0).cast("long"))
+      .withColumn("bin", least(lit(31L), expr("n_chars div 20")))
+    val binned = d.groupBy("bin").agg(
+      sum(col("side")).as("n_a"),
+      sum(lit(1L) - col("side")).as("n_b"))
+    val wc = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned
+      .withColumn("cum_a", sum("n_a").over(wc))
+      .withColumn("cum_b", sum("n_b").over(wc))
+      .withColumn("tot_a", sum("n_a").over(wt))
+      .withColumn("tot_b", sum("n_b").over(wt))
+      .select(col("bin"), col("n_a"), col("n_b"), col("cum_a"), col("cum_b"),
+        abs(expr("(1000000 * cum_a) div tot_a - (1000000 * cum_b) div tot_b"))
+          .as("gap_x1e6"))
+      .orderBy("bin")
+  }
+
+  val qDriftSql: String =
+    """WITH d AS (
+      |  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS side,
+      |         least(31, n_chars // 20) AS bin
+      |  FROM documents),
+      |b AS (
+      |  SELECT bin, CAST(sum(side) AS BIGINT) AS n_a,
+      |         CAST(sum(1 - side) AS BIGINT) AS n_b
+      |  FROM d GROUP BY bin),
+      |c AS (
+      |  SELECT bin, n_a, n_b,
+      |         sum(n_a) OVER (ORDER BY bin) AS cum_a,
+      |         sum(n_b) OVER (ORDER BY bin) AS cum_b,
+      |         sum(n_a) OVER () AS tot_a,
+      |         sum(n_b) OVER () AS tot_b
+      |  FROM b)
+      |SELECT bin, n_a, n_b,
+      |       CAST(cum_a AS BIGINT) AS cum_a, CAST(cum_b AS BIGINT) AS cum_b,
+      |       CAST(abs((1000000 * cum_a) // tot_a - (1000000 * cum_b) // tot_b) AS BIGINT) AS gap_x1e6
+      |FROM c ORDER BY bin""".stripMargin
+
   // ---- cohort retention matrix ---------------------------------------------
 
   /** Retention: users cohorted by their first-purchase day; for each cohort ×
@@ -2348,6 +2409,7 @@ object Relational {
     "q_eqdepth" -> (qEqdepth _),
     "q_funnel" -> (qFunnel _),
     "q_pattern" -> (qPattern _),
+    "q_drift" -> (qDrift _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
     "q1_agg" -> (q1Agg _),
@@ -2417,6 +2479,7 @@ object Relational {
     "q_eqdepth" -> qEqdepthSql,
     "q_funnel" -> qFunnelSql,
     "q_pattern" -> qPatternSql,
+    "q_drift" -> qDriftSql,
     "q_retention" -> qRetentionSql,
     "q_scd2" -> qScd2Sql,
     "q1_agg" -> q1AggSql,
