@@ -1569,6 +1569,63 @@ object Relational {
       |       CAST(abs((1000000 * cum_a) // tot_a - (1000000 * cum_b) // tot_b) AS BIGINT) AS gap_x1e6
       |FROM c ORDER BY bin""".stripMargin
 
+  // ---- robust outlier gate (median absolute deviation) -----------------------
+
+  /** MAD-based outlier flagging — the robust complement of q_winsorize's
+    * quantile clipping (one wild price corrupts a stddev rule but not the
+    * MAD): per group, median and MAD computed in EXACT integers by carrying
+    * ×2 and ×4 scalings through the even-count midpoint averages (cents are
+    * integers, `percentile(2c, .5)` averages two even ints → integer; the
+    * deviations double again before their median), then the classic
+    * |x − med| > 3·1.4826·mad rule becomes the exact integer comparison
+    * 20·dev₂ > 89·mad₄.
+    *
+    * Scale shape: robust stats are inherently TWO dependent aggregations
+    * (med before dev, mad before flag) — three passes over the group-keyed
+    * exchange; the med/mad sides are #groups rows and broadcast back. An
+    * approximate production variant would swap `percentile` for the
+    * mergeable sketch (A13) at the same plan shape.
+    */
+  def qOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    // line VALUE (unit-price proxy × quantity): the product of two spreads
+    // is genuinely long-tailed, so the 4.45·MAD rule flags a real ~2 % tail
+    // (the raw uniform price flags nothing — vacuous rule, wrong witness)
+    val c = ((col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+      * col("l_quantity").cast("long"))
+    val li = t(spark, sfDir, "lineitem").select(col("l_returnflag"), c.as("c"))
+    val med = li.groupBy("l_returnflag")
+      .agg(expr("CAST(percentile(2*c, 0.5) AS BIGINT)").as("med2"))
+    val dev = li.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("dev2", abs(lit(2L) * col("c") - col("med2")) * 2L)
+    val mad = dev.groupBy("l_returnflag")
+      .agg(expr("CAST(percentile(dev2, 0.5) AS BIGINT)").as("mad4"))
+    dev.join(broadcast(mad), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        max(col("med2")).as("med2"), max(col("mad4")).as("mad4"),
+        sum(when(lit(20L) * col("dev2") > lit(89L) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
+  val qOutliersSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           * CAST(l_quantity AS BIGINT) AS c
+      |  FROM lineitem),
+      |m AS (SELECT l_returnflag, CAST(quantile_cont(2*c, 0.5) AS BIGINT) med2
+      |      FROM li GROUP BY 1),
+      |d AS (SELECT li.l_returnflag, c, med2, 2 * abs(2*c - med2) AS dev2
+      |      FROM li JOIN m USING (l_returnflag)),
+      |md AS (SELECT l_returnflag, CAST(quantile_cont(dev2, 0.5) AS BIGINT) mad4
+      |       FROM d GROUP BY 1)
+      |SELECT d.l_returnflag, CAST(count(*) AS BIGINT) n,
+      |       max(med2) AS med2, max(mad4) AS mad4,
+      |       CAST(sum(CASE WHEN 20*dev2 > 89*mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN md USING (l_returnflag)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- cohort retention matrix ---------------------------------------------
 
   /** Retention: users cohorted by their first-purchase day; for each cohort ×
@@ -2410,6 +2467,7 @@ object Relational {
     "q_funnel" -> (qFunnel _),
     "q_pattern" -> (qPattern _),
     "q_drift" -> (qDrift _),
+    "q_outliers" -> (qOutliers _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
     "q1_agg" -> (q1Agg _),
@@ -2480,6 +2538,7 @@ object Relational {
     "q_funnel" -> qFunnelSql,
     "q_pattern" -> qPatternSql,
     "q_drift" -> qDriftSql,
+    "q_outliers" -> qOutliersSql,
     "q_retention" -> qRetentionSql,
     "q_scd2" -> qScd2Sql,
     "q1_agg" -> q1AggSql,
