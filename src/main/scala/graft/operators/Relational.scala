@@ -1626,6 +1626,49 @@ object Relational {
       |FROM d JOIN md USING (l_returnflag)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- running count-distinct window (unsupported-native emulation) ----------
+
+  /** Running COUNT(DISTINCT) over an ordered window — a construct Spark
+    * (and most engines) REFUSES natively (`DISTINCT is not supported in
+    * window functions`): emulated exactly by flagging each key's FIRST
+    * occurrence (row_number over (user, event_type) == 1) and running-
+    * summing the flags over the event-time window. Per user and event, the
+    * distinct event types seen SO FAR — the per-entity vocabulary-growth
+    * curve (ta_heaps is the corpus-level form).
+    *
+    * Scale shape: both windows cluster on user_id — hashpartitioning(user)
+    * satisfies the (user, type) first-occurrence window AND the running
+    * sum, so the whole construct is ONE data shuffle (same device as
+    * q_sessionize's stacked windows).
+    */
+  def qRunDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wFirst = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, sfDir, "events")
+      .withColumn("first_seen",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("n_types_seen", sum("first_seen").over(wRun))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("n_types_seen"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qRunDistinctSql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |         CASE WHEN row_number() OVER (
+      |                PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+      |              THEN 1 ELSE 0 END AS first_seen
+      |  FROM events)
+      |SELECT user_id, event_id, event_type,
+      |       CAST(sum(first_seen) OVER (
+      |              PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+      |FROM f ORDER BY user_id, event_id""".stripMargin
+
   // ---- cohort retention matrix ---------------------------------------------
 
   /** Retention: users cohorted by their first-purchase day; for each cohort ×
@@ -2468,6 +2511,7 @@ object Relational {
     "q_pattern" -> (qPattern _),
     "q_drift" -> (qDrift _),
     "q_outliers" -> (qOutliers _),
+    "q_run_distinct" -> (qRunDistinct _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
     "q1_agg" -> (q1Agg _),
@@ -2539,6 +2583,7 @@ object Relational {
     "q_pattern" -> qPatternSql,
     "q_drift" -> qDriftSql,
     "q_outliers" -> qOutliersSql,
+    "q_run_distinct" -> qRunDistinctSql,
     "q_retention" -> qRetentionSql,
     "q_scd2" -> qScd2Sql,
     "q1_agg" -> q1AggSql,
