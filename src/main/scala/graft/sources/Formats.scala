@@ -36,6 +36,7 @@ object Formats {
 
   private val DIR = OracleCorpus.DIR
   val JSON_DIR = s"$DIR/export-json"
+  val JSONGZ_DIR = s"$DIR/export-json-gz"
   val CSV_DIR = s"$DIR/export-csv"
   val ORC_DIR = s"$DIR/export-orc"
 
@@ -58,6 +59,8 @@ object Formats {
       val textDocs = docs.filter(col("text") =!= "")
         .select("url", "lang", "text")
       textDocs.write.mode("overwrite").json(JSON_DIR)
+      textDocs.write.mode("overwrite")
+        .option("compression", "gzip").json(JSONGZ_DIR)
       // CSV additionally excludes docs carrying C0 control bytes (binary-soup
       // payloads decoded as text): RFC 4180 has no escape for NUL & friends
       // and parsers disagree on them — measured: DuckDB drops the NUL, Spark
@@ -92,6 +95,28 @@ object Formats {
   val fmtJsonSql: String =
     s"""SELECT url, lang, CAST(length(text) AS BIGINT) n_chars, md5(text) h
        |FROM read_json('$JSON_DIR/*.json', format='newline_delimited',
+       |               columns={url:'VARCHAR',lang:'VARCHAR',text:'VARCHAR'})
+       |ORDER BY url""".stripMargin
+
+  /** Gzip-compressed JSONL — the interchange wire norm (a 100 TB text
+    * export ships compressed or not at all): Spark's built-in codec chain
+    * writes `.json.gz` parts and the reader inflates by extension with no
+    * code change; DuckDB does the same on its side, so the oracle proves
+    * the COMPRESSED artifact itself round-trips bit-exactly across engines
+    * (same rollup as fmt_json — any codec-layer corruption breaks the md5s).
+    */
+  def fmtJsonGz(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark)
+    spark.read.schema(TEXT_SCHEMA).json(JSONGZ_DIR)
+      .select(col("url"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text").cast("binary")).as("h"))
+      .orderBy("url")
+  }
+
+  val fmtJsonGzSql: String =
+    s"""SELECT url, lang, CAST(length(text) AS BIGINT) n_chars, md5(text) h
+       |FROM read_json('$JSONGZ_DIR/*.json.gz', format='newline_delimited',
        |               columns={url:'VARCHAR',lang:'VARCHAR',text:'VARCHAR'})
        |ORDER BY url""".stripMargin
 
@@ -150,12 +175,14 @@ object Formats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_json" -> (fmtJson _),
+    "fmt_json_gz" -> (fmtJsonGz _),
     "fmt_csv" -> (fmtCsv _),
     "fmt_orc" -> (fmtOrc _)
   )
 
   def oracles: Map[String, String] = Map(
     "fmt_json" -> fmtJsonSql,
+    "fmt_json_gz" -> fmtJsonGzSql,
     "fmt_csv" -> fmtCsvSql,
     "fmt_orc" -> fmtOrcSql
   )
