@@ -1031,6 +1031,50 @@ object CrawlOps {
        |ORDER BY s.src""".stripMargin
   }
 
+  // ---- IDN homoglyph spoof detection ----------------------------------------
+
+  /** Cyrillic→Latin confusable classes the skeleton folds (the high-traffic
+    * subset of Unicode TR39's confusables table; production ships the full
+    * table the same way — two literal strings feeding `translate`).
+    */
+  val CONF_FROM = "аеорсх"
+  val CONF_TO = "aeopcx"
+
+  /** IDN homograph spoof report — the crawl-security pass over the host
+    * inventory (TR39 skeleton idea): fold confusable characters to their
+    * Latin skeletons; a host CHANGED by the fold is mixed-script, and when
+    * its skeleton collides with a pure-ASCII host it is a spoof CANDIDATE
+    * attributed to that host (phishing takedown queue); confusable hosts
+    * with no collision report unattributed. Pure hosts never appear.
+    *
+    * Scale: the skeleton is one codegen'd `translate` per row; the
+    * attribution join keys on skeleton with the pure side host-table-sized
+    * (broadcast in practice) — one exchange end to end.
+    */
+  def exHomoglyph(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = StructuredCorpus.idnhosts(spark)
+      .withColumn("sk", translate(col("host"), CONF_FROM, CONF_TO))
+    val pure = h.filter(col("host") === col("sk"))
+      .select(col("sk"), col("host").as("legit"))
+    h.filter(col("host") =!= col("sk"))
+      .join(pure, Seq("sk"), "left")
+      .select(col("host"), col("sk").as("skeleton"),
+        coalesce(col("legit"), lit("")).as("spoof_of"))
+      .orderBy("host")
+  }
+
+  val exHomoglyphSql: String = {
+    val H = StructuredCorpus.IDNHOSTS_PQ
+    s"""WITH h AS (
+       |  SELECT host, translate(host, '$CONF_FROM', '$CONF_TO') AS sk
+       |  FROM $H),
+       |pure AS (SELECT sk, host AS legit FROM h WHERE host = sk),
+       |mixed AS (SELECT host, sk FROM h WHERE host <> sk)
+       |SELECT m.host, m.sk AS skeleton, coalesce(p.legit, '') AS spoof_of
+       |FROM mixed m LEFT JOIN pure p ON p.sk = m.sk
+       |ORDER BY m.host""".stripMargin
+  }
+
   // ---- registration -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1050,7 +1094,8 @@ object CrawlOps {
     "ex_trustrank" -> (exTrustrank _),
     "ex_backlog" -> (exBacklog _),
     "ex_bitext" -> (exBitext _),
-    "ex_canonmap" -> (exCanonmap _)
+    "ex_canonmap" -> (exCanonmap _),
+    "ex_homoglyph" -> (exHomoglyph _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1070,6 +1115,7 @@ object CrawlOps {
     "ex_trustrank" -> exTrustrankSql,
     "ex_backlog" -> exBacklogSql,
     "ex_bitext" -> exBitextSql,
-    "ex_canonmap" -> exCanonmapSql
+    "ex_canonmap" -> exCanonmapSql,
+    "ex_homoglyph" -> exHomoglyphSql
   )
 }

@@ -822,6 +822,29 @@ object StructuredCorpus {
     out.toSeq
   }
 
+  // ---- IDN hosts (homoglyph spoof detection) ------------------------------------
+
+  val IDNHOSTS_PQ = s"read_parquet('$DIR/idnhosts/*.parquet')"
+
+  /** Host list mixing pure-ASCII legit hosts, Cyrillic-confusable spoofs of
+    * half of them (one confusable char class swapped per spoof — skeleton
+    * collides with exactly its source), clean unrelated hosts (must not
+    * appear in the spoof report), and one confusable-bearing ORPHAN whose
+    * skeleton matches no legit host (flagged, attribution empty).
+    */
+  def idnHosts(): Seq[String] = {
+    val cyr = Map('a' -> 'а', 'e' -> 'е', 'o' -> 'о',
+      'p' -> 'р', 'c' -> 'с', 'x' -> 'х')
+    val legit = (0 until 12).map(i => s"brand$i.example.com") ++
+      Seq("paypal.example.org", "secure-shop.example.net")
+    val spoofs = legit.zipWithIndex.collect { case (h, i) if i % 2 == 0 =>
+      val target = "aeopcx".charAt(i % 6)
+      h.replace(target, cyr(target))
+    }.filter(s => !legit.contains(s))
+    val clean = (0 until 6).map(i => s"other$i.example.net")
+    (legit ++ spoofs ++ clean :+ "weirdо.example.xyz").distinct
+  }
+
   @volatile private var done = false
 
   /** Idempotent marker-gated staging (OracleCorpus protocol: page count +
@@ -882,6 +905,8 @@ object StructuredCorpus {
         .write.mode("overwrite").parquet(s"$DIR/l10nurls")
       spark.createDataFrame(canonEdges()).toDF("src", "kind", "dst")
         .write.mode("overwrite").parquet(s"$DIR/canonedges")
+      spark.createDataFrame(idnHosts().map(Tuple1(_))).toDF("host")
+        .write.mode("overwrite").parquet(s"$DIR/idnhosts")
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -960,5 +985,10 @@ object StructuredCorpus {
   def canonedges(spark: SparkSession): DataFrame = {
     ensure(spark)
     spark.read.parquet(s"$DIR/canonedges")
+  }
+
+  def idnhosts(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/idnhosts")
   }
 }

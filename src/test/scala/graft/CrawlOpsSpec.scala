@@ -337,6 +337,29 @@ class CrawlOpsSpec extends AnyFunSuite {
       .getAs[String]("final_url").endsWith("/p/6")) // len = 1 + 29%6 = 6
   }
 
+  test("homoglyph: report equals a brute-force skeleton fold; every planted " +
+    "spoof attributes to its source, the orphan stays unattributed, clean " +
+    "hosts never appear") {
+    val fold = CrawlOps.CONF_FROM.zip(CrawlOps.CONF_TO).toMap
+    def sk(h: String) = h.map(c => fold.getOrElse(c, c))
+    val hosts = StructuredCorpus.idnHosts()
+    val pure = hosts.filter(h => sk(h) == h).map(h => h -> h).toMap
+    val ref = hosts.filter(h => sk(h) != h)
+      .map(h => (h, sk(h), pure.getOrElse(sk(h), ""))).sortBy(_._1)
+    val out = CrawlOps.exHomoglyph(spark, "").collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[String]("skeleton"),
+        r.getAs[String]("spoof_of"))).toSeq
+    assert(out == ref)
+    // every even-indexed legit host has a planted spoof attributed to it
+    val attributed = out.filter(_._3.nonEmpty)
+    assert(attributed.size >= 6, s"planted spoofs missing: $out")
+    attributed.foreach { case (h, s, legit) => assert(s == legit && h != legit) }
+    // the orphan is flagged but unattributed
+    assert(out.exists(r => r._1.startsWith("weird") && r._3 == ""))
+    // clean ASCII hosts are absent
+    assert(!out.exists(_._1.startsWith("other")))
+  }
+
   // ---- host-graph analytics: BFS depth, HITS, co-citation -------------------
 
   private lazy val graphEdges = StructuredCorpus.hostEdges()
