@@ -26,6 +26,47 @@ class PropertySpec extends AnyFunSuite {
   private val anyBytes: Gen[Array[Byte]] =
     Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
 
+  test("chain resolution property: pointer doubling equals a brute walk on " +
+    "random functional graphs (chains, cycles, merges, self-feeding tails)") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val cap = 1 << graft.operators.CrawlOps.REDIRECT_ROUNDS
+    // random functional graphs: node i -> (a*i + b) % n over a RANDOM
+    // subset of nodes — produces merging chains, rho shapes, and cycles of
+    // arbitrary length (some beyond the doubling capacity: those must flag)
+    val cases = samples(for {
+      n <- Gen.choose(5, 60)
+      a <- Gen.choose(1, 97)
+      b <- Gen.choose(0, 97)
+      keep <- Gen.choose(30, 100)
+    } yield (n, a, b, keep), 6)
+    cases.foreach { case (n, a, b, keep) =>
+      val edges = (0 until n)
+        .filter(i => (i * 31 + 7) % 100 < keep)
+        .map(i => (s"n$i", s"n${(a * i + b) % n}"))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val em = edges.toMap
+        val out = graft.operators.CrawlOps
+          .resolveChains(edges.toDF("src", "dst")).collect()
+        assert(out.length == em.size, s"case ($n,$a,$b,$keep)")
+        out.foreach { r =>
+          val src = r.getAs[String]("src")
+          var cur = src; var hops = 0L
+          while (em.contains(cur) && hops < cap) { cur = em(cur); hops += 1 }
+          if (em.contains(cur)) {
+            assert(r.getAs[Long]("is_cycle") == 1L, s"($n,$a,$b,$keep) $src")
+            assert(r.getAs[String]("final_url") == "" &&
+              r.getAs[Long]("n_hops") == -1L)
+          } else {
+            assert(r.getAs[String]("final_url") == cur, s"($n,$a,$b,$keep) $src")
+            assert(r.getAs[Long]("n_hops") == hops, s"($n,$a,$b,$keep) $src")
+          }
+        }
+      }
+    }
+  }
+
   test("cdc chunker: lossless on arbitrary strings; boundaries equal a brute-force recompute") {
     // independent boundary implementation: direct 6-term polynomial per
     // position (no rolling update) — the same second-implementation the
