@@ -33,7 +33,7 @@ object Main {
           "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] [near-dedup] | " +
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
           "upsert-stream <srcDir> <tableDir> <ckpt> | " +
-          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | meta <tableDir> [snapshots|files|refs] | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | clone <srcDir> <dstDir> [version|tag] | rebucket <tableDir> <newBuckets> | bloomindex <tableDir> | lookup <tableDir> <url> [url...] | branch <tableDir> <create|append|audit|publish|discard|list> [name] [srcDir] | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
+          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | meta <tableDir> [snapshots|files|refs] | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | clone <srcDir> <dstDir> [version|tag] | rebucket <tableDir> <newBuckets> | export-hf <curatedDir> <outDir> [shards] | bloomindex <tableDir> | lookup <tableDir> <url> [url...] | branch <tableDir> <create|append|audit|publish|discard|list> [name] [srcDir] | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
           "explain <query> [sfDir] | " +
           "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps] | " +
           "soak <outBase> [mults] [reps]")
@@ -305,6 +305,15 @@ object Main {
           // from scans; the restored list commits as a NEW snapshot)
           val (v, moved) = graft.sources.Snapshots.rollback(args(1), args(2).toInt)
           println(s"rolled back ${args(1)} to v${args(2)} as v$v ($moved files moved aside)")
+          return
+        case "export-hf" =>
+          // export-hf <curatedDir> <outDir> [shards] — hand-off shards +
+          // dataset_info.json in the layout a training loader expects
+          val shards = if (args.length > 3) args(3).toInt else 4
+          val stats = graft.sources.ExportHf.run(spark, args(1), args(2), shards)
+          stats.foreach { case (s, r, b) =>
+            println(f"  $s%-6s $r%9d rows  ${b / 1024}%8d KiB  ($shards shards)") }
+          println(s"exported ${stats.map(_._2).sum} rows -> ${args(2)}")
           return
         case "rebucket" =>
           // rebucket <tableDir> <newBuckets> — partition-spec evolution:

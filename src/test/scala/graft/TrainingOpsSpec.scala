@@ -943,6 +943,49 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out.exists(_.getAs[Long]("n_matches") > 1L), "non-overlap count must bite")
   }
 
+  test("export-hf: exact shard naming, per-split rows preserved, " +
+    "dataset_info totals reconcile, layout deterministic across re-export") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hf").toString
+    val docs = (0 until 230).map { i =>
+      val split = if (i % 10 == 0) "test" else if (i % 10 == 1) "val" else "train"
+      (split, s"https://x.example.org/p/$i", s"text $i")
+    }.toDF("split", "url", "text")
+    docs.write.mode("overwrite").partitionBy("split").parquet(s"$tmp/cur")
+    val stats = graft.sources.ExportHf.run(spark, s"$tmp/cur", s"$tmp/out", 3)
+    assert(stats.map(_._1) == Seq("test", "train", "val"))
+    assert(stats.map(_._2).sum == 230)
+    assert(stats.find(_._1 == "train").get._2 == 184)
+    val names = new java.io.File(s"$tmp/out/data").listFiles.map(_.getName).sorted
+    assert(names.toSeq == Seq(
+      "test-00000-of-00003.parquet", "test-00001-of-00003.parquet",
+      "test-00002-of-00003.parquet",
+      "train-00000-of-00003.parquet", "train-00001-of-00003.parquet",
+      "train-00002-of-00003.parquet",
+      "val-00000-of-00003.parquet", "val-00001-of-00003.parquet",
+      "val-00002-of-00003.parquet"))
+    // round trip: exported shards hold exactly the curated rows
+    val back = spark.read.parquet(s"$tmp/out/data/train-*.parquet")
+      .select("url").as[String].collect().sorted.toSeq
+    val want = spark.read.parquet(s"$tmp/cur/split=train")
+      .select("url").as[String].collect().sorted.toSeq
+    assert(back == want)
+    val info = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$tmp/out/dataset_info.json").toPath), "UTF-8")
+    assert(info.contains("\"total_rows\": 230") &&
+      info.contains("\"num_shards\": 3"))
+    // deterministic layout: re-export assigns every row to the SAME shard
+    // (url-hash partitioner, not round-robin)
+    graft.sources.ExportHf.run(spark, s"$tmp/cur", s"$tmp/out2", 3)
+    names.foreach { n =>
+      val a = spark.read.parquet(s"$tmp/out/data/$n")
+        .select("url").as[String].collect().sorted.toSeq
+      val b = spark.read.parquet(s"$tmp/out2/data/$n")
+        .select("url").as[String].collect().sorted.toSeq
+      assert(a == b, n)
+    }
+  }
+
   test("line dedup: first occurrence wins, docs reassemble in order, empties survive as rows") {
     import spark.implicits._
     // 'y' appears in a(pos 2), b(pos 1), c(pos 1): keeper = (a,2) (min url/pos)
