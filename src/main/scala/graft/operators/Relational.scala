@@ -1669,6 +1669,43 @@ object Relational {
       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
       |FROM f ORDER BY user_id, event_id""".stripMargin
 
+  // ---- time-decayed activity score (integer half-life) -----------------------
+
+  /** Recency-weighted activity — the freshness-aware popularity metric a
+    * recrawl/frontier budgeter prefers over raw counts: per user, daily
+    * event counts decay by a one-WEEK half-life applied as an exact integer
+    * shift (`n_d div (1 << age_d div 7)` — truncation identical in both
+    * engines; no transcendental exp enters). A burst four weeks ago scores
+    * 1/16 of the same burst today.
+    *
+    * Scale shape: the (user, day) pre-aggregation partial-aggs map-side and
+    * caps rows at users × days; the weighted rollup rides the same user
+    * exchange. The decay anchor is a fixed date, not now() — runs are
+    * reproducible by construction.
+    */
+  def qDecay(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .withColumn("age",
+        datediff(lit("2024-01-31").cast("date"), to_date(col("ts"))).cast("long"))
+    ev.groupBy("user_id", "age").agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        expr("n div shiftleft(CAST(1 AS BIGINT), CAST(least(age div 7, 40L) AS INT))"))
+      .groupBy("user_id")
+      .agg(sum("n").as("n_events"), sum("w").as("decayed"))
+      .orderBy("user_id")
+  }
+
+  val qDecaySql: String =
+    """WITH d AS (
+      |  SELECT user_id,
+      |         date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') AS age,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+      |       CAST(sum(n // (CAST(1 AS BIGINT) << CAST(least(age // 7, 40) AS INT)))
+      |            AS BIGINT) AS decayed
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- cohort retention matrix ---------------------------------------------
 
   /** Retention: users cohorted by their first-purchase day; for each cohort ×
@@ -2512,6 +2549,7 @@ object Relational {
     "q_drift" -> (qDrift _),
     "q_outliers" -> (qOutliers _),
     "q_run_distinct" -> (qRunDistinct _),
+    "q_decay" -> (qDecay _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
     "q1_agg" -> (q1Agg _),
@@ -2584,6 +2622,7 @@ object Relational {
     "q_drift" -> qDriftSql,
     "q_outliers" -> qOutliersSql,
     "q_run_distinct" -> qRunDistinctSql,
+    "q_decay" -> qDecaySql,
     "q_retention" -> qRetentionSql,
     "q_scd2" -> qScd2Sql,
     "q1_agg" -> q1AggSql,
