@@ -785,6 +785,71 @@ object Multimodal {
        |SELECT DISTINCT id_a, id_b, hamming FROM p
        |WHERE hamming <= $PHASH_HAM_MAX ORDER BY id_a, id_b""".stripMargin
 
+  // ---- low-energy span segmentation (VAD-lite) ------------------------------
+
+  /** Low-energy threshold (|PCM| below = quiet) and the minimum run length
+    * that counts as a segment. The corpus's two-square-wave mix dips under
+    * the threshold exactly in its destructive-interference regions, so
+    * segments are real signal structure, not planted rows.
+    */
+  val SIL_T = 2500L
+  val SIL_MIN = 8
+
+  /** Low-energy span segmentation over REAL decoded PCM — the VAD-lite pass
+    * an audio-training pipeline runs before chunking (silence/low-energy
+    * spans become cut points; clips that are mostly quiet get dropped):
+    * per clip, maximal runs of |sample| < [[SIL_T]] of length ≥ [[SIL_MIN]]
+    * as (seg, start, end, len). Decode + the linear run scan happen
+    * per-row inside the partition (procedural codec — the mapPartitions
+    * shape); only the presentation numbering touches a window, riding one
+    * media_id exchange. The DuckDB oracle re-derives the SAME segments from
+    * the materialized sample table by gaps-and-islands — the arithmetic is
+    * cross-checked, not just the tails.
+    */
+  def mmSilence(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark)
+    import spark.implicits._
+    val segs = media(spark, N_MEDIA).filter(_.kind == "audio").flatMap { r =>
+      val (_, bb) = wavPcm(r.payload)
+      val ns = bb.capacity() / 2
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var start = -1L
+      var i = 0
+      while (i <= ns) {
+        val low = i < ns && math.abs(bb.getShort(2 * i).toLong) < SIL_T
+        if (low && start < 0) start = i.toLong
+        else if (!low && start >= 0) {
+          val len = i - start
+          if (len >= SIL_MIN) out += ((r.media_id, start, i - 1L, len))
+          start = -1L
+        }
+        i += 1
+      }
+      out
+    }.toDF("media_id", "s", "e", "len")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("s")
+    segs.withColumn("seg", row_number().over(w).cast("long"))
+      .select("media_id", "seg", "s", "e", "len")
+      .orderBy("media_id", "seg")
+  }
+
+  val mmSilenceSql: String =
+    s"""WITH s AS (
+       |  SELECT media_id, i FROM $WAVSAMP_PQ WHERE abs(v) < $SIL_T),
+       |g AS (
+       |  SELECT media_id, i,
+       |         i - row_number() OVER (PARTITION BY media_id ORDER BY i) AS grp
+       |  FROM s),
+       |seg AS (
+       |  SELECT media_id, min(i) AS s, max(i) AS e, count(*) AS len
+       |  FROM g GROUP BY media_id, grp
+       |  HAVING count(*) >= $SIL_MIN)
+       |SELECT media_id,
+       |       CAST(row_number() OVER (PARTITION BY media_id ORDER BY s) AS BIGINT) AS seg,
+       |       s, e, CAST(len AS BIGINT) AS len
+       |FROM seg ORDER BY media_id, seg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
     "mm_frames" -> (mmFrames _),
@@ -792,7 +857,8 @@ object Multimodal {
     "mm_wav" -> (mmWav _),
     "mm_phash" -> (mmPhash _),
     "mm_resize" -> (mmResize _),
-    "mm_loudness" -> (mmLoudness _)
+    "mm_loudness" -> (mmLoudness _),
+    "mm_silence" -> (mmSilence _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -802,7 +868,8 @@ object Multimodal {
     "mm_wav" -> mmWavSql,
     "mm_phash" -> mmPhashSql,
     "mm_resize" -> mmResizeSql,
-    "mm_loudness" -> mmLoudnessSql
+    "mm_loudness" -> mmLoudnessSql,
+    "mm_silence" -> mmSilenceSql
   )
 
   private val LOUD_WIN = 400 // samples = 50 ms at the corpus's 8 kHz rate
