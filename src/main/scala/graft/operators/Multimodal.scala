@@ -401,6 +401,8 @@ object Multimodal {
   val WAV_PQ = s"read_parquet('$WAVSTATS/*.parquet')"
   val PHASH_PQ = s"read_parquet('$PHASH/*.parquet')"
   val WAVSAMP = s"$ORACLE_DIR/media-wav-samples"
+  val VIDHASH = s"$ORACLE_DIR/media-vid-hashes"
+  val VIDHASH_PQ = s"read_parquet('$VIDHASH/*.parquet')"
   val WAVSAMP_PQ = s"read_parquet('$WAVSAMP/*.parquet')"
   val N_MEDIA = 500L
 
@@ -618,6 +620,7 @@ object Multimodal {
       wavStats(m).write.mode("overwrite").parquet(WAVSTATS)
       wavSampleRows(m).write.mode("overwrite").parquet(WAVSAMP)
       phashTable(pngWithDups(spark)).write.mode("overwrite").parquet(PHASH)
+      vidHashTable(vidWithDups(spark)).write.mode("overwrite").parquet(VIDHASH)
       graft.sources.OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -785,6 +788,89 @@ object Multimodal {
        |SELECT DISTINCT id_a, id_b, hamming FROM p
        |WHERE hamming <= $PHASH_HAM_MAX ORDER BY id_a, id_b""".stripMargin
 
+  // ---- video near-dup (exact frame-hash inverted index) ----------------------
+
+  /** Re-encode a GIF through the codec (optionally dropping the last
+    * frame): bytes differ, PIXELS survive exactly (gray palette is
+    * lossless) — the "re-encoded mirror" and "trimmed recut" duplicate
+    * classes raw-payload hashing misses by construction.
+    */
+  private def reencodeGif(payload: Array[Byte], dropLast: Boolean): Array[Byte] =
+    withGif(payload) { (reader, nf) =>
+      val keep = if (dropLast) nf - 1 else nf
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until keep).foreach { fi =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(reader.read(fi), null, null), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      bos.toByteArray
+    }
+
+  /** Video corpus with planted duplicate classes: every even clip gains a
+    * re-encoded mirror (+30000), every %3 clip a last-frame-trimmed recut
+    * (+40000).
+    */
+  def vidWithDups(spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media(spark, N_MEDIA).filter(_.kind == "video").flatMap { r =>
+      val re =
+        if (r.media_id % 2 == 0)
+          Seq(MediaRow(r.media_id + 30000L, "video", reencodeGif(r.payload, dropLast = false)))
+        else Seq.empty
+      val trim =
+        if (r.media_id % 3 == 0)
+          Seq(MediaRow(r.media_id + 40000L, "video", reencodeGif(r.payload, dropLast = true)))
+        else Seq.empty
+      Seq(r) ++ re ++ trim
+    }
+  }
+
+  /** Every frame's dHash per clip — the production frame-fingerprint pass. */
+  def vidHashTable(rows: Dataset[MediaRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.flatMap { r =>
+      withGif(r.payload) { (reader, nf) =>
+        (0 until nf).map(fi => (r.media_id, fi.toLong, dhash64(reader.read(fi))))
+      }
+    }.toDF("media_id", "fi", "h")
+  }
+
+  /** Video near-dup pairing — the video member of the dedup family: clips
+    * sharing ≥ 2 exact frame dHashes pair (re-encoded mirrors share ALL
+    * frames, trimmed recuts all but one; unrelated clips share none). The
+    * inverted frame-hash index meets candidates in an equi-join on the
+    * 64-bit hash — dd_exact's shape at frame granularity, never an
+    * all-pairs frame comparison. At web scale the hot hashes (black/intro
+    * frames) get the same df-cap rule as hot shingles. DuckDB recomputes
+    * the join/rollup tail over the materialized frame-hash table.
+    */
+  def mmViddup(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark)
+    val fh = vidHashTable(vidWithDups(spark))
+      .select(col("media_id"), col("h")).distinct()
+    val a = fh.select(col("media_id").as("id_a"), col("h"))
+    val b = fh.select(col("media_id").as("id_b"), col("h"))
+    a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val mmViddupSql: String =
+    s"""WITH fh AS (SELECT DISTINCT media_id, h FROM $VIDHASH_PQ)
+       |SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |       CAST(count(*) AS BIGINT) AS n_shared
+       |FROM fh a JOIN fh b ON a.h = b.h AND a.media_id < b.media_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- low-energy span segmentation (VAD-lite) ------------------------------
 
   /** Low-energy threshold (|PCM| below = quiet) and the minimum run length
@@ -858,7 +944,8 @@ object Multimodal {
     "mm_phash" -> (mmPhash _),
     "mm_resize" -> (mmResize _),
     "mm_loudness" -> (mmLoudness _),
-    "mm_silence" -> (mmSilence _)
+    "mm_silence" -> (mmSilence _),
+    "mm_viddup" -> (mmViddup _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -869,7 +956,8 @@ object Multimodal {
     "mm_phash" -> mmPhashSql,
     "mm_resize" -> mmResizeSql,
     "mm_loudness" -> mmLoudnessSql,
-    "mm_silence" -> mmSilenceSql
+    "mm_silence" -> mmSilenceSql,
+    "mm_viddup" -> mmViddupSql
   )
 
   private val LOUD_WIN = 400 // samples = 50 ms at the corpus's 8 kHz rate

@@ -986,6 +986,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("video near-dup: every planted re-encode/trim pairs with its source " +
+    "(mirrors share ALL frames, trims all but one); no cross-clip pairs") {
+    val out = Multimodal.mmViddup(spark, SF).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared")))
+    assert(out.nonEmpty)
+    // only planted relations may pair: (src, src+30000), (src, src+40000),
+    // (src+30000, src+40000)
+    out.foreach { case (a, b, _) =>
+      val (base, delta) = (a % 10000, b - a)
+      assert(Set(30000L, 40000L, 10000L).contains(delta) &&
+        b % 10000 == base, s"unexpected pair ($a, $b)")
+    }
+    // exact frame-count witnesses on one clip family: clip 24 has a mirror
+    // (all frames shared) and a trim (all but the last)
+    val frames = Multimodal.vidHashTable(
+      Multimodal.vidWithDups(spark)).collect()
+      .groupBy(_.getAs[Long]("media_id")).view.mapValues(_.length).toMap
+    val mirror = out.find(p => p._1 == 24L && p._2 == 30024L).get
+    assert(mirror._3 == frames(24L))
+    val trim = out.find(p => p._1 == 24L && p._2 == 40024L).get
+    assert(trim._3 == frames(24L) - 1)
+  }
+
   test("line dedup: first occurrence wins, docs reassemble in order, empties survive as rows") {
     import spark.implicits._
     // 'y' appears in a(pos 2), b(pos 1), c(pos 1): keeper = (a,2) (min url/pos)
