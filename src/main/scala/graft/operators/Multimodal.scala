@@ -403,6 +403,8 @@ object Multimodal {
   val WAVSAMP = s"$ORACLE_DIR/media-wav-samples"
   val VIDHASH = s"$ORACLE_DIR/media-vid-hashes"
   val VIDHASH_PQ = s"read_parquet('$VIDHASH/*.parquet')"
+  val AUDFP = s"$ORACLE_DIR/media-aud-fps"
+  val AUDFP_PQ = s"read_parquet('$AUDFP/*.parquet')"
   val WAVSAMP_PQ = s"read_parquet('$WAVSAMP/*.parquet')"
   val N_MEDIA = 500L
 
@@ -621,6 +623,7 @@ object Multimodal {
       wavSampleRows(m).write.mode("overwrite").parquet(WAVSAMP)
       phashTable(pngWithDups(spark)).write.mode("overwrite").parquet(PHASH)
       vidHashTable(vidWithDups(spark)).write.mode("overwrite").parquet(VIDHASH)
+      audFpTable(audWithDups(spark)).write.mode("overwrite").parquet(AUDFP)
       graft.sources.OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -871,6 +874,131 @@ object Multimodal {
        |GROUP BY 1, 2 HAVING count(*) >= 2
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- audio near-dup (energy-delta sign fingerprint) -------------------------
+
+  /** Canonical WAV wrapper for an arbitrary sample array (the
+    * [[wavBytes]] header, factored for variant construction). */
+  private def wavFromSamples(s: Array[Short]): Array[Byte] = {
+    val dataLen = s.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(WAV_RATE).putInt(WAV_RATE * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    s.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Audio corpus with the planted near-dup class raw hashing misses by
+    * construction: every even clip gains a HALF-VOLUME copy (+50000 —
+    * every sample integer-halved: bytes and even absolute energies differ,
+    * but the SIGN of the energy trajectory survives amplitude scaling up
+    * to truncation jitter, which the hamming tolerance absorbs).
+    */
+  def audWithDups(spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media(spark, N_MEDIA).filter(_.kind == "audio").flatMap { r =>
+      val half =
+        if (r.media_id % 2 == 0) {
+          val (_, bb) = wavPcm(r.payload)
+          val ns = bb.capacity() / 2
+          val s = new Array[Short](ns)
+          var i = 0
+          while (i < ns) { s(i) = (bb.getShort(2 * i) / 2).toShort; i += 1 }
+          Seq(MediaRow(r.media_id + 50000L, "audio", wavFromSamples(s)))
+        } else Seq.empty
+      Seq(r) ++ half
+    }
+  }
+
+  private val AFP_BITS = 64
+  private val AFP_HAM_MAX = 6
+
+  /** 64-bit energy-delta sign fingerprint (the Shazam/Chromaprint bit
+    * idea, one-band form): the clip splits into [[AFP_BITS]]+1 equal
+    * windows; bit i = 1 iff window i+1 carries more absolute energy than
+    * window i. Amplitude-invariant by construction — the property that
+    * makes it a FINGERPRINT rather than a checksum.
+    */
+  def audioFp(bb: java.nio.ByteBuffer): Long = {
+    val ns = bb.capacity() / 2
+    val nw = AFP_BITS + 1
+    val e = new Array[Long](nw)
+    var i = 0
+    while (i < ns) {
+      e((i.toLong * nw / ns).toInt) += math.abs(bb.getShort(2 * i).toLong)
+      i += 1
+    }
+    var fp = 0L
+    var w = 0
+    while (w < AFP_BITS) {
+      if (e(w + 1) > e(w)) fp |= (1L << w)
+      w += 1
+    }
+    fp
+  }
+
+  /** Production fingerprint table: decode + fp per row, stored as four
+    * 16-bit bands for the pigeonhole join (the mm_phash device). */
+  def audFpTable(rows: Dataset[MediaRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val (_, bb) = wavPcm(r.payload)
+        val fp = audioFp(bb)
+        (r.media_id, (fp >>> 0) & 0xffffL, (fp >>> 16) & 0xffffL,
+          (fp >>> 32) & 0xffffL, (fp >>> 48) & 0xffffL)
+      }
+    }.toDF("media_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Audio near-dup pairing — completes the image/video/audio dedup
+    * triple: pigeonhole guarantees any pair within hamming [[AFP_HAM_MAX]]
+    * of 64 bits shares one of four 16-bit bands (6 errors can't cover 4
+    * bands), so candidates meet in a band equi-join and exact
+    * `bit_count(xor)` decides — never an all-pairs scan. Planted
+    * half-volume copies land within tolerance (truncation jitter only);
+    * unrelated clips differ in ~half their bits. DuckDB reruns the
+    * identical banding/pairing over the materialized fp table.
+    */
+  def mmAudfp(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark)
+    val fp = audFpTable(audWithDups(spark))
+    val br = fp.select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "bv")))
+    val x = br.select(br.columns.map(c => col(c).as(s"x_$c")): _*)
+    val y = br.select(br.columns.map(c => col(c).as(s"y_$c")): _*)
+    x.join(y,
+        col("x_band") === col("y_band") && col("x_bv") === col("y_bv") &&
+          col("x_media_id") < col("y_media_id"))
+      .select(
+        col("x_media_id").as("id_a"), col("y_media_id").as("id_b"),
+        (expr("bit_count(x_b0 ^ y_b0) + bit_count(x_b1 ^ y_b1)") +
+          expr("bit_count(x_b2 ^ y_b2) + bit_count(x_b3 ^ y_b3)")).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= AFP_HAM_MAX)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  val mmAudfpSql: String =
+    s"""WITH fp AS (SELECT media_id, b0, b1, b2, b3 FROM $AUDFP_PQ),
+       |br AS (
+       |  SELECT media_id, b0, b1, b2, b3, band,
+       |         (CASE band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END) bv
+       |  FROM fp, generate_series(0, 3) g(band)),
+       |p AS (
+       |  SELECT x.media_id id_a, y.media_id id_b,
+       |         CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+       |            + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) hamming
+       |  FROM br x JOIN br y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id)
+       |SELECT DISTINCT id_a, id_b, hamming FROM p
+       |WHERE hamming <= $AFP_HAM_MAX ORDER BY id_a, id_b""".stripMargin
+
   // ---- low-energy span segmentation (VAD-lite) ------------------------------
 
   /** Low-energy threshold (|PCM| below = quiet) and the minimum run length
@@ -945,7 +1073,8 @@ object Multimodal {
     "mm_resize" -> (mmResize _),
     "mm_loudness" -> (mmLoudness _),
     "mm_silence" -> (mmSilence _),
-    "mm_viddup" -> (mmViddup _)
+    "mm_viddup" -> (mmViddup _),
+    "mm_audfp" -> (mmAudfp _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -957,7 +1086,8 @@ object Multimodal {
     "mm_resize" -> mmResizeSql,
     "mm_loudness" -> mmLoudnessSql,
     "mm_silence" -> mmSilenceSql,
-    "mm_viddup" -> mmViddupSql
+    "mm_viddup" -> mmViddupSql,
+    "mm_audfp" -> mmAudfpSql
   )
 
   private val LOUD_WIN = 400 // samples = 50 ms at the corpus's 8 kHz rate

@@ -1010,6 +1010,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(trim._3 == frames(24L) - 1)
   }
 
+  test("audio near-dup: every planted half-volume copy is caught (amplitude " +
+    "invariance raw hashing lacks); trajectory coincidences stay candidates") {
+    import spark.implicits._
+    val out = Multimodal.mmAudfp(spark, SF).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming")))
+    val audioEvens = Multimodal.media(spark, 500L).filter(_.kind == "audio")
+      .map(_.media_id).collect().filter(_ % 2 == 0)
+    // 100% planted recall: every even clip pairs with its +50000 copy
+    audioEvens.foreach { id =>
+      assert(out.exists(p => p._1 == id && p._2 == id + 50000L),
+        s"half-volume copy of $id not caught")
+    }
+    // the planted pairs sit at near-zero hamming (truncation jitter only)
+    out.filter(p => p._2 - p._1 == 50000L)
+      .foreach(p => assert(p._3 <= 3L, p.toString))
+    // everything reported respects the tolerance; non-planted survivors are
+    // trajectory coincidences — candidates for a verify stage, same as LSH
+    // band coincidences
+    out.foreach(p => assert(p._3 <= 6L))
+  }
+
   test("line dedup: first occurrence wins, docs reassemble in order, empties survive as rows") {
     import spark.implicits._
     // 'y' appears in a(pos 2), b(pos 1), c(pos 1): keeper = (a,2) (min url/pos)
