@@ -1075,6 +1075,44 @@ object CrawlOps {
        |ORDER BY m.host""".stripMargin
   }
 
+  // ---- link reciprocity (link-farm signal) -----------------------------------
+
+  /** Per-host out-edge reciprocity: how many of a host's out-links are
+    * returned (the reverse edge exists) — organic citation graphs are
+    * heavily asymmetric while link farms and "link exchange" rings
+    * reciprocate by construction, so ratio_x1000 near 1000 is a strong
+    * cheap spam prior (used beside the ex_linkstats fan-out features).
+    *
+    * Scale: one self left-join of the edge list on the REVERSED key — both
+    * sides hash on (src, dst)/(dst, src), volume linear in edges; the
+    * per-host rollup combines map-side.
+    */
+  def exReciprocity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = StructuredCorpus.hostedges(spark)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("back", lit(1L)).distinct()
+    e.join(rev, Seq("src", "dst"), "left")
+      .groupBy(col("src").as("host"))
+      .agg(count(lit(1)).as("n_out"),
+        sum(coalesce(col("back"), lit(0L))).as("n_recip"))
+      .select(col("host"), col("n_out"), col("n_recip"),
+        expr("(1000 * n_recip) div n_out").as("ratio_x1000"))
+      .orderBy("host")
+  }
+
+  val exReciprocitySql: String = {
+    val E = StructuredCorpus.HOSTEDGES_PQ
+    s"""WITH e AS (SELECT src, dst FROM $E),
+       |rev AS (SELECT DISTINCT dst AS src, src AS dst, 1 AS back FROM e),
+       |j AS (
+       |  SELECT e.src, CASE WHEN rev.back IS NULL THEN 0 ELSE 1 END AS back
+       |  FROM e LEFT JOIN rev ON rev.src = e.src AND rev.dst = e.dst)
+       |SELECT src AS host, CAST(count(*) AS BIGINT) AS n_out,
+       |       CAST(sum(back) AS BIGINT) AS n_recip,
+       |       CAST((1000 * sum(back)) // count(*) AS BIGINT) AS ratio_x1000
+       |FROM j GROUP BY src ORDER BY host""".stripMargin
+  }
+
   // ---- registration -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1095,7 +1133,8 @@ object CrawlOps {
     "ex_backlog" -> (exBacklog _),
     "ex_bitext" -> (exBitext _),
     "ex_canonmap" -> (exCanonmap _),
-    "ex_homoglyph" -> (exHomoglyph _)
+    "ex_homoglyph" -> (exHomoglyph _),
+    "ex_reciprocity" -> (exReciprocity _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1116,6 +1155,7 @@ object CrawlOps {
     "ex_backlog" -> exBacklogSql,
     "ex_bitext" -> exBitextSql,
     "ex_canonmap" -> exCanonmapSql,
-    "ex_homoglyph" -> exHomoglyphSql
+    "ex_homoglyph" -> exHomoglyphSql,
+    "ex_reciprocity" -> exReciprocitySql
   )
 }
