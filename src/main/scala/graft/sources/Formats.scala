@@ -177,13 +177,15 @@ object Formats {
     "fmt_json" -> (fmtJson _),
     "fmt_json_gz" -> (fmtJsonGz _),
     "fmt_csv" -> (fmtCsv _),
-    "fmt_orc" -> (fmtOrc _)
+    "fmt_orc" -> (fmtOrc _),
+    "fmt_footer" -> (FooterStats.fmtFooter _)
   )
 
   def oracles: Map[String, String] = Map(
     "fmt_json" -> fmtJsonSql,
     "fmt_json_gz" -> fmtJsonGzSql,
     "fmt_csv" -> fmtCsvSql,
-    "fmt_orc" -> fmtOrcSql
+    "fmt_orc" -> fmtOrcSql,
+    "fmt_footer" -> FooterStats.fmtFooterSql
   )
 }
