@@ -1793,6 +1793,58 @@ object TextAnalysis {
        |       CAST(sum(coalesce(nv.nv, 0)) OVER (ORDER BY tt.b) AS BIGINT) cum_vocab
        |FROM tt LEFT JOIN nv USING (b) ORDER BY bucket""".stripMargin
 
+  // ---- capitalized-span entity mining (NER-lite) --------------------------
+
+  /** Gazetteer-free named-entity mining (`ta_ner`) over sentence-cased prose
+    * — the cheap entity table a pipeline builds before any model: knowledge-
+    * graph seeds, per-entity document frequency for salience, and the
+    * aggregation target PII-adjacent redaction audits join against.
+    *
+    * Rule (both engines run it verbatim): a candidate is a MAXIMAL run of
+    * ≥2 capitalized words; a leading capitalized stopword (longest-first
+    * alternation so 'An' never half-matches as 'A') strips off, and the
+    * remainder must still be multi-word — so sentence-initial capitals never
+    * match (single-cap run), and "The <Word>" chrome dies at the multi-word
+    * filter while "The <Entity>" surfaces as the stripped entity (both
+    * planted as witnesses by the [[graft.sources.StructuredCorpus]]
+    * generator, which keeps filler lowercase so every ≥2-cap run is a
+    * deliberate plant).
+    *
+    * Scale shape: candidate extraction is per-row codegen'd regex — scan
+    * speed, zero exchanges; the entity rollup is ONE hash exchange with
+    * map-side combine (a hot entity arrives pre-counted; df is exact
+    * count-distinct on the same key — a second partial layer, not a second
+    * exchange of the raw mentions). At 100 TB the df≥2 filter drops the
+    * singleton long tail BEFORE any driver contact; the output is
+    * entity-vocabulary-sized, not corpus-sized.
+    */
+  def taNer(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.sources.StructuredCorpus.newsdocs(spark)
+    docs
+      .select(col("url"), explode(
+        regexp_extract_all(col("text"),
+          lit("[A-Z][a-z]+( [A-Z][a-z]+)+"), lit(0))).as("span"))
+      .withColumn("entity",
+        regexp_replace(col("span"), "^(The|And|An|At|In|On|A) ", ""))
+      .filter(col("entity").contains(" "))
+      .groupBy("entity")
+      .agg(count_distinct(col("url")).as("df"), count(lit(1)).as("tf"))
+      .filter(col("df") >= 2)
+      .orderBy(desc("df"), desc("tf"), col("entity"))
+  }
+
+  val taNerSql: String =
+    s"""SELECT entity, CAST(count(DISTINCT url) AS BIGINT) df, count(*) tf
+       |FROM (
+       |  SELECT url,
+       |         regexp_replace(unnest(regexp_extract_all(text, '[A-Z][a-z]+( [A-Z][a-z]+)+')),
+       |                        '^(The|And|An|At|In|On|A) ', '') AS entity
+       |  FROM ${graft.sources.StructuredCorpus.NEWSDOCS_PQ})
+       |WHERE contains(entity, ' ')
+       |GROUP BY entity
+       |HAVING count(DISTINCT url) >= 2
+       |ORDER BY df DESC, tf DESC, entity""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_heaps" -> (heaps _),
     "ta_linefix" -> (linefix _),
@@ -1824,7 +1876,8 @@ object TextAnalysis {
     "ta_split" -> (split _),
     "ta_quota" -> (quota _),
     "ta_ngrams" -> (ngrams _),
-    "ta_winnow" -> (winnowQuery _)
+    "ta_winnow" -> (winnowQuery _),
+    "ta_ner" -> (taNer _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1858,6 +1911,7 @@ object TextAnalysis {
     "ta_split" -> splitSql,
     "ta_quota" -> quotaSql,
     "ta_ngrams" -> ngramsSql,
-    "ta_winnow" -> winnowSql
+    "ta_winnow" -> winnowSql,
+    "ta_ner" -> taNerSql
   )
 }

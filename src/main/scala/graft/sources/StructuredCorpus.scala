@@ -845,6 +845,55 @@ object StructuredCorpus {
     (legit ++ spoofs ++ clean :+ "weirdо.example.xyz").distinct
   }
 
+  // ---- news docs (capitalized-span entity mining) -------------------------------
+
+  val NEWSDOCS_PQ = s"read_parquet('$DIR/newsdocs/*.parquet')"
+  val N_NEWS = 300L
+
+  private def cap(w: String): String = w.capitalize
+
+  /** Entity pool for `ta_ner`: 26 multi-word proper names, pairwise distinct
+    * because each k owns a unique FIRST word (gcd trick unnecessary — direct
+    * index). Filler text is all-lowercase from the same vocabulary, so a
+    * capitalized RUN of ≥2 words appears only where the generator planted
+    * one (or a stopword-led decoy — see [[newsText]]).
+    */
+  def newsEntity(k: Int): String = {
+    val base = cap(WORDS(k)) + " " + cap(WORDS((k * 5 + 3) % WORDS.length))
+    if (k % 3 == 0) base + " " + cap(WORDS((k * 11 + 7) % WORDS.length))
+    else base
+  }
+
+  /** Sentence-cased prose with planted features, one per sentence at most,
+    * never sentence-initial (a mention adjacent to the sentence-start
+    * capital would EXTEND the run and change the entity string):
+    * r<4 → a bare entity mention; r=4 → "The <entity>" (must surface as the
+    * STRIPPED entity); r=5 → "The <Word>" decoy (2-cap run that strips to a
+    * single word — must never surface). Sentence starts are single capitals
+    * and can never match the ≥2-run regex.
+    */
+  def newsText(i: Long): String = {
+    val sents = 4 + Rng.nextInt(SEED, 600L, i, 4)
+    val sb = new StringBuilder
+    var s = 0
+    while (s < sents) {
+      val words = 6 + Rng.nextInt(SEED, 610L + s, i, 6)
+      sb.append(cap(word(i, 620 + s * 31)))
+      var w = 1
+      while (w < words) { sb.append(' ').append(word(i, 620 + s * 31 + w)); w += 1 }
+      val r = Rng.nextInt(SEED, 700L + s, i, 10)
+      if (r < 4)
+        sb.append(' ').append(newsEntity(Rng.nextInt(SEED, 710L + s, i, 26)))
+      else if (r == 4)
+        sb.append(" The ").append(newsEntity(Rng.nextInt(SEED, 720L + s, i, 26)))
+      else if (r == 5)
+        sb.append(" The ").append(cap(word(i, 730 + s)))
+      sb.append(". ")
+      s += 1
+    }
+    sb.toString.trim
+  }
+
   @volatile private var done = false
 
   /** Idempotent marker-gated staging (OracleCorpus protocol: page count +
@@ -907,6 +956,10 @@ object StructuredCorpus {
         .write.mode("overwrite").parquet(s"$DIR/canonedges")
       spark.createDataFrame(idnHosts().map(Tuple1(_))).toDF("host")
         .write.mode("overwrite").parquet(s"$DIR/idnhosts")
+      spark.range(N_NEWS)
+        .map(i => (s"https://news.example.org/n/$i", newsText(i)))
+        .toDF("url", "text")
+        .write.mode("overwrite").parquet(s"$DIR/newsdocs")
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -990,5 +1043,10 @@ object StructuredCorpus {
   def idnhosts(spark: SparkSession): DataFrame = {
     ensure(spark)
     spark.read.parquet(s"$DIR/idnhosts")
+  }
+
+  def newsdocs(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/newsdocs")
   }
 }
