@@ -378,6 +378,81 @@ object Multimodal {
     }
   }
 
+  // ---- BMP container (hand-rolled writer + parser) -----------------------
+
+  /** 24-bit BI_RGB BMP bytes of an image — the ONE mainstream raster
+    * container simple enough to hand-roll both directions from the public
+    * spec (BITMAPFILEHEADER + BITMAPINFOHEADER, no compression): rows pad to
+    * 4-byte boundaries, pixels are BGR, and the row ORDER is bottom-up for
+    * positive height / top-down for negative (both variants real in the
+    * wild; the encoder emits both so the parser's normalization is always
+    * exercised).
+    */
+  def bmpBytes(img: java.awt.image.BufferedImage, topDown: Boolean): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val rowBytes = (w * 3 + 3) & ~3
+    val size = 54 + rowBytes * h
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    val ys = if (topDown) 0 until h else (h - 1) to 0 by -1
+    ys.foreach { y =>
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        bb.put((rgb & 0xff).toByte)
+          .put(((rgb >> 8) & 0xff).toByte)
+          .put(((rgb >> 16) & 0xff).toByte)
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowBytes) { bb.put(0.toByte); p += 1 }
+    }
+    bb.array()
+  }
+
+  /** Hand-rolled BMP parse → (w, h, RGB ints in row-major TOP-DOWN order),
+    * normalizing either row order. Refuses (deterministic
+    * IllegalArgumentException, never a crash deeper in) anything outside
+    * the 24-bit uncompressed profile, truncated headers, and pixel data
+    * shorter than the geometry implies.
+    */
+  def bmpDecode(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(b.length >= 54, "bmp: truncated header")
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.get(0) == 'B'.toByte && bb.get(1) == 'M'.toByte, "bmp: bad magic")
+    val off = bb.getInt(10)
+    require(bb.getInt(14) >= 40, "bmp: pre-BITMAPINFOHEADER header")
+    val w = bb.getInt(18); val rawH = bb.getInt(22)
+    require(w > 0 && rawH != 0, "bmp: degenerate dimensions")
+    val topDown = rawH < 0; val h = math.abs(rawH)
+    require(bb.getShort(26) == 1, "bmp: planes != 1")
+    require(bb.getShort(28) == 24, "bmp: only 24bpp supported")
+    require(bb.getInt(30) == 0, "bmp: compressed variants unsupported")
+    val rowBytes = (w * 3 + 3) & ~3
+    require(off >= 54 && b.length.toLong >= off.toLong + rowBytes.toLong * h,
+      "bmp: truncated pixel data")
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val base = off + (if (topDown) y else h - 1 - y) * rowBytes
+      var x = 0
+      while (x < w) {
+        val i = base + x * 3
+        out(y * w + x) = ((b(i + 2) & 0xff) << 16) |
+          ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
   // ---- oracle materialization (the ExtractOracle pattern) ----------------
   //
   // The binary header parse itself is procedural (not SQL-expressible), so
@@ -1064,6 +1139,50 @@ object Multimodal {
        |       s, e, CAST(len AS BIGINT) AS len
        |FROM seg ORDER BY media_id, seg""".stripMargin
 
+  /** BMP transcode round-trip (`mm_bmp`): every staged PNG re-encodes
+    * through the hand-rolled BMP writer (odd media_ids top-down, even
+    * bottom-up) and decodes with the hand-rolled parser; per image the
+    * luminance sum AND an order-sensitive digest of every per-pixel
+    * luminance (row-major top-down csv, md5) come back. The DuckDB oracle
+    * recomputes both from the independently materialized per-pixel table —
+    * a row-order, padding, or BGR-swizzle bug anywhere in the container
+    * code scrambles the digest. Decode is partition-local (mapPartitions,
+    * the mapInPandas shape); one ordering at the end for presentation.
+    */
+  def mmBmp(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark)
+    import spark.implicits._
+    media(spark, N_MEDIA).filter(_.kind == "png").mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val (w, h, px) = bmpDecode(bmpBytes(img, topDown = r.media_id % 2 == 1))
+        var lum = 0L
+        val sb = new StringBuilder
+        var k = 0
+        while (k < px.length) {
+          val p = px(k)
+          val l = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          lum += l
+          if (k > 0) sb.append(',')
+          sb.append(l)
+          k += 1
+        }
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (r.media_id, w, h, px.length.toLong, lum,
+          d.map(b => f"${b & 0xff}%02x").mkString)
+      }
+    }.toDF("media_id", "width", "height", "n_pix", "sum_lum", "lum_h")
+      .orderBy("media_id")
+  }
+
+  val mmBmpSql: String =
+    s"""SELECT media_id, CAST(min(w) AS INT) width, CAST(min(h) AS INT) height,
+       |       count(*) n_pix, CAST(sum(lum) AS BIGINT) sum_lum,
+       |       md5(string_agg(CAST(lum AS VARCHAR), ',' ORDER BY y, x)) lum_h
+       |FROM $PIXELS_PQ GROUP BY media_id ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
     "mm_frames" -> (mmFrames _),
@@ -1074,7 +1193,8 @@ object Multimodal {
     "mm_loudness" -> (mmLoudness _),
     "mm_silence" -> (mmSilence _),
     "mm_viddup" -> (mmViddup _),
-    "mm_audfp" -> (mmAudfp _)
+    "mm_audfp" -> (mmAudfp _),
+    "mm_bmp" -> (mmBmp _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1087,7 +1207,8 @@ object Multimodal {
     "mm_loudness" -> mmLoudnessSql,
     "mm_silence" -> mmSilenceSql,
     "mm_viddup" -> mmViddupSql,
-    "mm_audfp" -> mmAudfpSql
+    "mm_audfp" -> mmAudfpSql,
+    "mm_bmp" -> mmBmpSql
   )
 
   private val LOUD_WIN = 400 // samples = 50 ms at the corpus's 8 kHz rate
