@@ -1793,6 +1793,81 @@ object TextAnalysis {
        |       CAST(sum(coalesce(nv.nv, 0)) OVER (ORDER BY tt.b) AS BIGINT) cum_vocab
        |FROM tt LEFT JOIN nv USING (b) ORDER BY bucket""".stripMargin
 
+  // ---- SymSpell typo canonicalization -------------------------------------
+
+  /** Deletion-neighborhood keys of a token: the token itself plus every
+    * single-character deletion. Two tokens are within edit distance 1 ONLY
+    * IF their key sets intersect (deletion ↔ one side's key is the other
+    * token; substitution ↔ deleting the differing position from both sides
+    * meets in the middle) — so an equi-join on these keys finds every true
+    * pair without an all-pairs compare. The join also admits some
+    * distance-2 pairs (different-position deletions colliding, e.g.
+    * "ab"/"ba" meet at both "a" and "b"); the exact `levenshtein` verify
+    * prunes them — the SymSpell candidate/verify split (Garbe's public
+    * algorithm; same candidate-then-verify discipline as dd_minhash_lsh).
+    */
+  private def delKeys(c: Column): Column =
+    array_union(array(c), transform(
+      sequence(lit(0), length(c) - 1),
+      i => concat(c.substr(lit(1), i), c.substr(i + lit(2), length(c)))))
+
+  /** The testable core of `ta_symspell`: given a (t, tf) vocabulary, map
+    * every RARE token (tf < lo) to its highest-frequency CANONICAL token
+    * (tf ≥ hi) at edit distance exactly 1 (ties → lexicographically least).
+    *
+    * Scale shape: the corpus never meets itself — the vocabulary is the
+    * join input, and a Zipf vocabulary is orders smaller than its corpus;
+    * the canonical side (head of the distribution) broadcasts, so the rare
+    * tail streams through a broadcast hash join with NO shuffle; keys per
+    * token = len+1. The row_number pick runs per rare token on candidate
+    * sets bounded by the 26-letter neighborhood, never the vocabulary.
+    */
+  def symspellMap(vocab: DataFrame, lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rare = vocab.filter(col("tf") < lo)
+      .select(col("t").as("rare"), col("tf").as("tf_rare"))
+    val canon = vocab.filter(col("tf") >= hi)
+      .select(col("t").as("canon"), col("tf").as("tf_canon"))
+    val rareK = rare.select(col("rare"), col("tf_rare"),
+      explode(delKeys(col("rare"))).as("k"))
+    val canonK = canon.select(col("canon"), col("tf_canon"),
+      explode(delKeys(col("canon"))).as("k"))
+    val w = Window.partitionBy("rare").orderBy(desc("tf_canon"), col("canon"))
+    rareK.join(broadcast(canonK), Seq("k"))
+      .select("rare", "tf_rare", "canon", "tf_canon").distinct()
+      .filter(levenshtein(col("rare"), col("canon")) === 1)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("rare", "canon", "tf_rare", "tf_canon")
+  }
+
+  /** Vocabulary canonicalization over the staged typo corpus (`ta_symspell`)
+    * — the typo-collapse pass run before token counting / vocab sizing so
+    * misspellings don't fragment the long tail. The DuckDB oracle BRUTE
+    * pair-joins the whole vocabulary with its own levenshtein — feasible on
+    * a vocabulary, which is exactly why the oracle can afford what the
+    * engine must not.
+    */
+  def taSymspell(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = graft.sources.StructuredCorpus.typodocs(spark)
+      .select(explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("tf"))
+    symspellMap(vocab, 10L, 100L).orderBy("rare")
+  }
+
+  val taSymspellSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) t
+       |  FROM ${graft.sources.StructuredCorpus.TYPODOCS_PQ}),
+       |v AS (SELECT t, count(*) tf FROM toks GROUP BY t),
+       |hit AS (
+       |  SELECT r.t rare, c.t canon, r.tf tf_rare, c.tf tf_canon,
+       |         row_number() OVER (PARTITION BY r.t ORDER BY c.tf DESC, c.t) rn
+       |  FROM v r, v c
+       |  WHERE r.tf < 10 AND c.tf >= 100 AND levenshtein(r.t, c.t) = 1)
+       |SELECT rare, canon, tf_rare, tf_canon
+       |FROM hit WHERE rn = 1 ORDER BY rare""".stripMargin
+
   // ---- capitalized-span entity mining (NER-lite) --------------------------
 
   /** Gazetteer-free named-entity mining (`ta_ner`) over sentence-cased prose
@@ -1877,7 +1952,8 @@ object TextAnalysis {
     "ta_quota" -> (quota _),
     "ta_ngrams" -> (ngrams _),
     "ta_winnow" -> (winnowQuery _),
-    "ta_ner" -> (taNer _)
+    "ta_ner" -> (taNer _),
+    "ta_symspell" -> (taSymspell _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1912,6 +1988,7 @@ object TextAnalysis {
     "ta_quota" -> quotaSql,
     "ta_ngrams" -> ngramsSql,
     "ta_winnow" -> winnowSql,
-    "ta_ner" -> taNerSql
+    "ta_ner" -> taNerSql,
+    "ta_symspell" -> taSymspellSql
   )
 }

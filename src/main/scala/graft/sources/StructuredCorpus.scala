@@ -894,6 +894,40 @@ object StructuredCorpus {
     sb.toString.trim
   }
 
+  // ---- typo docs (SymSpell vocab canonicalization) ------------------------------
+
+  val TYPODOCS_PQ = s"read_parquet('$DIR/typodocs/*.parquet')"
+  val N_TYPO = 250L
+
+  /** Planted typos for `ta_symspell`, each a deliberate witness class:
+    * single deletions/insertions/substitutions of clean vocab words (must
+    * map to their source), `omber` at distance 1 from BOTH ember and umber
+    * (the argmax/tiebreak witness), and `brxvq` at distance 2 from bravo
+    * (must never map — the exact-verify witness the deletion index alone
+    * would admit). None equals a clean word; all stay rare (<10 mentions)
+    * while every clean word stays high-frequency.
+    */
+  val TYPOS: Vector[String] = Vector(
+    "alph", "bravp", "carbonn", "delt", "embr", "falcom",
+    "gammma", "harbr", "indigoo", "omber", "brxvq", "zephyrx")
+
+  /** All-lowercase prose: 40 clean vocabulary words per doc (every clean
+    * word lands ~380 mentions corpus-wide), one planted typo on every fifth
+    * doc (~4 mentions per typo — safely under the rare threshold).
+    */
+  def typoText(i: Long): String = {
+    val sb = new StringBuilder
+    var w = 0
+    while (w < 40) {
+      if (w > 0) sb.append(' ')
+      sb.append(word(i, 800 + w))
+      w += 1
+    }
+    if (i % 5 == 0)
+      sb.append(' ').append(TYPOS((i / 5 % TYPOS.length).toInt))
+    sb.toString
+  }
+
   @volatile private var done = false
 
   /** Idempotent marker-gated staging (OracleCorpus protocol: page count +
@@ -960,6 +994,10 @@ object StructuredCorpus {
         .map(i => (s"https://news.example.org/n/$i", newsText(i)))
         .toDF("url", "text")
         .write.mode("overwrite").parquet(s"$DIR/newsdocs")
+      spark.range(N_TYPO)
+        .map(i => (s"https://typo.example.org/t/$i", typoText(i)))
+        .toDF("url", "text")
+        .write.mode("overwrite").parquet(s"$DIR/typodocs")
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -1048,5 +1086,10 @@ object StructuredCorpus {
   def newsdocs(spark: SparkSession): DataFrame = {
     ensure(spark)
     spark.read.parquet(s"$DIR/newsdocs")
+  }
+
+  def typodocs(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/typodocs")
   }
 }
