@@ -1113,6 +1113,62 @@ object CrawlOps {
        |FROM j GROUP BY src ORDER BY host""".stripMargin
   }
 
+  // ---- host-mirror detection (site-mirror collapse) ---------------------------
+
+  /** Mirror-host detection (`dd_mirror`): host pairs whose CONTENT-
+    * fingerprint sets overlap at Jaccard ≥ 1/2 — the site-mirror collapse a
+    * web corpus runs before host-level dedup budgets (a mirror family
+    * otherwise multiplies its content's weight by the mirror count). The
+    * fingerprint (md5 of text), not the url, is what matches — exactly what
+    * a mirror is; template chrome is assumed stripped upstream
+    * (`ex_hostclean`), so fingerprints are content, not boilerplate.
+    *
+    * Exact integer rule: J ≥ 1/2 ⇔ 3·|∩| ≥ |A|+|B| (set sizes count
+    * DISTINCT fingerprints). Scale shape: the pair candidates come from the
+    * fingerprint-INVERTED index (fp → hosts) met in a self equi-join — a
+    * pair is only ever formed through a shared fingerprint, so candidate
+    * volume is Σ_fp C(df,2), linear in docs while mirrors are rare and df
+    * per content fp is the mirror multiplicity (web-wide boilerplate fps
+    * belong to ex_hostlines' removal, the df-cap complement); per-host set
+    * sizes are a broadcast-sized side. Never an all-pairs host join.
+    */
+  def ddMirror(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = StructuredCorpus.mirrordocs(spark)
+      .select(col("host"), md5(col("text")).as("fp")).distinct()
+    val sizes = fps.groupBy("host").agg(count(lit(1)).as("n"))
+    val common = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.host") < col("b.host"))
+      .groupBy(col("a.host").as("host_a"), col("b.host").as("host_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.withColumnRenamed("host", "host_a")
+        .withColumnRenamed("n", "n_a")), Seq("host_a"))
+      .join(broadcast(sizes.withColumnRenamed("host", "host_b")
+        .withColumnRenamed("n", "n_b")), Seq("host_b"))
+      .filter(lit(3) * col("n_common") >= col("n_a") + col("n_b"))
+      .select(col("host_a"), col("host_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        expr("(1000 * n_common) div (n_a + n_b - n_common)").as("jacc_x1000"))
+      .orderBy("host_a", "host_b")
+  }
+
+  val ddMirrorSql: String = {
+    val M = StructuredCorpus.MIRRORDOCS_PQ
+    s"""WITH fps AS (SELECT DISTINCT host, md5(text) fp FROM $M),
+       |sz AS (SELECT host, count(*) n FROM fps GROUP BY host),
+       |common AS (
+       |  SELECT a.host host_a, b.host host_b, count(*) n_common
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.host < b.host
+       |  GROUP BY 1, 2)
+       |SELECT host_a, host_b, sa.n n_a, sb.n n_b, n_common,
+       |       CAST((1000 * n_common) // (sa.n + sb.n - n_common) AS BIGINT) jacc_x1000
+       |FROM common
+       |JOIN sz sa ON sa.host = host_a
+       |JOIN sz sb ON sb.host = host_b
+       |WHERE 3 * n_common >= sa.n + sb.n
+       |ORDER BY host_a, host_b""".stripMargin
+  }
+
   // ---- registration -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1134,7 +1190,8 @@ object CrawlOps {
     "ex_bitext" -> (exBitext _),
     "ex_canonmap" -> (exCanonmap _),
     "ex_homoglyph" -> (exHomoglyph _),
-    "ex_reciprocity" -> (exReciprocity _)
+    "ex_reciprocity" -> (exReciprocity _),
+    "dd_mirror" -> (ddMirror _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1156,6 +1213,7 @@ object CrawlOps {
     "ex_bitext" -> exBitextSql,
     "ex_canonmap" -> exCanonmapSql,
     "ex_homoglyph" -> exHomoglyphSql,
-    "ex_reciprocity" -> exReciprocitySql
+    "ex_reciprocity" -> exReciprocitySql,
+    "dd_mirror" -> ddMirrorSql
   )
 }

@@ -928,6 +928,35 @@ object StructuredCorpus {
     sb.toString
   }
 
+  // ---- mirror hosts (site-mirror collapse) --------------------------------------
+
+  val MIRRORDOCS_PQ = s"read_parquet('$DIR/mirrordocs/*.parquet')"
+  val N_MHOSTS = 24
+
+  /** Per-host document sets for `dd_mirror`, planted pair by pair:
+    * hosts (0,1) are a FULL mirror (identical 30-doc sets, J=1); (2,3) a
+    * partial mirror (27 of 30 shared, J=27/33≈0.82); (4,5) sit EXACTLY on
+    * the J=1/2 boundary (20 shared, 10 exclusive each: 3·20 = 30+30 —
+    * the ≥ rule must keep them); (6,7) just UNDER it (19 shared: 57 < 60 —
+    * must drop); (8,9) a small-overlap decoy (2 shared docs, syndicated
+    * article shape); remaining hosts are fully exclusive. Texts are host-
+    * seeded phrases; mirrored docs COPY the source host's text so the
+    * fingerprint (not the url) is what matches — exactly what a mirror is.
+    */
+  def mirrorRows(h: Int): Seq[(String, String, String)] = {
+    val host = s"mhost$h.example.org"
+    def doc(owner: Int, k: Int): String = phrase(owner.toLong * 1000 + k, 900, 8)
+    val texts: Seq[String] = h match {
+      case 1 => (0 until 30).map(k => doc(0, k))
+      case 3 => (0 until 27).map(k => doc(2, k)) ++ (0 until 3).map(k => doc(3, 100 + k))
+      case 5 => (0 until 20).map(k => doc(4, k)) ++ (0 until 10).map(k => doc(5, 100 + k))
+      case 7 => (0 until 19).map(k => doc(6, k)) ++ (0 until 11).map(k => doc(7, 100 + k))
+      case 9 => (0 until 2).map(k => doc(8, k)) ++ (0 until 28).map(k => doc(9, 100 + k))
+      case _ => (0 until 30).map(k => doc(h, k))
+    }
+    texts.zipWithIndex.map { case (t, i) => (s"https://$host/p/$i", host, t) }
+  }
+
   @volatile private var done = false
 
   /** Idempotent marker-gated staging (OracleCorpus protocol: page count +
@@ -998,6 +1027,10 @@ object StructuredCorpus {
         .map(i => (s"https://typo.example.org/t/$i", typoText(i)))
         .toDF("url", "text")
         .write.mode("overwrite").parquet(s"$DIR/typodocs")
+      spark.range(N_MHOSTS.toLong)
+        .flatMap(h => mirrorRows(h.toInt))
+        .toDF("url", "host", "text")
+        .write.mode("overwrite").parquet(s"$DIR/mirrordocs")
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -1091,5 +1124,10 @@ object StructuredCorpus {
   def typodocs(spark: SparkSession): DataFrame = {
     ensure(spark)
     spark.read.parquet(s"$DIR/typodocs")
+  }
+
+  def mirrordocs(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/mirrordocs")
   }
 }
