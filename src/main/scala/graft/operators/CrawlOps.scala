@@ -1169,6 +1169,75 @@ object CrawlOps {
        |ORDER BY host_a, host_b""".stripMargin
   }
 
+  // ---- community detection (synchronous label propagation) --------------------
+
+  /** Label-propagation communities (`ex_communities`, Raghavan et al. 2007,
+    * synchronous variant): every node starts as its own label; each round,
+    * every node adopts its neighbors' MOST FREQUENT label (count desc, then
+    * lexicographically least — fully deterministic). Four fixed rounds —
+    * density-based communities where dd_components gives mere connectivity:
+    * the bridged cliques here are ONE component but four communities, the
+    * distinction a topical-cluster / spam-neighborhood rollup needs.
+    *
+    * Synchronous + fixed-rounds is the determinism trade: the classic
+    * bipartite oscillator (the planted star) never converges, it flips
+    * phase each round — both engines reproduce the phase exactly, and the
+    * spec pins it as the documented pathology async variants exist to fix.
+    *
+    * Scale shape: each round is ONE neighbor-label exchange (groupBy (node,
+    * label) partial-aggs map-side — a hub's repeated labels pre-combine)
+    * plus the argmax window on the per-node candidate set (bounded by
+    * distinct neighbor labels, ≤ degree); labels join back by node key.
+    * Rounds are fixed (4), lineage cut per round via localCheckpoint —
+    * identical cost shape to ex_trustrank/ex_hits.
+    */
+  def exCommunities(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = StructuredCorpus.commedges(spark)
+    val ed = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = ed.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    val w = Window.partitionBy("node").orderBy(desc("c"), col("label"))
+    for (_ <- 1 to 4) {
+      val next = ed.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("node", "label")
+      // isolated nodes (none here, but the contract) keep their label
+      labels = nodes.join(next, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    labels.orderBy("node")
+  }
+
+  val exCommunitiesSql: String = {
+    val E = StructuredCorpus.COMMEDGES_PQ
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.node, coalesce(p.lbl, n.node) lbl FROM nodes n
+         |  LEFT JOIN (
+         |    SELECT node, lbl FROM (
+         |      SELECT e.dst node, l.lbl, count(*) c,
+         |             row_number() OVER (PARTITION BY e.dst
+         |                                ORDER BY count(*) DESC, l.lbl) rn
+         |      FROM ed e JOIN $prev l ON l.node = e.src
+         |      GROUP BY e.dst, l.lbl)
+         |    WHERE rn = 1) p ON p.node = n.node)""".stripMargin
+    s"""WITH e0 AS (SELECT src, dst FROM $E),
+       |ed AS (SELECT DISTINCT * FROM
+       |        (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+       |nodes AS (SELECT DISTINCT src node FROM ed),
+       |r0 AS (SELECT node, node lbl FROM nodes),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")},
+       |${round("r3", "r4")}
+       |SELECT node, lbl AS "label" FROM r4 ORDER BY node""".stripMargin
+  }
+
   // ---- registration -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1191,7 +1260,8 @@ object CrawlOps {
     "ex_canonmap" -> (exCanonmap _),
     "ex_homoglyph" -> (exHomoglyph _),
     "ex_reciprocity" -> (exReciprocity _),
-    "dd_mirror" -> (ddMirror _)
+    "dd_mirror" -> (ddMirror _),
+    "ex_communities" -> (exCommunities _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1214,6 +1284,7 @@ object CrawlOps {
     "ex_canonmap" -> exCanonmapSql,
     "ex_homoglyph" -> exHomoglyphSql,
     "ex_reciprocity" -> exReciprocitySql,
-    "dd_mirror" -> ddMirrorSql
+    "dd_mirror" -> ddMirrorSql,
+    "ex_communities" -> exCommunitiesSql
   )
 }

@@ -957,6 +957,35 @@ object StructuredCorpus {
     texts.zipWithIndex.map { case (t, i) => (s"https://$host/p/$i", host, t) }
   }
 
+  // ---- community graph (label propagation) --------------------------------------
+
+  val COMMEDGES_PQ = s"read_parquet('$DIR/commedges/*.parquet')"
+
+  /** Undirected edge list (stored one direction; consumers symmetrize) with
+    * planted community structure for `ex_communities`: four 6-cliques
+    * (converge to their min label by round 2 — round 1 sends the min node
+    * itself to the second-least label, round 2 pulls it back, a real sync-
+    * LPA transient), single bridges chaining the cliques (1 inter- vs 5
+    * intra-neighbors: majority keeps the bridge home), an isolated triangle
+    * (tie-break-driven convergence to its min), and a STAR — the classic
+    * synchronous-LPA bipartite oscillator (center and leaves swap labels
+    * every round, forever): fixed rounds keep it deterministic, both
+    * engines reproduce the oscillation phase exactly, and the spec pins it
+    * as the documented pathology async/semi-sync variants exist to fix.
+    */
+  def commEdges(): Seq[(String, String)] = {
+    def n(k: Int, j: Int) = s"c${k}n$j.example.org"
+    val out = ArrayBuffer.empty[(String, String)]
+    for (k <- 0 until 4; i <- 0 until 6; j <- i + 1 until 6)
+      out += ((n(k, i), n(k, j)))
+    for (k <- 0 until 3) out += ((n(k, 5), n(k + 1, 0)))
+    out += (("g0.example.org", "g1.example.org"))
+    out += (("g1.example.org", "g2.example.org"))
+    out += (("g2.example.org", "g0.example.org"))
+    (1 to 4).foreach(l => out += (("s0c.example.org", s"s0l$l.example.org")))
+    out.toSeq
+  }
+
   @volatile private var done = false
 
   /** Idempotent marker-gated staging (OracleCorpus protocol: page count +
@@ -1031,6 +1060,8 @@ object StructuredCorpus {
         .flatMap(h => mirrorRows(h.toInt))
         .toDF("url", "host", "text")
         .write.mode("overwrite").parquet(s"$DIR/mirrordocs")
+      spark.createDataFrame(commEdges()).toDF("src", "dst")
+        .write.mode("overwrite").parquet(s"$DIR/commedges")
       OracleCorpus.writeMarker(marker, stamp)
     }
     done = true
@@ -1129,5 +1160,10 @@ object StructuredCorpus {
   def mirrordocs(spark: SparkSession): DataFrame = {
     ensure(spark)
     spark.read.parquet(s"$DIR/mirrordocs")
+  }
+
+  def commedges(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$DIR/commedges")
   }
 }
