@@ -33,7 +33,7 @@ object Main {
           "curate <n|pagesDir> <outDir> [cut-spans] [scrub-pii] [zratio-gate] [near-dedup] | " +
           "curate-stream <pagesDir> <outDir> <ckpt> <fpDir> | " +
           "upsert-stream <srcDir> <tableDir> <ckpt> | " +
-          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | history <tableDir> | meta <tableDir> [snapshots|files|refs] | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | clone <srcDir> <dstDir> [version|tag] | rebucket <tableDir> <newBuckets> | export-hf <curatedDir> <outDir> [shards] | bloomindex <tableDir> | lookup <tableDir> <url> [url...] | branch <tableDir> <create|append|audit|publish|discard|list> [name] [srcDir] | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
+          "compact <tableDir> | vacuum <tableDir> [minAgeHours] | doctor <tableDir> [--deep] | history <tableDir> | meta <tableDir> [snapshots|files|refs] | rollback <tableDir> <version> | tag <tableDir> <name> [version] | untag <tableDir> <name> | tags <tableDir> | clone <srcDir> <dstDir> [version|tag] | rebucket <tableDir> <newBuckets> | export-hf <curatedDir> <outDir> [shards] | bloomindex <tableDir> | lookup <tableDir> <url> [url...] | branch <tableDir> <create|append|audit|publish|discard|list> [name] [srcDir] | changes <tableDir> <fromV> [toV] | extract-incr <tableDir> <outDir> <stateFile> | " +
           "explain <query> [sfDir] | " +
           "profile <pagesDir> | scale <pagesDir> [reps] | mat-bench <pagesDir> [reps] | " +
           "soak <outBase> [mults] [reps]")
@@ -394,6 +394,17 @@ object Main {
             else graft.sources.Compact.DEFAULT_VACUUM_MIN_AGE_MS
           val (n, bytes) = graft.sources.Compact.vacuum(args(1), minAge)
           println(s"vacuumed $n orphan files ($bytes bytes)")
+          return
+        case "doctor" =>
+          // doctor <tableDir> [--deep] — integrity audit: layout meta,
+          // manifest holes (latest + every tag), crashed-commit intents,
+          // orphan files, bloom staleness; --deep adds the one-scan
+          // layout-function placement check. Exit 1 on any ERROR finding.
+          val deep = args.length > 2 && args(2) == "--deep"
+          val findings = graft.sources.Doctor.audit(
+            args(1), if (deep) Some(spark) else None)
+          findings.foreach(f => println(f"${f.severity}%-5s ${f.code}%-15s ${f.detail}"))
+          if (findings.exists(_.severity == "ERROR")) sys.exit(1)
           return
         case "history" =>
           graft.sources.Compact.history(args(1)).foreach { case (v, ts, nf) =>
