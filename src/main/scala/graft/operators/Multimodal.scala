@@ -453,6 +453,132 @@ object Multimodal {
     (w, h, out)
   }
 
+  // ---- SubRip timed text (subtitle parsing) ------------------------------
+
+  /** Deterministic SubRip document for clip `id`: 3–7 cues, monotone
+    * non-overlapping times, 1–2 text lines per cue. Every 4th clip starts
+    * near 00:59:58 so its cues CROSS the hour boundary (the field-rollover
+    * witness); millisecond fields exercise zero-padding.
+    */
+  def srtDoc(id: Long): String = {
+    val cues = 3 + (id % 5).toInt
+    var t = if (id % 4 == 0) 3598000L + (id % 7) * 300
+            else (Rng.draw(7L, 61L, id) >>> 1) % 3000000L
+    val sb = new StringBuilder
+    var i = 0
+    while (i < cues) {
+      val dur = 800 + Rng.nextInt(7L, 62L + i, id, 2200)
+      val gap = 120 + Rng.nextInt(7L, 63L + i, id, 600)
+      def fmt(ms: Long): String = {
+        val h = ms / 3600000; val m = ms / 60000 % 60
+        val s = ms / 1000 % 60; val f = ms % 1000
+        f"$h%02d:$m%02d:$s%02d,$f%03d"
+      }
+      if (i > 0) sb.append("\n\n")
+      sb.append(i + 1).append('\n')
+        .append(fmt(t)).append(" --> ").append(fmt(t + dur)).append('\n')
+        .append(s"cue $id $i alpha bravo")
+      if ((id + i) % 3 == 0) sb.append('\n').append(s"second line $i")
+      t += dur + gap
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Hand-rolled SubRip parser → one row per cue. Refuses malformed blocks
+    * deterministically (the BMP/PdfRuns damage discipline). Timestamp
+    * arithmetic is exact integer ms.
+    */
+  def srtParse(mediaId: Long, s: String): Seq[(Long, Int, Long, Long, Long, Long, String)] = {
+    val TIME = java.util.regex.Pattern.compile(
+      "(\\d\\d):(\\d\\d):(\\d\\d),(\\d\\d\\d) --> (\\d\\d):(\\d\\d):(\\d\\d),(\\d\\d\\d)")
+    s.split("\n\n", -1).toSeq.map { block =>
+      val lines = block.split("\n", -1).toSeq
+      require(lines.length >= 3, s"srt: truncated cue block in clip $mediaId")
+      val seq = try lines.head.trim.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"srt: bad cue index '${lines.head}'")
+      }
+      val m = TIME.matcher(lines(1))
+      require(m.matches(), s"srt: bad time line '${lines(1)}'")
+      def ms(o: Int): Long =
+        m.group(o).toLong * 3600000 + m.group(o + 1).toLong * 60000 +
+          m.group(o + 2).toLong * 1000 + m.group(o + 3).toLong
+      val start = ms(1); val end = ms(5)
+      require(end > start, s"srt: non-positive cue duration in clip $mediaId")
+      val text = lines.drop(2)
+      require(text.forall(_.nonEmpty), s"srt: empty text line in clip $mediaId")
+      (mediaId, seq, start, end, end - start, text.length.toLong, text.mkString("\n"))
+    }
+  }
+
+  val N_SRT = 400L
+  val SRT = s"${graft.sources.OracleCorpus.DIR}/media-srt"
+  val SRT_PQ = s"read_parquet('$SRT/*.parquet')"
+
+  /** Timed-text parse (`mm_srt`): the subtitle side of an audio/video
+    * training pipeline — cue spans are the alignment targets ASR/AV-sync
+    * training reads, and the gap/overlap structure is the segmentation
+    * prior. The hand parser runs partition-local over the staged SubRip
+    * strings; DuckDB re-parses the SAME strings with its own split/regexp
+    * primitives — format grammar, zero-padding, hour rollover, and the ms
+    * arithmetic are all cross-engine-checked. Scale: per-row procedural
+    * parse (scan speed, zero exchanges); one presentation ordering.
+    */
+  def mmSrt(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureSrt(spark)
+    import spark.implicits._
+    spark.read.parquet(SRT).as[(Long, String)].mapPartitions { it =>
+      it.flatMap { case (id, s) => srtParse(id, s) }
+    }.toDF("media_id", "seq", "start_ms", "end_ms", "dur_ms", "n_lines", "text")
+      .orderBy("media_id", "seq")
+  }
+
+  @volatile private var srtDone = false
+
+  private def ensureSrt(spark: SparkSession): Unit = synchronized {
+    if (srtDone) return
+    val marker = new java.io.File(s"${graft.sources.OracleCorpus.DIR}/_SRT_READY")
+    val stamp = s"srt:$N_SRT:${graft.sources.OracleCorpus.codeStamp()}"
+    if (!graft.sources.OracleCorpus.markerFresh(marker, stamp)) {
+      import spark.implicits._
+      spark.range(N_SRT).map(i => (i, srtDoc(i))).toDF("media_id", "srt")
+        .write.mode("overwrite").parquet(SRT)
+      graft.sources.OracleCorpus.writeMarker(marker, stamp)
+    }
+    srtDone = true
+  }
+
+  val mmSrtSql: String =
+    s"""WITH blocks AS (
+       |  SELECT media_id, unnest(string_split(srt, chr(10) || chr(10))) block
+       |  FROM $SRT_PQ),
+       |p AS (
+       |  SELECT media_id,
+       |         CAST(regexp_extract(block, '^(\\d+)', 1) AS INT) seq,
+       |         string_split(block, chr(10)) lines,
+       |         regexp_extract(block, '(\\d\\d):(\\d\\d):(\\d\\d),(\\d\\d\\d) -->', 1) h1,
+       |         regexp_extract(block, '(\\d\\d):(\\d\\d):(\\d\\d),(\\d\\d\\d) -->', 2) m1,
+       |         regexp_extract(block, '(\\d\\d):(\\d\\d):(\\d\\d),(\\d\\d\\d) -->', 3) s1,
+       |         regexp_extract(block, '(\\d\\d):(\\d\\d):(\\d\\d),(\\d\\d\\d) -->', 4) f1,
+       |         regexp_extract(block, '--> (\\d\\d):(\\d\\d):(\\d\\d),(\\d\\d\\d)', 1) h2,
+       |         regexp_extract(block, '--> (\\d\\d):(\\d\\d):(\\d\\d),(\\d\\d\\d)', 2) m2,
+       |         regexp_extract(block, '--> (\\d\\d):(\\d\\d):(\\d\\d),(\\d\\d\\d)', 3) s2,
+       |         regexp_extract(block, '--> (\\d\\d):(\\d\\d):(\\d\\d),(\\d\\d\\d)', 4) f2
+       |  FROM blocks)
+       |SELECT media_id, seq,
+       |       CAST(h1 AS BIGINT)*3600000 + CAST(m1 AS BIGINT)*60000 +
+       |         CAST(s1 AS BIGINT)*1000 + CAST(f1 AS BIGINT) AS start_ms,
+       |       CAST(h2 AS BIGINT)*3600000 + CAST(m2 AS BIGINT)*60000 +
+       |         CAST(s2 AS BIGINT)*1000 + CAST(f2 AS BIGINT) AS end_ms,
+       |       CAST(h2 AS BIGINT)*3600000 + CAST(m2 AS BIGINT)*60000 +
+       |         CAST(s2 AS BIGINT)*1000 + CAST(f2 AS BIGINT) -
+       |       (CAST(h1 AS BIGINT)*3600000 + CAST(m1 AS BIGINT)*60000 +
+       |         CAST(s1 AS BIGINT)*1000 + CAST(f1 AS BIGINT)) AS dur_ms,
+       |       CAST(len(lines) - 2 AS BIGINT) n_lines,
+       |       array_to_string(list_slice(lines, 3, len(lines)), chr(10)) AS "text"
+       |FROM p ORDER BY media_id, seq""".stripMargin
+
   // ---- oracle materialization (the ExtractOracle pattern) ----------------
   //
   // The binary header parse itself is procedural (not SQL-expressible), so
@@ -1194,7 +1320,8 @@ object Multimodal {
     "mm_silence" -> (mmSilence _),
     "mm_viddup" -> (mmViddup _),
     "mm_audfp" -> (mmAudfp _),
-    "mm_bmp" -> (mmBmp _)
+    "mm_bmp" -> (mmBmp _),
+    "mm_srt" -> (mmSrt _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1208,7 +1335,8 @@ object Multimodal {
     "mm_silence" -> mmSilenceSql,
     "mm_viddup" -> mmViddupSql,
     "mm_audfp" -> mmAudfpSql,
-    "mm_bmp" -> mmBmpSql
+    "mm_bmp" -> mmBmpSql,
+    "mm_srt" -> mmSrtSql
   )
 
   private val LOUD_WIN = 400 // samples = 50 ms at the corpus's 8 kHz rate
