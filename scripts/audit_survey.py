@@ -13,7 +13,7 @@ out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/v_full001"
 contract = set(json.load(open(f"{out}/oracle_sql.json")))
 survey = open("SURVEY.md").read()
 mentioned = set(re.findall(
-    r"`((?:ex|q|ta|dd|sim|st|mm|fmt)_[a-z0-9_]+)`", survey))
+    r"`((?:ex|q\d*|ta|dd|sim|st|mm|fmt)_[a-z0-9_]+)`", survey))
 # names that are flags/prefixes, not queries
 mentioned -= {"q_", "st_"}
 
