@@ -29,6 +29,7 @@ object SparkEntry {
       ExtractOracle.queries ++
       Structured.queries ++
       CrawlOps.queries ++
+      PdfChrome.queries ++
       graft.streaming.StreamingOps.queries ++
       Multimodal.queries ++
       graft.sources.Formats.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       ExtractOracle.oracles ++
       Structured.oracles ++
       CrawlOps.oracles ++
+      PdfChrome.oracles ++
       graft.streaming.StreamingOps.oracles ++
       Multimodal.oracles ++
       graft.sources.Formats.oracles ++
