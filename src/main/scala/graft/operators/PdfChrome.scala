@@ -131,8 +131,66 @@ object PdfChrome {
        |WHERE n_hit >= greatest(2, (2 * n_pages + 2) // 3)
        |ORDER BY url, yb, tpl""".stripMargin
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("ex_pdfchrome" -> (exPdfchrome _))
+  /** The product side (`ex_pdfclean`, the ex_hostclean of the PDF branch):
+    * every page's text reassembled top-to-bottom WITHOUT its detected
+    * chrome — what the extraction pipeline would hand to the quality gate.
+    * The drop decision joins back on the (url, y-band, template) key the
+    * detection produced; kept lines re-join in reading order (y descending
+    * — PDF user space puts the top of the page at large y). Counts
+    * reconcile: n_lines − n_kept = dropped chrome lines for that page.
+    */
+  def exPdfclean(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark)
+    val runs = spark.read.parquet(RUNS)
+    val lines = runs.groupBy(col("url"), col("page"), col("y"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("x"), col("text")))),
+        s => s.getField("text")), " ").as("line"))
+      .withColumn("tpl", regexp_replace(col("line"), "[0-9]+", "#"))
+      .withColumn("yb", expr("y div 4").cast("int"))
+    val chrome = exPdfchrome(spark, sfDir).select("url", "yb", "tpl")
+      .withColumn("is_chrome", lit(true))
+    lines.join(chrome, Seq("url", "yb", "tpl"), "left")
+      .groupBy("url", "page")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("is_chrome").isNull, 1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("is_chrome").isNull,
+            struct((-col("y")).as("ny"), col("line"))))),
+          s => s.getField("line")), "\n").as("text_clean"))
+      .orderBy("url", "page")
+  }
 
-  def oracles: Map[String, String] = Map("ex_pdfchrome" -> exPdfchromeSql)
+  val exPdfcleanSql: String =
+    s"""WITH lines AS (
+       |  SELECT url, page, y, string_agg(text, ' ' ORDER BY x) line
+       |  FROM $RUNS_PQ GROUP BY url, page, y),
+       |t AS (SELECT url, page, y, y // 4 yb,
+       |             regexp_replace(line, '[0-9]+', '#', 'g') tpl, line FROM lines),
+       |m AS (SELECT url, CAST(max(page) + 1 AS BIGINT) n_pages
+       |      FROM $RUNS_PQ GROUP BY url),
+       |chrome AS (
+       |  SELECT t.url, yb, tpl FROM t JOIN m USING (url)
+       |  GROUP BY t.url, yb, tpl, m.n_pages
+       |  HAVING count(DISTINCT page) >= greatest(2, (2 * n_pages + 2) // 3)),
+       |j AS (
+       |  SELECT t.url, t.page, t.y, t.line,
+       |         (c.tpl IS NOT NULL) is_chrome
+       |  FROM t LEFT JOIN chrome c
+       |    ON c.url = t.url AND c.yb = t.yb AND c.tpl = t.tpl)
+       |SELECT url, page,
+       |       count(*) n_lines,
+       |       CAST(count(CASE WHEN NOT is_chrome THEN 1 END) AS BIGINT) n_kept,
+       |       string_agg(CASE WHEN NOT is_chrome THEN line END, chr(10)
+       |                  ORDER BY y DESC) text_clean
+       |FROM j GROUP BY url, page ORDER BY url, page""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ex_pdfchrome" -> (exPdfchrome _),
+    "ex_pdfclean" -> (exPdfclean _))
+
+  def oracles: Map[String, String] = Map(
+    "ex_pdfchrome" -> exPdfchromeSql,
+    "ex_pdfclean" -> exPdfcleanSql)
 }

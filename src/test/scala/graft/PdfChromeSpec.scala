@@ -38,4 +38,30 @@ class PdfChromeSpec extends AnyFunSuite {
       rs.foreach(r => assert(r.getAs[Long]("n_pages") == nPages.toLong))
     }
   }
+
+  test("ex_pdfclean: chrome never survives, body always does, counts " +
+    "reconcile, reading order holds") {
+    val cleaned = PdfChrome.exPdfclean(spark, "").collect()
+    assert(cleaned.nonEmpty)
+    cleaned.foreach { r =>
+      val url = r.getAs[String]("url")
+      val text = r.getAs[String]("text_clean")
+      val nLines = r.getAs[Long]("n_lines")
+      val nKept = r.getAs[Long]("n_kept")
+      // chrome classes are gone
+      assert(!text.contains(" report"), url)
+      assert(!text.contains("draft copy"), url)
+      assert(!text.contains("page "), url)
+      // kept = body lines, plus the one-page 'internal only' stamp on page 0
+      // (one page < the 2-page floor, so it is NOT chrome and must survive)
+      val kept = text.split("\n").toSeq
+      assert(kept.length.toLong == nKept && nKept < nLines)
+      val (stamps, body) = kept.partition(_ == "internal only")
+      assert(body.forall(_.contains(" body ")), url)
+      assert(stamps.nonEmpty == (r.getAs[Int]("page") == 0), url)
+      // reading order top-to-bottom: the body ladder tags ascend (la, lb, …)
+      val tags = body.map(_.split(" ").last)
+      assert(tags == tags.sorted, s"$url reading order broke: $tags")
+    }
+  }
 }
