@@ -749,6 +749,83 @@ object StreamingOps {
        |       CAST(CASE WHEN rn <= $RL_BUDGET THEN 1 ELSE 0 END AS BIGINT) AS allowed
        |FROM r ORDER BY event_id""".stripMargin
 
+  // ---- streaming per-window heavy hitters --------------------------------
+
+  /** Streaming top-k (`st_topk`): per tumbling 4-hour window, the two most
+    * frequent event types with deterministic rank (count desc, type asc),
+    * emitted ONCE when the watermark closes the window — the trending /
+    * hot-host detector a crawl scheduler tails. Counts accumulate in
+    * per-window state ACROSS microbatches (the split-point window receives
+    * events from both batches — the state-carry witness) and emission
+    * happens via event-time timeout in a LATER batch than most of the data,
+    * never inline.
+    *
+    * Close rule, mirrored exactly by the oracle: a window emits iff the
+    * final watermark (max event time, 0s delay) passes its END — DuckDB
+    * keeps windows with `max(ts) > window_end`; the tail window still open
+    * at stream end never emits on either side.
+    *
+    * Scale shape: state per live window = one count per event type
+    * (vocabulary-bounded, evicted at close); one window = one state group
+    * here — at 100 TB key by (window, type-shard) and merge shards at the
+    * close, the two-level device ta_heavy uses.
+    */
+  def stTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = streamEventsSplit(spark, sfDir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("event_type"), window(col("ts"), "4 hours").as("w"), col("ts"))
+      .select(col("event_type"), unix_micros(col("w.start")).as("ws"),
+        unix_micros(col("w.end")).as("we"), col("ts"))
+    val ss = ev.sparkSession
+    import ss.implicits._
+    val out = ev.as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Map[String, Long], (Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (ws, rows, state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val top = state.get.toSeq.sortBy { case (t, c) => (-c, t) }.take(2)
+            state.remove()
+            top.iterator.zipWithIndex.map { case ((t, c), i) =>
+              (ws, t, c, (i + 1).toLong)
+            }
+          } else {
+            var m = state.getOption.getOrElse(Map.empty[String, Long])
+            var we = 0L
+            rows.foreach { r =>
+              m = m.updated(r._1, m.getOrElse(r._1, 0L) + 1L); we = r._3
+            }
+            state.update(m)
+            // legal timeout must sit strictly ahead of the current
+            // watermark (the stRatelimit device)
+            state.setTimeoutTimestamp(
+              math.max(we / 1000L, state.getCurrentWatermarkMs + 1))
+            Iterator.empty
+          }
+      }
+    runToTable(out.toDF("ws", "event_type", "cnt", "rk"),
+      "st_topk", "append", requireFeedingBatches = 2)
+      .select(timestamp_micros(col("ws")).cast("timestamp_ntz").as("wstart"),
+        col("event_type"), col("cnt"), col("rk"))
+      .orderBy("wstart", "rk")
+  }
+
+  val stTopkSql: String =
+    s"""WITH mx AS (SELECT max(ts) m FROM events),
+       |b AS (SELECT time_bucket(INTERVAL 4 HOUR, ts,
+       |                         TIMESTAMP '2024-01-01 00:00:00') ws,
+       |             event_type FROM events),
+       |c AS (SELECT ws, event_type, count(*) cnt FROM b GROUP BY 1, 2),
+       |r AS (SELECT ws, event_type, cnt,
+       |             CAST(row_number() OVER (PARTITION BY ws
+       |                          ORDER BY cnt DESC, event_type) AS BIGINT) rk
+       |      FROM c)
+       |SELECT ws wstart, event_type, cnt, rk
+       |FROM r, mx
+       |WHERE rk <= 2 AND m > ws + INTERVAL 4 HOUR
+       |ORDER BY wstart, rk""".stripMargin
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -762,7 +839,8 @@ object StreamingOps {
     "st_tws" -> (stTws _),
     "st_dedup" -> (stDedup _),
     "st_recrawl" -> (stRecrawl _),
-    "st_ratelimit" -> (stRatelimit _)
+    "st_ratelimit" -> (stRatelimit _),
+    "st_topk" -> (stTopk _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -776,6 +854,7 @@ object StreamingOps {
     "st_tws" -> stTwsSql,
     "st_dedup" -> stDedupSql,
     "st_recrawl" -> stRecrawlSql,
-    "st_ratelimit" -> stRatelimitSql
+    "st_ratelimit" -> stRatelimitSql,
+    "st_topk" -> stTopkSql
   )
 }
