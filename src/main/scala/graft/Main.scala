@@ -370,6 +370,9 @@ object Main {
           println(f"GRAPH n=$n edges=$ne trustrank(4 iters): $tt%.2f s ($rt nodes)")
           val (tc, rc) = timeMin(graft.operators.CrawlOps.cociteOver(edges).count())
           println(f"GRAPH n=$n edges=$ne cocite(cap=${graft.operators.CrawlOps.COCITE_CAP}): $tc%.2f s ($rc pairs)")
+          val (tl, rl) = timeMin(graft.operators.CrawlOps
+            .communitiesOver(edges).select("label").distinct().count())
+          println(f"GRAPH n=$n edges=$ne communities(4 rounds): $tl%.2f s ($rl labels)")
           return
         case "bloomindex" =>
           // bloomindex <tableDir> — (re)build per-file url bloom sidecars

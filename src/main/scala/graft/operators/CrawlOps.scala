@@ -1191,15 +1191,18 @@ object CrawlOps {
     * Rounds are fixed (4), lineage cut per round via localCheckpoint —
     * identical cost shape to ex_trustrank/ex_hits.
     */
-  def exCommunities(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The parameterized core: sync LPA over any directed edge DF (symmetrized
+    * here), `rounds` fixed iterations — shared by the staged-corpus query
+    * and `Main graph-soak`'s scale harness.
+    */
+  def communitiesOver(e0: DataFrame, rounds: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e0 = StructuredCorpus.commedges(spark)
     val ed = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     val nodes = ed.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node")).localCheckpoint()
     val w = Window.partitionBy("node").orderBy(desc("c"), col("label"))
-    for (_ <- 1 to 4) {
+    for (_ <- 1 to rounds) {
       val next = ed.join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
@@ -1210,8 +1213,11 @@ object CrawlOps {
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
         .localCheckpoint()
     }
-    labels.orderBy("node")
+    labels
   }
+
+  def exCommunities(spark: SparkSession, sfDir: String): DataFrame =
+    communitiesOver(StructuredCorpus.commedges(spark)).orderBy("node")
 
   val exCommunitiesSql: String = {
     val E = StructuredCorpus.COMMEDGES_PQ
