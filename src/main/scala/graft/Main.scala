@@ -374,6 +374,41 @@ object Main {
             .communitiesOver(edges).select("label").distinct().count())
           println(f"GRAPH n=$n edges=$ne communities(4 rounds): $tl%.2f s ($rl labels)")
           return
+        case "mirror-soak" =>
+          // mirror-soak <hosts> [docsPerHost] [reps] — dd_mirror's core on a
+          // DISTRIBUTED synthetic host corpus: every 10th host pair mirrors
+          // (full copy), every 10th+2 pair shares half; docs are pure
+          // spark.range expressions, never driver-side. Expected pairs =
+          // hosts/10 full + hosts/10 half mirrors.
+          val nh = args(1).toLong
+          val dph = if (args.length > 2) args(2).toInt else 51
+          // the boundary-mirror plant copies exactly 2/3 of dph docs, and
+          // 3*(2/3*dph) == 2*dph (J exactly 1/2) only when 3 | dph
+          require(dph % 3 == 0, s"docsPerHost must be divisible by 3, got $dph")
+          val mreps = if (args.length > 3) args(3).toInt else 2
+          import spark.implicits._
+          val docs = spark.range(nh * dph).select(
+            (col("id") / dph).cast("long").as("h"),
+            (col("id") % dph).as("d"))
+            // owner host: full mirrors (h%10==1 copies h-1, J=1); boundary
+            // mirrors (h%10==3 copies 2/3 of h-1: J = (2/3)/(4/3) = 1/2
+            // exactly — the >= rule must keep them)
+            .withColumn("owner", when(col("h") % 10 === 1, col("h") - 1)
+              .when(col("h") % 10 === 3 && col("d") % 3 =!= 0, col("h") - 1)
+              .otherwise(col("h")))
+            .select(concat(lit("mh"), col("h"), lit(".example.org")).as("host"),
+              concat(lit("doc "), col("owner"), lit(" "), col("d")).as("text"))
+            .localCheckpoint()
+          val nd = docs.count()
+          var best = Double.MaxValue; var pairs = 0L
+          (1 to mreps).foreach { _ =>
+            val t0 = System.nanoTime()
+            pairs = graft.operators.CrawlOps.mirrorOver(docs).count()
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          println(f"MIRROR hosts=$nh docs=$nd pairs=$pairs: $best%.2f s " +
+            f"(expect ${nh / 10} full + ${nh / 10} boundary = ${2 * (nh / 10)})")
+          return
         case "bloomindex" =>
           // bloomindex <tableDir> — (re)build per-file url bloom sidecars
           // for the latest snapshot (point-lookup file skipping)

@@ -1132,8 +1132,14 @@ object CrawlOps {
     * belong to ex_hostlines' removal, the df-cap complement); per-host set
     * sizes are a broadcast-sized side. Never an all-pairs host join.
     */
-  def ddMirror(spark: SparkSession, sfDir: String): DataFrame = {
-    val fps = StructuredCorpus.mirrordocs(spark)
+  def ddMirror(spark: SparkSession, sfDir: String): DataFrame =
+    mirrorOver(StructuredCorpus.mirrordocs(spark))
+
+  /** The parameterized core over any (host, text) frame — shared by the
+    * staged-corpus query and `Main mirror-soak`'s scale harness.
+    */
+  def mirrorOver(docs: DataFrame): DataFrame = {
+    val fps = docs
       .select(col("host"), md5(col("text")).as("fp")).distinct()
     val sizes = fps.groupBy("host").agg(count(lit(1)).as("n"))
     val common = fps.as("a").join(fps.as("b"),
