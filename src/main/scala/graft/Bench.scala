@@ -43,7 +43,7 @@ object Bench {
     "dd_components", "dd_lines", "dd_substr", "dd_bloom", "dd_incr_near", "dd_cdc", "ta_gopher",
     "sim_knn", "sim_ivf", "sim_pq", "dd_embed_cos", "dd_semantic", "ta_quality", "ta_tokens", "ta_ngrams",
     "ta_tfidf", "ta_pii", "ta_search", "ta_bpe", "ta_lm", "ta_dsir", "q_funnel",
-    "q_bucket_join", "st_session", "st_left_join", "st_ratelimit",
+    "q_bucket_join", "st_session", "st_left_join", "st_ratelimit", "st_topk",
     "q_pattern", "q_run_distinct", "q_drift", "q_outliers"
   )
 
