@@ -101,6 +101,55 @@ object FooterStats {
       .orderBy("file", "rg", "col")
   }
 
+  val ZSTD_DIR = s"${OracleCorpus.DIR}/export-zstd"
+
+  /** Zstd-compressed parquet export (`fmt_zstd`): the at-scale codec norm —
+    * snappy is the default but zstd is what a 100 TB archive actually ships
+    * (2–3× smaller at similar scan speed, and parquet-mr/DuckDB/Arrow all
+    * read it natively). The export writes the extraction output with
+    * `compression=zstd`; DuckDB decompresses the SAME files with its own
+    * zstd and the rollup must hash-match — a codec-layer corruption or an
+    * unsupported-codec fallback breaks it. (The fmt_json_gz of the columnar
+    * path.)
+    */
+  def fmtZstd(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureZstd(spark)
+    spark.read.parquet(ZSTD_DIR)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        md5(concat_ws(" ",
+          array_sort(collect_list(md5(col("text").cast("binary"))))).cast("binary"))
+          .as("texts_h"))
+      .orderBy("lang")
+  }
+
+  @volatile private var zstdDone = false
+
+  private def ensureZstd(spark: SparkSession): Unit = synchronized {
+    if (zstdDone) return
+    val marker = new java.io.File(s"${OracleCorpus.DIR}/_ZSTD_READY")
+    val stamp = s"zstd:${OracleCorpus.codeStamp()}"
+    if (!OracleCorpus.markerFresh(marker, stamp)) {
+      OracleCorpus.docs(spark)
+        .select(col("url"), col("lang"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+        .repartition(4, pmod(xxhash64(col("url")), lit(4)))
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(ZSTD_DIR)
+      OracleCorpus.writeMarker(marker, stamp)
+    }
+    zstdDone = true
+  }
+
+  val fmtZstdSql: String =
+    s"""SELECT lang, count(*) n,
+       |       CAST(sum(n_chars) AS BIGINT) sum_chars,
+       |       md5(string_agg(md5(text), ' ' ORDER BY md5(text))) texts_h
+       |FROM read_parquet('$ZSTD_DIR/*.parquet')
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** DuckDB reads the same footers with its own parquet implementation. */
   val fmtFooterSql: String =
     s"""SELECT regexp_extract(file_name, '[^/]+$$') AS file,

@@ -178,7 +178,8 @@ object Formats {
     "fmt_json_gz" -> (fmtJsonGz _),
     "fmt_csv" -> (fmtCsv _),
     "fmt_orc" -> (fmtOrc _),
-    "fmt_footer" -> (FooterStats.fmtFooter _)
+    "fmt_footer" -> (FooterStats.fmtFooter _),
+    "fmt_zstd" -> (FooterStats.fmtZstd _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -186,6 +187,7 @@ object Formats {
     "fmt_json_gz" -> fmtJsonGzSql,
     "fmt_csv" -> fmtCsvSql,
     "fmt_orc" -> fmtOrcSql,
-    "fmt_footer" -> FooterStats.fmtFooterSql
+    "fmt_footer" -> FooterStats.fmtFooterSql,
+    "fmt_zstd" -> FooterStats.fmtZstdSql
   )
 }
