@@ -959,6 +959,60 @@ object ExtractOracle {
        |FROM wf WHERE tag NOT IN ('h1', 'h2')
        |ORDER BY url, seq""".stripMargin
 
+  // ---- DOM-template families (wrapper induction, structure level) ---------
+
+  /** DOM-template clustering (`ex_domtpl`): pages sharing an IDENTICAL
+    * structure signature — md5 over the seq-ordered (tag:depth) sequence of
+    * every tokenizer block, text ignored — group into per-host template
+    * families; families with ≥ 2 pages are the site templates a wrapper-
+    * induction / selective-extraction pass targets (same CMS page type =
+    * same signature, different articles). The structural complement of
+    * ex_hostlines (which clusters by repeated TEXT): a template family with
+    * wildly different texts is invisible to the line rule and vice versa.
+    *
+    * Scale shape: one url-keyed aggregation builds signatures (blocks
+    * pre-combine map-side under the extraction pipeline's own url
+    * partitioning), one (host, sig) rollup — both corpus-linear; the
+    * signature is a constant-width hash so the rollup never carries block
+    * volume.
+    */
+  def exDomtpl(spark: SparkSession, sfDir: String): DataFrame = {
+    val bl = OracleCorpus.blocks(spark).toDF
+      .filter(col("kind") === "html" &&
+        col("flags").bitwiseAND(lit(graft.Model.FLAG_SENTINEL)) === 0)
+    val sigs = bl.groupBy("url")
+      .agg(md5(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("seq"),
+          concat_ws(":", col("tag"), col("depth")).as("td")))),
+        s => s.getField("td"))).cast("binary")).as("sig"),
+        count(lit(1)).as("n_blocks"))
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+    sigs.groupBy("host", "sig")
+      .agg(count(lit(1)).as("n_pages"), min(col("url")).as("exemplar"),
+        min(col("n_blocks")).as("n_blocks"))
+      .filter(col("n_pages") >= 2)
+      .orderBy("host", "sig")
+  }
+
+  val exDomtplSql: String =
+    s"""WITH b AS (
+       |  SELECT url, seq, tag || ':' || depth td
+       |  FROM $B WHERE kind = 'html' AND (flags & 2) = 0),
+       |sigs AS (
+       |  SELECT url,
+       |         md5(string_agg(td, ',' ORDER BY seq)) sig,
+       |         count(*) n_blocks
+       |  FROM b GROUP BY url),
+       |h AS (
+       |  SELECT regexp_extract(url, '^https?://([^/:]+)', 1) host, sig, url,
+       |         n_blocks
+       |  FROM sigs)
+       |SELECT host, sig, count(*) n_pages, min(url) exemplar,
+       |       CAST(min(n_blocks) AS BIGINT) n_blocks
+       |FROM h GROUP BY host, sig
+       |HAVING count(*) >= 2
+       |ORDER BY host, sig""".stripMargin
+
   // ---- contract surface --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -979,7 +1033,8 @@ object ExtractOracle {
     "ex_langid" -> (exLangid _),
     "ex_hostjoin" -> (exHostJoin _),
     "ex_salted" -> (exSalted _),
-    "ex_skewjoin" -> (exSkewJoin _)
+    "ex_skewjoin" -> (exSkewJoin _),
+    "ex_domtpl" -> (exDomtpl _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1000,6 +1055,7 @@ object ExtractOracle {
     "ex_langid" -> exLangidSql,
     "ex_hostjoin" -> exHostJoinSql,
     "ex_salted" -> exSaltedSql,
-    "ex_skewjoin" -> exSkewJoinSql
+    "ex_skewjoin" -> exSkewJoinSql,
+    "ex_domtpl" -> exDomtplSql
   )
 }
