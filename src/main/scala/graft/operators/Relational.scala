@@ -2528,7 +2528,59 @@ object Relational {
       |FROM tgt t FULL OUTER JOIN src s ON t.url = s.url
       |ORDER BY url""".stripMargin
 
+  // ---- order-independent table digests ------------------------------------
+
+  /** Cross-engine table checksums (`q_tabledigest`) — the migration-fidelity
+    * primitive: after copying/compacting/re-encoding a 100 TB table, both
+    * sides compute a digest that is (a) ORDER-independent (no global sort —
+    * a sort is the one thing you cannot afford), (b) partial-aggregable
+    * (map-side combine, one tiny exchange), and (c) engine-portable. Per
+    * row: the first 15 hex chars of md5 over a canonical `|`-joined column
+    * rendering (60 bits — BIGINT-safe in both engines), folded with
+    * `bit_xor` (commutative/associative ⇒ partition-order-free; overflow-
+    * free where a sum would carry). Any lost, duplicated, or altered row
+    * flips the digest. One row per audited table + exact row counts.
+    */
+  def qTabledigest(spark: SparkSession, sfDir: String): DataFrame = {
+    def dig(name: String, df: DataFrame, cols: Seq[String]): DataFrame = {
+      val rendered = concat_ws("|", cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+      df.select(conv(substring(md5(rendered.cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("digest"))
+    }
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    dig("documents", docs, Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .unionByName(dig("lineitem_keys", li,
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")))
+      .orderBy("tbl")
+  }
+
+  val qTabledigestSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(('0x' || substr(md5(concat_ws('|',
+       |           coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+       |           coalesce(text, chr(0)),
+       |           coalesce(lang, chr(0)),
+       |           coalesce(source, chr(0)),
+       |           coalesce(CAST(n_chars AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT) h
+       |  FROM documents),
+       |l AS (
+       |  SELECT CAST(('0x' || substr(md5(concat_ws('|',
+       |           coalesce(CAST(l_orderkey AS VARCHAR), chr(0)),
+       |           coalesce(CAST(l_partkey AS VARCHAR), chr(0)),
+       |           coalesce(CAST(l_suppkey AS VARCHAR), chr(0)),
+       |           coalesce(CAST(l_linenumber AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT) h
+       |  FROM lineitem)
+       |SELECT tbl, n_rows, digest FROM (
+       |  SELECT 'documents' tbl, count(*) n_rows, bit_xor(h) digest FROM d
+       |  UNION ALL
+       |  SELECT 'lineitem_keys', count(*), bit_xor(h) FROM l)
+       |ORDER BY tbl""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tabledigest" -> (qTabledigest _),
     "q_merge" -> (qMerge _),
     "q_listagg" -> (qListagg _),
     "q_bits" -> (qBits _),
@@ -2621,6 +2673,7 @@ object Relational {
     "q_pattern" -> qPatternSql,
     "q_drift" -> qDriftSql,
     "q_outliers" -> qOutliersSql,
+    "q_tabledigest" -> qTabledigestSql,
     "q_run_distinct" -> qRunDistinctSql,
     "q_decay" -> qDecaySql,
     "q_retention" -> qRetentionSql,
