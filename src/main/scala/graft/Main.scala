@@ -22,7 +22,7 @@ object Main {
     val minArgs =
       if (args.nonEmpty && Set("profile", "scale", "mat-bench", "explain",
         "compact", "vacuum", "history", "changes", "soak", "tags", "meta",
-        "bloomindex", "graph-soak").contains(args(0))) 2
+        "bloomindex", "graph-soak", "mirror-soak", "doctor").contains(args(0))) 2
       else if (args.nonEmpty && Set("extract-incr", "upsert-stream").contains(args(0))) 4
       else 3
     if (args.length < minArgs) {
