@@ -430,7 +430,14 @@ object Multimodal {
     require(bb.getInt(14) >= 40, "bmp: pre-BITMAPINFOHEADER header")
     val w = bb.getInt(18); val rawH = bb.getInt(22)
     require(w > 0 && rawH != 0, "bmp: degenerate dimensions")
-    val topDown = rawH < 0; val h = math.abs(rawH)
+    val topDown = rawH < 0; val hL = math.abs(rawH.toLong)
+    // bound the geometry in Long BEFORE any Int arithmetic: an adversarial
+    // header must fail THIS require, never overflow into a negative
+    // rowBytes / array size downstream (the documented deterministic-
+    // IllegalArgumentException contract)
+    require(w.toLong * hL <= (1L << 26) && w <= (1 << 24) && hL <= (1L << 24),
+      "bmp: dimensions exceed supported bounds")
+    val h = hL.toInt
     require(bb.getShort(26) == 1, "bmp: planes != 1")
     require(bb.getShort(28) == 24, "bmp: only 24bpp supported")
     require(bb.getInt(30) == 0, "bmp: compressed variants unsupported")

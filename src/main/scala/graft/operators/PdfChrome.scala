@@ -42,8 +42,27 @@ object PdfChrome {
   private def w(i: Long, k: Int): String =
     WORDS(Rng.nextInt(31L, 40L + k, i, WORDS.length))
 
+  /** One doc past the regular range is the all-chrome witness: every line
+    * on every page is chrome (title + footer only), so `ex_pdfclean` must
+    * emit NULL `text_clean` for it on BOTH engines (Spark's empty
+    * collect_list is nullif'd to match DuckDB's all-NULL string_agg).
+    */
+  val WITNESS: Long = N_DOCS
+
   /** Multi-page PDF bytes with planted chrome for doc `i`. */
   def chromePdf(i: Long): Array[Byte] = {
+    if (i == WITNESS) {
+      val title = s"${w(i, 0)} ${w(i, 1)} report"
+      val contents = (0 until 3).map { p =>
+        val sb = new StringBuilder("BT /F1 12 Tf\n")
+        sb.append(s"1 0 0 1 72 760 Tm ($title) Tj\n")
+        sb.append(s"1 0 0 1 280 40 Tm (page) Tj\n")
+        sb.append(s"1 0 0 1 340 40 Tm (${p + 1}) Tj\n")
+        sb.append("ET\n")
+        sb.toString
+      }
+      return Corpus.pdfBytes(contents, flate = false, badFilter = false)
+    }
     val nPages = 3 + (i % 3).toInt
     val boundary = math.max(2, (2 * nPages + 2) / 3)
     val title = s"${w(i, 0)} ${w(i, 1)} report"
@@ -82,10 +101,10 @@ object PdfChrome {
   private def ensure(spark: SparkSession): Unit = synchronized {
     if (done) return
     val marker = new java.io.File(s"${OracleCorpus.DIR}/_PDFCHROME_READY")
-    val stamp = s"chrome:$N_DOCS:${OracleCorpus.codeStamp()}"
+    val stamp = s"chrome:$N_DOCS+w:${OracleCorpus.codeStamp()}"
     if (!OracleCorpus.markerFresh(marker, stamp)) {
       import spark.implicits._
-      spark.range(N_DOCS).flatMap { i =>
+      spark.range(N_DOCS + 1).flatMap { i =>
         val url = s"https://pdf.example.org/r/$i"
         PdfRuns.parse(chromePdf(i)).get.map(b => (url, b.depth, b.x, b.y, b.text))
       }.toDF("url", "page", "x", "y", "text")
@@ -155,10 +174,12 @@ object PdfChrome {
       .agg(
         count(lit(1)).as("n_lines"),
         count(when(col("is_chrome").isNull, 1)).as("n_kept"),
-        array_join(transform(
+        // nullif: a page whose every line is chrome must yield NULL, like
+        // DuckDB's string_agg over all-NULL CASE values (witness doc 80)
+        nullif(array_join(transform(
           array_sort(collect_list(when(col("is_chrome").isNull,
             struct((-col("y")).as("ny"), col("line"))))),
-          s => s.getField("line")), "\n").as("text_clean"))
+          s => s.getField("line")), "\n"), lit("")).as("text_clean"))
       .orderBy("url", "page")
   }
 

@@ -114,15 +114,25 @@ object Doctor {
     // ---- deep: layout-function placement (one distributed scan)
     (deep, buckets) match {
       case (Some(spark), Some(nb)) =>
-        val misplaced = spark.read.parquet(s"$tableDir/data")
-          .select(col("url"), col("bucket"))
-          .withColumn("want", pmod(xxhash64(col("url")), lit(nb.toLong)).cast("int"))
-          .filter(col("bucket") =!= col("want"))
-          .groupBy("bucket").count().collect()
-        misplaced.foreach { r =>
-          out += Finding("ERROR", "misplaced-rows",
-            s"bucket ${r.getAs[Int]("bucket")}: ${r.getAs[Long]("count")} row(s) " +
-              "hash elsewhere — bucket pruning/lookup would miss them")
+        // a diagnosis tool must REPORT an unreadable table, never crash on
+        // it; the expected-bucket expression is PageTable's own layout
+        // function, so the two can never silently drift apart
+        try {
+          val misplaced = spark.read.parquet(s"$tableDir/data")
+            .select(col("url"), col("bucket"))
+            .withColumn("want", PageTable.bucketCol(nb))
+            .filter(col("bucket") =!= col("want"))
+            .groupBy("bucket").count().collect()
+          misplaced.foreach { r =>
+            out += Finding("ERROR", "misplaced-rows",
+              s"bucket ${r.getAs[Int]("bucket")}: ${r.getAs[Long]("count")} row(s) " +
+                "hash elsewhere — bucket pruning/lookup would miss them")
+          }
+        } catch {
+          case e: Exception =>
+            out += Finding("ERROR", "deep-scan-failed",
+              s"deep scan of $tableDir/data unreadable: " +
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
         }
       case _ => ()
     }

@@ -48,7 +48,11 @@ object FooterStats {
       OracleCorpus.docs(spark)
         .select(col("url"), col("text"),
           col("nBlocks"), col("nDropped"),
-          length(col("text")).cast("long").as("n_chars"))
+          length(col("text")).cast("long").as("n_chars"),
+          // all-NULL integer column: the witness for NULL min/max footer
+          // stats (parquet writes hasNonNullValue=false; DuckDB reports
+          // NULL stats_min_value — both sides must agree)
+          lit(null).cast("long").as("n_null_w"))
         .repartition(4, pmod(xxhash64(col("url")), lit(4)))
         .sortWithinPartitions("url")
         .write.mode("overwrite")
@@ -87,10 +91,15 @@ object FooterStats {
                   if (tn != INT32 && tn != INT64) None
                   else {
                     val st = c.getStatistics
+                    // all-null column ⇒ no min/max exists: emit NULL like
+                    // DuckDB's NULL stats_min_value, never dereference
+                    val (mn, mx) =
+                      if (st != null && st.hasNonNullValue)
+                        (Some(st.genericGetMin.asInstanceOf[Number].longValue),
+                          Some(st.genericGetMax.asInstanceOf[Number].longValue))
+                      else (None, None)
                     Some((base, rg, c.getPath.toDotString, c.getValueCount,
-                      st.getNumNulls,
-                      st.genericGetMin.asInstanceOf[Number].longValue,
-                      st.genericGetMax.asInstanceOf[Number].longValue))
+                      st.getNumNulls, mn, mx))
                   }
                 }
             }

@@ -51,6 +51,22 @@ class BmpSpec extends AnyFunSuite {
     reject(bpp16, "16bpp")
     val rle = good.clone(); rle(30) = 1.toByte
     reject(rle, "compressed")
+    // adversarial geometry: declared dimensions whose Int products overflow
+    // (w*3, w*h) must fail the bounds require, not wrap into a negative
+    // rowBytes / array size (the pre-fix crash path)
+    def putW(v: Int): Array[Byte] = { val b = good.clone()
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(18, v); b }
+    reject(putW(0x40000000), "overflow width")
+    reject(putW(Int.MaxValue), "max width")
+    val minH = good.clone()
+    java.nio.ByteBuffer.wrap(minH).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    reject(minH, "Int.MinValue height")
+    val bigBoth = putW(1 << 16)
+    java.nio.ByteBuffer.wrap(bigBoth).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, 1 << 16)
+    reject(bigBoth, "w*h exceeds pixel cap")
     // every truncation length parses-or-refuses without crashing elsewhere
     (0 until good.length by 7).foreach { n =>
       try Multimodal.bmpDecode(good.take(n))

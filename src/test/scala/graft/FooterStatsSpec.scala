@@ -26,8 +26,18 @@ class FooterStatsSpec extends AnyFunSuite {
     assert(rgPerFile.values.forall(_ >= 2),
       s"expected >=2 row groups per file, got $rgPerFile")
 
-    // no integer column in the export is nullable in practice
-    assert(stats.forall(_.getAs[Long]("n_nulls") == 0L))
+    // the planted all-NULL witness column: every value is a null, and the
+    // footer carries NO min/max (NULL on both engines) — the guard that
+    // used to NPE before the hasNonNullValue fix
+    val (witness, rest) = stats.partition(_.getAs[String]("col") == "n_null_w")
+    assert(witness.nonEmpty)
+    witness.foreach { r =>
+      assert(r.getAs[Long]("n_nulls") == r.getAs[Long]("num_values"), r.toString)
+      assert(r.isNullAt(r.fieldIndex("min_v")) && r.isNullAt(r.fieldIndex("max_v")),
+        r.toString)
+    }
+    // every OTHER integer column in the export is non-nullable in practice
+    assert(rest.forall(_.getAs[Long]("n_nulls") == 0L))
 
     // per-column value counts sum to the exported row count
     val data = spark.read.parquet(FooterStats.FOOT_DIR)

@@ -15,10 +15,15 @@ class PdfChromeSpec extends AnyFunSuite {
   test("ex_pdfchrome: planted chrome classes, boundary, and decoys") {
     val rows = PdfChrome.exPdfchrome(spark, "").collect()
     val byUrl = rows.groupBy(_.getAs[String]("url"))
-    assert(byUrl.size == PdfChrome.N_DOCS)
+    assert(byUrl.size == PdfChrome.N_DOCS + 1) // + the all-chrome witness
 
     byUrl.foreach { case (url, rs) =>
       val i = url.substring(url.lastIndexOf('/') + 1).toLong
+      if (i == PdfChrome.WITNESS) {
+        // witness: only title + footer exist and BOTH are chrome on all pages
+        assert(rs.length == 2, s"$url: ${rs.mkString(";")}")
+        assert(rs.forall(_.getAs[Long]("n_hit") == 3L), url)
+      } else {
       val nPages = 3 + (i % 3).toInt
       val boundary = math.max(2, (2 * nPages + 2) / 3)
       val tpls = rs.map(r => r.getAs[String]("tpl") -> r.getAs[Long]("n_hit")).toMap
@@ -36,6 +41,7 @@ class PdfChromeSpec extends AnyFunSuite {
       assert(!tpls.contains("internal only"), url)
       assert(!tpls.keys.exists(_.contains(" body ")), url)
       rs.foreach(r => assert(r.getAs[Long]("n_pages") == nPages.toLong))
+      }
     }
   }
 
@@ -43,7 +49,16 @@ class PdfChromeSpec extends AnyFunSuite {
     "reconcile, reading order holds") {
     val cleaned = PdfChrome.exPdfclean(spark, "").collect()
     assert(cleaned.nonEmpty)
-    cleaned.foreach { r =>
+    // the all-chrome witness: every page yields NULL text_clean (not ""),
+    // zero kept lines — the cross-engine empty-vs-NULL divergence pin
+    val witness = cleaned.filter(
+      _.getAs[String]("url").endsWith(s"/${PdfChrome.WITNESS}"))
+    assert(witness.length == 3)
+    witness.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("text_clean")), r.toString)
+      assert(r.getAs[Long]("n_kept") == 0L && r.getAs[Long]("n_lines") == 2L)
+    }
+    cleaned.filterNot(witness.contains).foreach { r =>
       val url = r.getAs[String]("url")
       val text = r.getAs[String]("text_clean")
       val nLines = r.getAs[Long]("n_lines")
