@@ -430,7 +430,7 @@ object Main {
           val minAge =
             if (args.length > 2) args(2).toLong * 3600 * 1000
             else graft.sources.Compact.DEFAULT_VACUUM_MIN_AGE_MS
-          val (n, bytes) = graft.sources.Compact.vacuum(args(1), minAge)
+          val (n, bytes) = graft.sources.Compact.vacuum(spark, args(1), minAge)
           println(s"vacuumed $n orphan files ($bytes bytes)")
           return
         case "doctor" =>
@@ -440,7 +440,7 @@ object Main {
           // layout-function placement check. Exit 1 on any ERROR finding.
           val deep = args.length > 2 && args(2) == "--deep"
           val findings = graft.sources.Doctor.audit(
-            args(1), if (deep) Some(spark) else None)
+            args(1), Some(spark), deep = deep)
           findings.foreach(f => println(f"${f.severity}%-5s ${f.code}%-15s ${f.detail}"))
           if (findings.exists(_.severity == "ERROR")) sys.exit(1)
           return

@@ -287,6 +287,48 @@ object Compact {
     */
   def vacuum(tableDir: String,
              minAgeMs: Long = DEFAULT_VACUUM_MIN_AGE_MS): (Int, Long) = {
+    val (latest @ _, liveVersions) = vacuumPrepare(tableDir)
+    val liveSet: Set[String] = liveVersions
+      .flatMap(v => Snapshots.files(tableDir, v).toSeq.flatMap(_._2)).toSet
+    val dataDir = new java.io.File(tableDir, "data")
+    val base = dataDir.toPath
+    val horizon = System.currentTimeMillis() - minAgeMs
+    val orphans = Snapshots.walkData(dataDir)
+      .filterNot(f => liveSet.contains(base.relativize(f.toPath).toString))
+      .filter(_.lastModified() <= horizon)
+    vacuumDelete(dataDir, orphans.map(f => (base.relativize(f.toPath).toString, f.length())))
+  }
+
+  /** Distributed VACUUM: the live-set diff runs ON EXECUTORS — the on-disk
+    * listing is one walk task per top-level partition dir
+    * ([[Manifests.listingDf]]), the live set (latest ∪ every tag) is a
+    * manifest text scan, and candidates = listing ANTI-JOIN live with the
+    * age floor applied executor-side. Only the debris-sized delete list is
+    * collected; the deletes themselves stay driver-side (single mutator,
+    * like every commit in this table layer). Same findings/returns as the
+    * driver-walk overload — DoctorSpec-style parity is pinned in
+    * MetaDistSpec.
+    */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+             minAgeMs: Long): (Int, Long) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (_, liveVersions) = vacuumPrepare(tableDir)
+    val dataDir = new java.io.File(tableDir, "data")
+    val horizon = System.currentTimeMillis() - minAgeMs
+    val live = Manifests.manifestsDf(spark, tableDir, liveVersions)
+    val orphans = Manifests.listingDf(spark, dataDir)
+      .filter(col("mtime_ms") <= lit(horizon))
+      .join(live, Seq("path"), "left_anti")
+      .select("path", "size_bytes")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    vacuumDelete(dataDir, orphans)
+  }
+
+  /** Shared preamble: intent replay + live-version resolution. Returns
+    * (latest version, versions whose files are GC-protected = latest plus
+    * every tagged snapshot — the Iceberg ref-reachable retention rule).
+    */
+  private def vacuumPrepare(tableDir: String): (Int, Seq[Int]) = {
     repair(tableDir)
     // a half-published branch file (moved, pre-snapshot) must be rolled
     // FORWARD before the latest version is read, or its commit would land
@@ -295,28 +337,22 @@ object Compact {
     val latest = Snapshots.latestVersion(tableDir).getOrElse(
       throw new IllegalStateException(
         s"$tableDir has no snapshot log; vacuum needs one to know what is live"))
-    // live = the latest snapshot PLUS every tagged snapshot (S19): a tag
-    // pins its corpus against GC until untagged, the Iceberg ref-reachable
-    // retention rule
-    val (_, live) = Snapshots.files(tableDir, latest).get
-    val tagged = Snapshots.tags(tableDir)
-      .flatMap { case (_, v) => Snapshots.files(tableDir, v).toSeq.flatMap(_._2) }
-    val liveSet = live.toSet ++ tagged
-    val dataDir = new java.io.File(tableDir, "data")
-    val base = dataDir.toPath
-    val horizon = System.currentTimeMillis() - minAgeMs
-    val orphans = Snapshots.walkData(dataDir)
-      .filterNot(f => liveSet.contains(base.relativize(f.toPath).toString))
-      .filter(_.lastModified() <= horizon)
-    val bytes = orphans.map(_.length()).sum
-    orphans.foreach(_.delete())
+    (latest, (latest +: Snapshots.tags(tableDir).map(_._2)).distinct)
+  }
+
+  /** Shared deletion tail: remove the (relative path, size) debris list and
+    * drop emptied partition dirs. Returns (files removed, bytes removed).
+    */
+  private def vacuumDelete(dataDir: java.io.File,
+                           orphans: Seq[(String, Long)]): (Int, Long) = {
+    orphans.foreach { case (rel, _) => new java.io.File(dataDir, rel).delete() }
     // drop leaf/bucket dirs emptied by the cleanup
     for {
       bDir <- dataDir.listFiles.toSeq if bDir.isDirectory
       dDir <- bDir.listFiles.toSeq if dDir.isDirectory && dDir.listFiles.isEmpty
     } dDir.delete()
     dataDir.listFiles.filter(f => f.isDirectory && f.listFiles.isEmpty).foreach(_.delete())
-    (orphans.size, bytes)
+    (orphans.size, orphans.map(_._2).sum)
   }
 
   /** Snapshot history: (version, epoch millis, file count) ascending. */

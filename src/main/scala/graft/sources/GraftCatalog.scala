@@ -308,14 +308,22 @@ object Snapshots {
     * The ONE definition of "what counts as a data file", shared by
     * [[record]] and [[Compact.vacuum]] so they can never disagree.
     */
-  def walkData(dataDir: java.io.File): Seq[java.io.File] = {
+  def walkData(dataDir: java.io.File): Seq[java.io.File] =
+    if (dataDir.isDirectory) dataDir.listFiles.toSeq.flatMap(walkEntry)
+    else Seq.empty
+
+  /** The same walk applied to ONE root entry (file or directory) — the unit
+    * [[Manifests.listingDf]] ships to executors so a 10^5-file listing is
+    * one task per top-level partition dir instead of one driver loop.
+    */
+  def walkEntry(f: java.io.File): Seq[java.io.File] = {
     def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (hidden(f.getName)) Seq.empty
-      else if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f)
+    def walk(g: java.io.File): Seq[java.io.File] =
+      if (hidden(g.getName)) Seq.empty
+      else if (g.isDirectory) g.listFiles.toSeq.flatMap(walk)
+      else if (g.getName.endsWith(".parquet")) Seq(g)
       else Seq.empty
-    if (dataDir.isDirectory) dataDir.listFiles.toSeq.flatMap(walk) else Seq.empty
+    walk(f)
   }
 
   /** Shared recursive delete (maintenance paths only — never reachable from

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,13 +30,17 @@ import java.util
   *   pages$refs      — one row per tag: pinned version, its commit time and
   *                     file count (S19).
   *
-  * Scale shape: rows materialize DRIVER-side via [[LocalScan]], bounded by
-  * the snapshot log / live file count — the same driver-held lists `vacuum`,
-  * `history`, and snapshot commits already walk (a manifest-as-text design
-  * is driver-bounded by construction; a 100 TB table with millions of files
-  * would shard its manifests first, at which point these become parquet
-  * scans over the manifest shards). Built fresh at every scan, so a query
-  * always sees the current log.
+  * Scale shape: `$snapshots`/`$refs` are log-bounded (one row per version /
+  * tag) and materialize driver-side via [[LocalScan]]. `$files` and
+  * `$partitions` are FILE-COUNT-bounded, so they plan a real DISTRIBUTED
+  * batch scan: one [[InputPartition]] per top-level partition directory,
+  * carrying that directory's shard of the latest manifest; executors walk
+  * their subtree ([[Snapshots.walkEntry]]) and stat files there, and only
+  * result rows reach the driver. At 10^5–10^6 files the listing/stat
+  * round-trips — the first wall an operator hits on an object store —
+  * parallelize across the cluster (see [[Manifests]] for the same shape
+  * serving doctor and vacuum). Built fresh at every scan, so a query always
+  * sees the current log.
   */
 object MetaTables {
 
@@ -85,9 +89,9 @@ object MetaTables {
 
   def table(name: String, meta: String, tableDir: String): Table = meta match {
     case "snapshots"  => new MetaTable(name, SNAPSHOTS_SCHEMA, () => snapshotRows(tableDir))
-    case "files"      => new MetaTable(name, FILES_SCHEMA, () => fileRows(tableDir))
+    case "files"      => new DistMetaTable(name, FILES_SCHEMA, tableDir, "files")
     case "refs"       => new MetaTable(name, REFS_SCHEMA, () => refRows(tableDir))
-    case "partitions" => new MetaTable(name, PARTITIONS_SCHEMA, () => partitionRows(tableDir))
+    case "partitions" => new DistMetaTable(name, PARTITIONS_SCHEMA, tableDir, "partitions")
   }
 
   private def snapshotRows(tableDir: String): Array[InternalRow] = {
@@ -102,15 +106,51 @@ object MetaTables {
     }.toArray
   }
 
-  private def fileRows(tableDir: String): Array[InternalRow] = {
+  /** One shard = one top-level entry under `data/` (a `bucket=N` dir, or a
+    * loose root file), plus that entry's slice of the latest manifest. The
+    * planning work is O(#top-level entries) driver-side; everything under
+    * the entry — the recursive walk, per-file stat, manifest membership —
+    * runs in the shard's task. Because every partition-path component
+    * (bucket=, day=) lives UNDER one top-level entry, per-shard
+    * `$partitions` aggregation is globally complete with no shuffle.
+    */
+  private[sources] case class MetaShard(
+      dataDir: String, top: String, manifest: Array[String])
+      extends InputPartition
+
+  private[sources] def planShards(tableDir: String, kind: String): Array[InputPartition] = {
     val dataDir = new java.io.File(tableDir, "data")
-    val inLatest: Set[String] =
-      Snapshots.latestVersion(tableDir)
-        .flatMap(v => Snapshots.files(tableDir, v)).map(_._2.toSet)
-        .getOrElse(Set.empty)
-    Snapshots.walkData(dataDir)
-      .map(f => (dataDir.toPath.relativize(f.toPath).toString, f.length()))
+    val latest: Seq[String] = Snapshots.latestVersion(tableDir)
+      .flatMap(v => Snapshots.files(tableDir, v)).map(_._2).getOrElse(Seq.empty)
+    def topOf(rel: String): String = {
+      val i = rel.indexOf('/'); if (i < 0) rel else rel.substring(0, i)
+    }
+    val byTop: Map[String, Seq[String]] = latest.groupBy(topOf)
+    val tops: Seq[String] = kind match {
+      // $files lists what is ON DISK (debris included) — shard by the real
+      // directory tree; $partitions rolls up the LATEST SNAPSHOT — shard by
+      // the manifest's own top-level components (a referenced-but-deleted
+      // dir must still produce its group, sized 0, like the driver walk did)
+      case "files" =>
+        if (!dataDir.isDirectory) Seq.empty
+        else dataDir.listFiles.toSeq.map(_.getName)
+          .filterNot(n => n.startsWith(".") || n.startsWith("_")).sorted
+      case _ => byTop.keys.toSeq.sorted
+    }
+    tops.map(t => MetaShard(dataDir.getAbsolutePath, t,
+      byTop.getOrElse(t, Seq.empty).toArray): InputPartition).toArray
+  }
+
+  /** Executor-side: the shard's on-disk files, rel path / partition values /
+    * size / latest-snapshot membership.
+    */
+  private[sources] def fileShardRows(s: MetaShard): Iterator[InternalRow] = {
+    val base = java.nio.file.Paths.get(s.dataDir)
+    val inLatest = s.manifest.toSet
+    Snapshots.walkEntry(new java.io.File(s.dataDir, s.top))
+      .map(f => (base.relativize(f.toPath).toString, f.length()))
       .sortBy(_._1)
+      .iterator
       .map { case (rel, len) =>
         val bucket = BUCKET_RE.findFirstMatchIn(rel).map(_.group(1).toInt)
         val day = DAY_RE.findFirstMatchIn(rel).map(_.group(1))
@@ -119,21 +159,17 @@ object MetaTables {
           bucket.map(Int.box).orNull,
           day.map(UTF8String.fromString).orNull,
           len, inLatest.contains(rel))): InternalRow
-      }.toArray
+      }
   }
 
-  /** One row per (bucket, day) partition of the LATEST snapshot — the
-    * skew/size profile a maintenance planner reads before compaction or a
-    * query planner uses to estimate partition pruning gain. Aggregates the
-    * same snapshot file list every scan plans; driver-bounded like the rest.
+  /** Executor-side: the shard's manifest slice rolled up to (bucket, day)
+    * groups — the skew/size profile a maintenance planner reads before
+    * compaction. Complete per shard (groups never span top-level entries).
     */
-  private def partitionRows(tableDir: String): Array[InternalRow] = {
-    val dataDir = new java.io.File(tableDir, "data")
-    val latest = Snapshots.latestVersion(tableDir)
-      .flatMap(v => Snapshots.files(tableDir, v)).map(_._2).getOrElse(Seq.empty)
-    latest
+  private[sources] def partitionShardRows(s: MetaShard): Iterator[InternalRow] = {
+    s.manifest.toSeq
       .map { rel =>
-        val f = new java.io.File(dataDir, rel)
+        val f = new java.io.File(s.dataDir, rel)
         val bucket = BUCKET_RE.findFirstMatchIn(rel).map(_.group(1).toInt)
         val day = DAY_RE.findFirstMatchIn(rel).map(_.group(1))
         ((bucket, day), if (f.isFile) f.length() else 0L)
@@ -141,12 +177,13 @@ object MetaTables {
       .groupBy(_._1).toSeq
       .map { case ((b, d), xs) => (b, d, xs.size, xs.map(_._2).sum) }
       .sortBy { case (b, d, _, _) => (b.getOrElse(Int.MaxValue), d.getOrElse("")) }
+      .iterator
       .map { case (b, d, nf, nb) =>
         new GenericInternalRow(Array[Any](
           b.map(Int.box).orNull,
           d.map(UTF8String.fromString).orNull,
           nf, nb)): InternalRow
-      }.toArray
+      }
   }
 
   private def refRows(tableDir: String): Array[InternalRow] =
@@ -181,4 +218,54 @@ private[sources] class MetaTable(
         override def description(): String = s"GraftMetaTable $tableName"
       }
     }
+}
+
+/** The file-count-bounded metadata tables (`$files`, `$partitions`) as a
+  * real distributed DSv2 batch scan: planInputPartitions shards by
+  * top-level data-dir entry (manifest slice attached), and the reader
+  * factory walks/stats/aggregates ON EXECUTORS — the plan shows a
+  * BatchScan with one task per shard, not a LocalTableScan.
+  */
+private[sources] class DistMetaTable(
+    tableName: String,
+    schemaDef: StructType,
+    tableDir: String,
+    kind: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = schemaDef
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = schemaDef
+        override def description(): String =
+          s"GraftMetaTable $tableName distributed $kind"
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          MetaTables.planShards(tableDir, kind)
+        override def createReaderFactory(): PartitionReaderFactory =
+          new MetaShardReaderFactory(kind)
+      }
+    }
+}
+
+private[sources] class MetaShardReaderFactory(kind: String)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val shard = p.asInstanceOf[MetaTables.MetaShard]
+    val it =
+      if (kind == "files") MetaTables.fileShardRows(shard)
+      else MetaTables.partitionShardRows(shard)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
 }

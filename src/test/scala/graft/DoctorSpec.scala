@@ -16,8 +16,16 @@ class DoctorSpec extends AnyFunSuite {
     dir
   }
 
-  private def codes(dir: String, deep: Boolean = false): Set[String] =
-    Doctor.audit(dir, if (deep) Some(spark) else None).map(_.code).toSet
+  /** Both audit modes must agree exactly: the distributed (anti-join) path
+    * a cluster runs and the driver-walk path no-session triage runs.
+    */
+  private def codes(dir: String, deep: Boolean = false): Set[String] = {
+    val dist = Doctor.audit(dir, Some(spark), deep = deep).map(_.code).toSet
+    val local = Doctor.audit(dir, None).map(_.code).toSet
+    assert(local == (dist - "misplaced-rows" - "deep-scan-failed") || local == dist,
+      s"driver-walk audit disagrees: dist=$dist local=$local")
+    dist
+  }
 
   test("doctor: healthy table is clean, including deep") {
     val dir = freshTable()
