@@ -462,63 +462,17 @@ object Main {
             .show(100, truncate = false)
           return
         case "extract-incr" =>
-          // version-checkpointed incremental extraction: consume the pages
-          // table's snapshot delta since the last run, extract, land the
-          // window under a DETERMINISTIC path (rerun after a crash before
-          // the state save overwrites the same window — idempotent), then
-          // advance the checkpoint
-          import spark.implicits._
-          val dir = args(1); val out = args(2)
-          val state = new java.io.File(args(3))
-          val last =
-            if (state.isFile)
-              new String(java.nio.file.Files.readAllBytes(state.toPath)).trim.toInt
-            else -1
-          val latest = graft.sources.Snapshots.latestVersion(dir).getOrElse(-1)
-          if (latest <= last) { println(s"up to date at v$last"); return }
-          // compaction guard: readChanges is an append-only file diff, so a
-          // compaction between the checkpointed version and latest rewrites
-          // the SURVIVING corpus into "new" files and the delta would
-          // silently re-extract it all as duplicates. Detect it by diffing
-          // the manifests for REMOVED files; when found, anti-join the delta
-          // against urls already extracted into earlier windows (reads only
-          // the url column of prior windows — pruned scan, exact result).
-          val fromFiles: Set[String] =
-            if (last < 0) Set.empty
-            else graft.sources.Snapshots.files(dir, last)
-              .map(_._2.toSet).getOrElse(Set.empty)
-          val removed = fromFiles --
-            graft.sources.Snapshots.files(dir, latest).get._2.toSet
-          val delta0 = graft.sources.PageTable.readChanges(spark, dir, last, latest)
-          val delta1 =
-            if (removed.isEmpty) delta0
-            else {
-              System.err.println(s"[extract-incr] WARNING: ${removed.size} files " +
-                s"removed between v$last and v$latest (compaction/delete in the " +
-                "window) — anti-joining delta against already-extracted urls")
-              val prior = spark.read.option("basePath", out).parquet(out)
-                .select("url")
-              delta0.join(prior, Seq("url"), "left_anti")
-            }
-          val delta = delta1
-            .select("url", "warc_ts", "html", "text", "lang").as[Page]
-          // window path keyed by the START version only: a crash before the
-          // state save reruns with the SAME start version and overwrites the
-          // SAME window — idempotent even when new snapshots landed in the
-          // crash gap (an end-version-keyed path would orphan the stale
-          // window and double-count its docs)
-          val window = s"$out/window=v${last + 1}"
-          val docs = graft.operators.Extract.extract(delta).toDF()
-          docs.write.mode("overwrite").parquet(window)
-          val n = spark.read.parquet(window).count()
-          state.getParentFile match { case null => (); case d => d.mkdirs() }
-          // atomic tmp+rename (the Snapshots.record device): a crash mid-
-          // write must never leave a corrupt checkpoint that wedges reruns
-          val tmpState = new java.io.File(state.getParentFile, s".${state.getName}.tmp")
-          java.nio.file.Files.write(tmpState.toPath, latest.toString.getBytes)
-          if (!tmpState.renameTo(state))
-            throw new IllegalStateException(s"checkpoint commit failed: $state")
-          println(s"extracted $n docs from v${last + 1}..v$latest -> $window")
+          // version-checkpointed incremental extraction; see
+          // operators.IncrementalExtract for the window/checkpoint contract
+          // and the bloom-pre-filtered compaction guard
+          graft.operators.IncrementalExtract.runOnce(
+            spark, args(1), args(2), new java.io.File(args(3))) match {
+            case None => println("up to date")
+            case Some(r) =>
+              println(s"extracted ${r.nDocs} docs from v${r.fromV}..v${r.toV} " +
+                s"-> ${r.window}" +
+                (if (r.compactionGuard) " (compaction guard active)" else ""))
+          }
           return
         case "changes" =>
           // incremental snapshot scan: rows appended after snapshot <fromV>

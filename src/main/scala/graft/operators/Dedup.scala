@@ -345,12 +345,44 @@ object Dedup {
   def allpairs(spark: SparkSession, sfDir: String): DataFrame =
     allpairsOver(docsWithDups(spark, sfDir))
 
+  /** Density guard (VERDICT_r04 #2): the exact prefix join's candidate
+    * volume is Σ_s c_s·(c_s−1)/2 over the PREFIX postings — when that
+    * exceeds this factor × n_docs, the corpus is saturated (shingles shared
+    * by large doc fractions survive even prefix selection) and NO exact
+    * algorithm escapes the blow-up: candidate volume is inherent, not an
+    * implementation artifact. Above the threshold [[allpairsOver]] routes
+    * candidates through the banded MinHash index instead — LOUDLY (stderr
+    * routing message) — and keeps the exact full-set verification, so every
+    * emitted pair still has true Jaccard ≥ t (false negatives bounded by
+    * LSH band recall; zero false positives). Real-web density stays on the
+    * exact path: boilerplate shingles are hot, rank last, and never reach
+    * the prefixes, so the probe stays far under the threshold there.
+    */
+  val AP_DENSITY_FACTOR = 64L
+
   /** The prefix+positional-filtered join over any (doc_id, text) frame
-    * (tests drive it with planted corpora).
+    * (tests drive it with planted corpora), density-guarded. The probe is
+    * ONE partial-aggregated pass over the prefix postings (at archive scale
+    * the prefix index would be at-rest and the probe a metadata read).
     */
   private[graft] def allpairsOver(docs: DataFrame): DataFrame = {
     val sh = shingleIndex(docs)
     val prefix = apPrefix(sh)
+    val estCand = prefix.groupBy("shingle").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1L) div 2L")), lit(0L)).as("cand"))
+      .collect()(0).getLong(0)
+    val nDocs = docs.count()
+    if (estCand > AP_DENSITY_FACTOR * nDocs) {
+      System.err.println(
+        s"[dd_allpairs] WARNING: dense corpus — prefix join would meet on " +
+          s"~$estCand candidate pairs for $nDocs docs " +
+          s"(> ${AP_DENSITY_FACTOR}x); routing candidates through banded " +
+          "MinHash (exact verification kept: emitted pairs are true " +
+          "J>=t, recall bounded by the bands). Use dd_minhash_lsh / " +
+          "dd_ngram_jaccard directly for tunable dense-corpus dedup.")
+      return apVerify(
+        minhashPairsOver(docs).select("doc_a", "doc_b"), sh)
+    }
     val cand = prefix.as("a")
       .join(
         prefix.as("b"),
@@ -372,6 +404,13 @@ object Dedup {
             >= expr(s"(${AP_T}L * (a.n + b.n) + ${99 + AP_T}L) div ${100 + AP_T}L"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    apVerify(cand, sh)
+  }
+
+  /** Exact verification tail shared by both candidate routes: full-set
+    * intersection + integer-div Jaccard against the UNCAPPED shingle sets.
+    */
+  private def apVerify(cand: DataFrame, sh: DataFrame): DataFrame = {
     val sets = sh.groupBy("doc_id")
       .agg(sort_array(collect_list("shingle")).as("s"), count(lit(1)).as("n"))
     cand
@@ -1000,6 +1039,33 @@ object Dedup {
       .select(col("doc_id"), col("fp"),
         coalesce(col("seen"), lit(false)).as("dup_of_history"))
       .orderBy("doc_id")
+  }
+
+  /** EXACT `left LEFT ANTI JOIN right ON key` with the big RIGHT side
+    * pre-filtered map-side by a bloom of the small LEFT side's keys — the
+    * dd_bloom device as a reusable primitive (consumed by the extract-incr
+    * compaction guard). Right rows whose key cannot occur on the left never
+    * enter the exchange, so the shuffle carries the candidate overlap, not
+    * the archive; bloom false positives merely pass through to the exact
+    * join. `numBits` defaults to 2 MiB of filter — ~16 bits/key at 10^6
+    * left keys (fpp < 1e-3); oversizing only wastes one broadcast literal.
+    */
+  private[graft] def bloomPreAnti(left: DataFrame, right: DataFrame, key: String,
+      estItems: Long = 1L << 20, numBits: Long = 1L << 24): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64, BloomFilterMightContain}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.GraftShim
+    import org.apache.spark.sql.types.BinaryType
+    val bloomAgg = GraftShim.column(new BloomFilterAggregate(
+      new XxHash64(Seq(GraftShim.catalystExpression(col(key)))),
+      Literal(estItems), Literal(numBits)).toAggregateExpression())
+    val bytes = left.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    if (bytes == null) return left // empty left: nothing to subtract from
+    val mightContain = GraftShim.column(new BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      new XxHash64(Seq(GraftShim.catalystExpression(col(key))))))
+    left.join(right.filter(mightContain).select(key).distinct(),
+      Seq(key), "left_anti")
   }
 
   /** The oracle never sees the bloom: it IS the plain exact join — agreement

@@ -503,6 +503,47 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(pairs == naive, s"positional filter must be lossless (${pairs.size} vs ${naive.size})")
   }
 
+  test("allpairs density guard: saturated corpus routes to banded candidates, " +
+    "emitted pairs stay exactly verified; sparse corpus stays on the exact path") {
+    import spark.implicits._
+    // saturated: every doc shares one 24-token template, differing in a
+    // single trailing token — every shingle's prefix posting count ~ n_docs,
+    // so Σ c(c-1)/2 >> 64·n_docs and the guard MUST trip
+    val tpl = (1 to 24).map(i => s"tpl$i").mkString(" ")
+    val dense = (0 until 48).map(i => (i.toLong, s"$tpl tail$i")).toDF("doc_id", "text")
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    val out = try Dedup.allpairsOver(dense).collect() finally System.setErr(old)
+    assert(new String(buf.toByteArray).contains("dense corpus"),
+      "density guard must trip LOUDLY on the saturated corpus")
+    val sh = Dedup.shingleIndex(dense)
+    val sets = sh.as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(out.nonEmpty, "guarded run must still emit the verified pairs")
+    out.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = (sa & sb).size
+      assert(r.getLong(2) == inter.toLong, s"inter wrong for ($a,$b)")
+      assert(100 * inter / (sa.size + sb.size - inter) >= Dedup.AP_T,
+        s"guarded path emitted a below-threshold pair ($a,$b)")
+    }
+    // recall on the saturated corpus: near-identical docs share all bands,
+    // so the banded route recovers (nearly) every true pair — at least 90%
+    // of the naive-verified ground truth here
+    val ids = sets.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids; j <- ids if i < j
+      inter = (sets(i) & sets(j)).size
+      if 100 * inter / (sets(i).size + sets(j).size - inter) >= Dedup.AP_T
+    } yield (i, j)).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), "no false positives ever")
+    assert(got.size >= (truth.size * 9) / 10,
+      s"banded recall collapsed: ${got.size} of ${truth.size}")
+  }
+
   test("connected components: injected dup pairs cluster with min-id canonical") {
     val r = Dedup.components(spark, SF).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
