@@ -614,6 +614,8 @@ object Multimodal {
   val AUDFP = s"$ORACLE_DIR/media-aud-fps"
   val AUDFP_PQ = s"read_parquet('$AUDFP/*.parquet')"
   val WAVSAMP_PQ = s"read_parquet('$WAVSAMP/*.parquet')"
+  val JPEGPIX = s"$ORACLE_DIR/media-jpeg-pixels"
+  val JPEGPIX_PQ = s"read_parquet('$JPEGPIX/*.parquet')"
   val N_MEDIA = 500L
 
   /** Per-sample decoded PCM table (media_id, i, v) — lets the oracle
@@ -779,14 +781,146 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---- JPEG (the web's dominant image format; JDK ImageIO) ----------------
+
+  /** Encode a BufferedImage as real JPEG bytes at an EXPLICIT quality —
+    * the JDK's own writer (no new dependency). Lossy: decoded pixels are a
+    * function of the encoder, which is exactly why every JPEG consumer
+    * below cross-checks against a MATERIALIZED decode table (the
+    * ExtractOracle device) instead of re-deriving pixels from a generator.
+    */
+  def jpegBytes(img: java.awt.image.BufferedImage, quality: Float = 0.92f): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** JPEG re-encode of a decoded payload (PNG in, JPEG out) — the web's
+    * re-export provenance: same picture, different container and bytes.
+    */
+  def jpegVariant(payload: Array[Byte], quality: Float = 0.92f): Array[Byte] =
+    jpegBytes(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)), quality)
+
+  /** A smooth deterministic gradient image (id-phased): the photographic
+    * luminance profile JPEG is built for — block means survive the lossy
+    * round trip nearly exactly, so a PNG↔JPEG re-encode pair lands within
+    * dHash hamming [[PHASH_HAM_MAX]] (noise patterns would not).
+    */
+  def smoothImage(id: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // id-distinct triangle waves (a plain monotone gradient would give every
+    // image the SAME dHash — all right-neighbours brighter — and pair the
+    // whole smooth class together); frequencies/phase vary per id so
+    // different ids land far apart in hamming while staying locally smooth
+    val fx = 2 + (id % 7L).toInt
+    val fy = 2 + ((id / 7L) % 5L).toInt
+    val ph = (id * 29L % 255L).toInt
+    def tri(v: Int): Int = { val m = v % 510; if (m < 255) m else 509 - m }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val t = tri(x * fx * 255 / math.max(1, w - 1)
+          + y * fy * 255 / math.max(1, h - 1) + ph)
+        img.setRGB(x, y, (t << 16) | (tri(t + 85) << 8) | tri(t + 170))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** The staged JPEG corpus: every corpus PNG re-encoded lossy under
+    * id+40000 — mixed PNG+JPEG provenance, decoded by the SAME
+    * format-sniffing ImageIO path downstream.
+    */
+  def jpegMedia(spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media(spark, N_MEDIA).filter(_.kind == "png").map(r =>
+      MediaRow(r.media_id + 40000L, "jpeg", jpegVariant(r.payload)))
+  }
+
+  /** Per-image REAL decoded-JPEG statistics + a bit-exact luminance hash
+    * (row-major md5) — partition-batched production decode.
+    */
+  def jpegStats(rows: Dataset[MediaRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.filter(_.kind == "jpeg").mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"jpeg decode failed for ${r.media_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var lum = 0L
+        val sb = new StringBuilder
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val l = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            lum += l
+            if (x > 0 || y > 0) sb.append(',')
+            sb.append(l)
+            x += 1
+          }
+          y += 1
+        }
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (r.media_id, w, h, w.toLong * h, lum,
+          d.map(b => f"${b & 0xff}%02x").mkString)
+      }
+    }.toDF("media_id", "width", "height", "n_pix", "sum_lum", "lum_h")
+  }
+
+  /** Per-pixel luminance table of the decoded JPEGs — the materialized
+    * decode the DuckDB oracle recomputes `mm_jpeg`'s rollup from (lossy
+    * decode is not SQL-able; determinism of the production decode plus the
+    * rollup math are what's cross-checked).
+    */
+  def jpegPixels(rows: Dataset[MediaRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.filter(_.kind == "jpeg").mapPartitions { it =>
+      it.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        for { y <- 0 until h; x <- 0 until w } yield {
+          val rgb = img.getRGB(x, y)
+          (r.media_id, w, h, x, y,
+            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff))
+        }
+      }
+    }.toDF("media_id", "w", "h", "x", "y", "lum")
+  }
+
+  /** How many smooth PNG↔JPEG re-encode pairs the phash corpus plants. */
+  val N_JPEG_PAIRS = 24
+
   /** PNG corpus + planted duplicate classes: every 2nd image re-encoded
     * bit-identical under id+10000 (hamming 0), every 3rd re-encoded with a
     * +8 brightness shift under id+20000 (hamming ~0: dHash differences
-    * cancel a uniform shift except where channels clamp at 255).
+    * cancel a uniform shift except where channels clamp at 255), PLUS
+    * [[N_JPEG_PAIRS]] smooth PNG/JPEG re-encode pairs under 90000+k /
+    * 95000+k — the cross-FORMAT near-dup class (same picture, different
+    * container): raw payload hashing can never catch these, dHash over the
+    * decoded pixels pairs them because JPEG preserves block means on
+    * photographic (smooth) content.
     */
   def pngWithDups(spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
-    media(spark, N_MEDIA).filter(_.kind == "png").flatMap { r =>
+    val base = media(spark, N_MEDIA).filter(_.kind == "png").flatMap { r =>
       val dup =
         if (r.media_id % 2 == 0)
           Seq(MediaRow(r.media_id + 10000L, "png", pngVariant(r.payload, 0)))
@@ -797,6 +931,16 @@ object Multimodal {
         else Seq.empty
       Seq(r) ++ dup ++ bright
     }
+    val pairs = spark.range(N_JPEG_PAIRS.toLong).flatMap { k =>
+      val (w, h) = (24 + (k % 5).toInt * 8, 24 + (k % 3).toInt * 8)
+      val img = smoothImage(k, w, h)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Seq(
+        MediaRow(90000L + k, "png", bos.toByteArray),
+        MediaRow(95000L + k, "jpeg", jpegBytes(img)))
+    }
+    base.unionByName(pairs)
   }
 
   /** Production phash table: decode + dHash per partition, the 64 bits
@@ -829,6 +973,7 @@ object Multimodal {
       pngPixels(m).write.mode("overwrite").parquet(PIXELS)
       wavStats(m).write.mode("overwrite").parquet(WAVSTATS)
       wavSampleRows(m).write.mode("overwrite").parquet(WAVSAMP)
+      jpegPixels(jpegMedia(spark)).write.mode("overwrite").parquet(JPEGPIX)
       phashTable(pngWithDups(spark)).write.mode("overwrite").parquet(PHASH)
       vidHashTable(vidWithDups(spark)).write.mode("overwrite").parquet(VIDHASH)
       audFpTable(audWithDups(spark)).write.mode("overwrite").parquet(AUDFP)
@@ -1316,7 +1461,25 @@ object Multimodal {
        |       md5(string_agg(CAST(lum AS VARCHAR), ',' ORDER BY y, x)) lum_h
        |FROM $PIXELS_PQ GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** `mm_jpeg`: the production partition-batched JPEG decode re-run per
+    * image (width/height, exact luminance sum, bit-exact row-major md5);
+    * the oracle recomputes the identical rollup from the MATERIALIZED
+    * per-pixel decode table — same device as mm_bmp/mm_resize, applied to
+    * the web's dominant (lossy) image format.
+    */
+  def mmJpeg(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark)
+    jpegStats(jpegMedia(spark)).orderBy("media_id")
+  }
+
+  val mmJpegSql: String =
+    s"""SELECT media_id, CAST(min(w) AS INT) width, CAST(min(h) AS INT) height,
+       |       count(*) n_pix, CAST(sum(lum) AS BIGINT) sum_lum,
+       |       md5(string_agg(CAST(lum AS VARCHAR), ',' ORDER BY y, x)) lum_h
+       |FROM $JPEGPIX_PQ GROUP BY media_id ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_jpeg" -> (mmJpeg _),
     "mm_meta" -> (mmMeta _),
     "mm_frames" -> (mmFrames _),
     "mm_png" -> (mmPng _),
@@ -1332,6 +1495,7 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "mm_jpeg" -> mmJpegSql,
     "mm_meta" -> mmMetaSql,
     "mm_frames" -> mmFramesSql,
     "mm_png" -> mmPngSql,

@@ -816,6 +816,43 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(brightFound == brightPlanted.size,
       s"brightness variants paired: $brightFound/${brightPlanted.size} " +
         "(dHash cancels uniform shifts — all should land within hamming 3)")
+    // cross-FORMAT near-dups (VERDICT_r04 #3): the smooth PNG↔JPEG
+    // re-encode pairs — raw payload hashing can never catch these; JPEG
+    // preserves block means on smooth content so dHash pairs them. A couple
+    // of planted images sit on cell-mean ties and exceed the hamming bound
+    // (lossy is lossy); >=85% must pair, and nothing may pair ACROSS
+    // different smooth ids (the pre-fix degenerate-gradient failure mode)
+    val jpegFound = (0 until Multimodal.N_JPEG_PAIRS).count(k =>
+      pairs.exists(p => p._1 == 90000L + k && p._2 == 95000L + k))
+    assert(jpegFound * 100 >= Multimodal.N_JPEG_PAIRS * 85,
+      s"PNG-JPEG re-encode pairs recovered: $jpegFound/${Multimodal.N_JPEG_PAIRS}")
+    pairs.filter(p => p._1 >= 90000L).foreach { p =>
+      assert(p._2 == p._1 + 5000L,
+        s"unrelated smooth images must NOT pair: $p")
+    }
+  }
+
+  test("mm_jpeg: real lossy decode is deterministic and pixel-faithful on " +
+    "smooth content") {
+    // the staged jpegs are re-encodes of the png corpus; decode must be
+    // stable across two independent decodes (the determinism the
+    // materialized-oracle device rests on) ...
+    val a = Multimodal.jpegStats(Multimodal.jpegMedia(spark))
+      .orderBy("media_id").collect()
+    val b = Multimodal.jpegStats(Multimodal.jpegMedia(spark))
+      .orderBy("media_id").collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq, "jpeg decode not deterministic")
+    // ... and dimensions survive the lossy round trip exactly
+    val pngIds = (0L until Multimodal.N_MEDIA)
+      .filter(id => Multimodal.mediaRow(7L, id).kind == "png")
+    assert(a.length == pngIds.size)
+    a.zip(pngIds).foreach { case (r, id) =>
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.mediaRow(7L, id).payload))
+      assert(r.getLong(0) == id + 40000L)
+      assert(r.getInt(1) == src.getWidth && r.getInt(2) == src.getHeight)
+      assert(r.getLong(3) == src.getWidth.toLong * src.getHeight)
+    }
   }
 
   test("png payloads are real images: JDK decode recovers the exact pattern") {
