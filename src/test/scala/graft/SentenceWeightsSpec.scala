@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the round-5 TextAnalysis additions: the sentence splitter's
+  * guard behavior on hand-computed witness docs (the oracle only proves
+  * both engines agree — THIS proves they agree on the right answer), the
+  * sentence-aligned chunk rule, and the broadcast-weight classifier's plan
+  * shape (broadcast, no shuffle before the oracle sort).
+  */
+class SentenceWeightsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("ta_sentences: every splitter guard behaves as specified on witness " +
+    "sentences") {
+    val rows = TextAnalysis.sentences(spark, "").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.size == TextAnalysis.N_SENT_DOCS)
+
+    // reconstruct expected counts per doc from the generator: each pattern
+    // contributes a known number of sentences
+    def expectSents(i: Long): Int = {
+      val n = 3 + (i % 6).toInt
+      (0 until n).map { s =>
+        ((i * 7 + s) % 8) match {
+          case 2 => 2 // "Wait... Really now." — capital after ellipsis splits
+          case _ => 1 // everything else is exactly one sentence:
+          // abbrevs/initials/decimals protected; "It works... mostly fine."
+          // does NOT split (lowercase continuation)
+        }
+      }.sum
+    }
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.length == expectSents(id),
+        s"doc $id: got ${rs.length} sentences, want ${expectSents(id)}")
+      // sent_ids dense from 0
+      assert(rs.map(_._2).sorted.toSeq == (0 until rs.length).map(_.toLong))
+      // chunk rule: sentence s sits in chunk floor(tokens_before/CHUNK) —
+      // chunk ids are non-decreasing and start at 0
+      val byId = rs.sortBy(_._2)
+      assert(byId.head._4 == 0L)
+      byId.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 >= a._4 && b._4 <= a._4 + 1)
+        case _ => ()
+      }
+      // chunk boundaries align to sentence starts by construction: verify
+      // the floor rule directly
+      var cum = 0L
+      byId.foreach { case (_, _, nt, ck) =>
+        assert(ck == cum / TextAnalysis.SENT_CHUNK, s"doc $id chunk rule")
+        cum += nt
+      }
+    }
+    // at least one doc exercises each witness pattern (patterns cycle)
+    assert(byDoc.exists { case (id, rs) => expectSents(id) > 3 + (id % 6).toInt })
+  }
+
+  test("ta_weights: broadcast plan, no shuffle before the oracle sort, " +
+    "weights actually hit") {
+    val df = TextAnalysis.weightsClassify(spark, "")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"weight map must broadcast:\n$plan")
+    // the only exchange is the final orderBy's range partitioning — the
+    // scorer itself is scan-speed (zero-exchange per-row lambda)
+    val shuffles = "ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(!plan.contains("hashpartitioning"),
+      s"scorer must not shuffle (found hash exchange):\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && shuffles >= 0)
+    // non-degenerate: the staged vocabulary covers the corpus, so scores
+    // are non-zero for most docs and both polarities occur
+    val scores = rows.map(_.getLong(2))
+    assert(scores.count(_ != 0L) > rows.length / 2)
+    assert(scores.exists(_ > 0) && scores.exists(_ < 0))
+  }
+}
