@@ -367,7 +367,13 @@ object Dedup {
     */
   private[graft] def allpairsOver(docs: DataFrame): DataFrame = {
     val sh = shingleIndex(docs)
+    // persist the prefix index: the probe and the self-join share ONE
+    // computation (Spark's cache is logical-plan-keyed, so repeated calls
+    // over the same input reuse the same entry rather than accumulate).
+    // At archive scale this is the at-rest index the probe would read as
+    // metadata; MEMORY_AND_DISK so an oversized index degrades, not OOMs.
     val prefix = apPrefix(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val estCand = prefix.groupBy("shingle").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(expr("c * (c - 1L) div 2L")), lit(0L)).as("cand"))
       .collect()(0).getLong(0)
