@@ -959,11 +959,14 @@ object TextAnalysis {
     * marker table is a compile-time literal (a trained model would broadcast;
     * plan shape unchanged). Runs at scan speed at 100 TB.
     */
-  def langid(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The deterministic marker-planting expression shared by [[langid]] and
+    * [[langidW]]: text + m markers of the labeled language (m = doc_id%3+2,
+    * cycling) + ONE decoy marker of the alphabetically-next language.
+    */
+  private def langidPlanted: Column = {
     val langs = LANG_MARKERS.map(_._1)
     val next: Map[String, String] =
       langs.zip(langs.tail :+ langs.head).toMap
-    // planted = text + m markers of `lang` (m = doc_id%3 + 2, cycling) + 1 decoy
     val markerArr: Map[String, Column] =
       LANG_MARKERS.toMap.map { case (l, ms) => l -> array(ms.map(lit): _*) }
     val langCol = col("lang")
@@ -971,7 +974,7 @@ object TextAnalysis {
       LANG_MARKERS.tail.foldLeft(when(langCol === LANG_MARKERS.head._1, sel(LANG_MARKERS.head._1))) {
         case (acc, (l, _)) => acc.when(langCol === l, sel(l))
       }
-    val planted = concat_ws(" ",
+    concat_ws(" ",
       col("text"),
       array_join(
         transform(
@@ -979,6 +982,11 @@ object TextAnalysis {
           k => element_at(markersOf(markerArr), ((col("doc_id") + k) % 4).cast("int") + 1)),
         " "),
       markersOf(l => lit(LANG_MARKERS.toMap.apply(next(l)).head)))
+  }
+
+  def langid(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = LANG_MARKERS.map(_._1)
+    val planted = langidPlanted
     val scored = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("lang"), Toks.tokens(planted).as("tk"))
       .select(
@@ -1995,6 +2003,142 @@ object TextAnalysis {
        |       (coalesce(sc.score, 0) // greatest(len(t.tok), 1) > 0) AS kept
        |FROM t LEFT JOIN sc USING (url) ORDER BY t.url""".stripMargin
 
+  val MARKERS_DIR = s"${graft.sources.OracleCorpus.DIR}/langid-markers"
+  val MARKERS_PQ = s"read_parquet('$MARKERS_DIR/*.parquet')"
+  val LM_MODEL_DIR = s"${graft.sources.OracleCorpus.DIR}/lm-bigrams"
+  val LM_MODEL_PQ = s"read_parquet('$LM_MODEL_DIR/*.parquet')"
+
+  @volatile private var artifactsDone = false
+
+  /** Stage the remaining model ARTIFACTS as parquet (VERDICT_r04 #6, the
+    * full list): the langid marker vocabulary (lang, marker — what a
+    * trained CLD/fastText lexicon ships as after pruning) and the bigram
+    * LM (w1, w2, p_x1e6 — a counted model over the extraction corpus, the
+    * KenLM-style table after integer quantization).
+    */
+  private def ensureArtifacts(spark: SparkSession): Unit = synchronized {
+    if (artifactsDone) return
+    val marker = new java.io.File(s"${graft.sources.OracleCorpus.DIR}/_ARTIFACTS_READY")
+    val stamp = s"a:${graft.sources.OracleCorpus.codeStamp()}"
+    if (!graft.sources.OracleCorpus.markerFresh(marker, stamp)) {
+      import spark.implicits._
+      LANG_MARKERS.flatMap { case (l, ms) => ms.map(m => (l, m)) }
+        .toDF("lang", "marker")
+        .coalesce(1).write.mode("overwrite").parquet(MARKERS_DIR)
+      val t = Toks.tokens(col("text"))
+      val bg = graft.sources.OracleCorpus.docs(spark).select(
+          explode(zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+            slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      val ca = bg.groupBy("w1").agg(count(lit(1)).as("c_a"))
+      cab.join(ca, Seq("w1"))
+        .selectExpr("w1", "w2", "(1000000 * c_ab) div c_a AS p_x1e6")
+        .coalesce(1).write.mode("overwrite").parquet(LM_MODEL_DIR)
+      graft.sources.OracleCorpus.writeMarker(marker, stamp)
+    }
+    artifactsDone = true
+  }
+
+  /** `ta_langid_w`: language ID scored against the EXTERNAL marker table
+    * (broadcast equi-join on the exploded tokens) instead of compile-time
+    * literals — [[langid]]'s production shape. Same planted corpus, same
+    * scoring rule (marker hits per language, argmax with alphabetical
+    * tie-break), so agreement with the staged artifact proves the lexicon
+    * path end to end. Scale: the lexicon broadcasts (lexicons are KB–MB);
+    * one partial-agg'd (doc, lang) rollup + a per-doc argmax window —
+    * corpus-linear, no lexicon-size term in the shuffle.
+    */
+  def langidW(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensureArtifacts(spark)
+    val markers = spark.read.parquet(MARKERS_DIR)
+      .select(col("lang").as("mlang"), col("marker"))
+    val hits = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), explode(Toks.tokens(langidPlanted)).as("tk"))
+      .join(broadcast(markers), col("tk") === col("marker"))
+      .groupBy("doc_id", "lang", "mlang").agg(count(lit(1)).as("s"))
+    hits
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("s"), col("mlang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("mlang").as("pred_lang"),
+        col("s").as("best_score"),
+        when(col("mlang") === col("lang"), lit(1L)).otherwise(lit(0L)).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  val langidWSql: String = {
+    val langs = LANG_MARKERS.map(_._1)
+    val nextHead: Map[String, String] = {
+      val m = LANG_MARKERS.toMap
+      langs.zip(langs.tail :+ langs.head).map { case (l, n) => l -> m(n).head }.toMap
+    }
+    val markerCase = LANG_MARKERS
+      .map { case (l, ms) => s"WHEN '$l' THEN [${ms.map(m => s"'$m'").mkString(", ")}]" }
+      .mkString(" ")
+    val decoyCase = LANG_MARKERS
+      .map { case (l, _) => s"WHEN '$l' THEN '${nextHead(l)}'" }
+      .mkString(" ")
+    s"""WITH planted AS (
+       |  SELECT doc_id, lang,
+       |         text || ' ' ||
+       |         array_to_string([ (CASE lang $markerCase END)[CAST((doc_id + k) % 4 AS INT) + 1]
+       |                           for k in generate_series(0, CAST(doc_id % 3 AS INT) + 1) ], ' ')
+       |         || ' ' || (CASE lang $decoyCase END) AS text
+       |  FROM documents),
+       |tk AS (SELECT doc_id, lang, unnest(${Toks.SQL_TOKENS}) tk FROM planted),
+       |hits AS (
+       |  SELECT t.doc_id, t.lang, m.lang mlang, CAST(count(*) AS BIGINT) s
+       |  FROM tk t JOIN $MARKERS_PQ m ON t.tk = m.marker
+       |  GROUP BY 1, 2, 3),
+       |r AS (SELECT doc_id, lang, mlang, s,
+       |             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, mlang) rk
+       |      FROM hits)
+       |SELECT doc_id, lang, mlang AS pred_lang, s AS best_score,
+       |       CAST(CASE WHEN mlang = lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** `ta_lm_w`: the bigram-LM fluency score against the EXTERNAL counted
+    * model table ([[lmScore]]'s production shape — the quantized KenLM-ish
+    * artifact read from parquet and broadcast). Scored over the extraction
+    * corpus the model was counted on (full coverage, so the inner model
+    * join is total); at web scale the shipped table is the pruned top-K +
+    * backoff, same broadcast + partial-agg plan shape.
+    */
+  def lmW(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureArtifacts(spark)
+    val t = Toks.tokens(col("text"))
+    val model = spark.read.parquet(LM_MODEL_DIR)
+    val bg = graft.sources.OracleCorpus.docs(spark).select(
+        col("url"),
+        explode(zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("url"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    bg.groupBy("url", "w1", "w2").agg(count(lit(1)).as("k"))
+      .join(broadcast(model), Seq("w1", "w2"))
+      .groupBy("url")
+      .agg(sum(col("k")).as("n_pairs"),
+        sum(col("k") * col("p_x1e6")).as("mass"))
+      .selectExpr("url", "n_pairs", "mass div n_pairs AS lm_x1e6")
+      .orderBy("url")
+  }
+
+  val lmWSql: String =
+    s"""WITH toks AS (
+       |  SELECT url, ${Toks.SQL_TOKENS} t FROM ${graft.sources.OracleCorpus.DOCS_PQ}),
+       |bg AS (
+       |  SELECT url, t[i] AS w1, t[i+1] AS w2
+       |  FROM (SELECT url, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+       |db AS (SELECT url, w1, w2, CAST(count(*) AS BIGINT) k FROM bg GROUP BY 1, 2, 3)
+       |SELECT url, CAST(sum(k) AS BIGINT) n_pairs,
+       |       CAST(sum(k * p_x1e6) AS BIGINT) // CAST(sum(k) AS BIGINT) AS lm_x1e6
+       |FROM db JOIN $LM_MODEL_PQ m USING (w1, w2)
+       |GROUP BY url ORDER BY url""".stripMargin
+
   // ---- sentence segmentation + sentence-aligned chunking -------------------
 
   val SENT_DIR = s"${graft.sources.OracleCorpus.DIR}/sentence-docs"
@@ -2128,6 +2272,8 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_weights" -> (weightsClassify _),
+    "ta_langid_w" -> (langidW _),
+    "ta_lm_w" -> (lmW _),
     "ta_sentences" -> (sentences _),
     "ta_heaps" -> (heaps _),
     "ta_linefix" -> (linefix _),
@@ -2166,6 +2312,8 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "ta_weights" -> weightsClassifySql,
+    "ta_langid_w" -> langidWSql,
+    "ta_lm_w" -> lmWSql,
     "ta_sentences" -> sentencesSql,
     "ta_heaps" -> heapsSql,
     "ta_linefix" -> linefixSql,

@@ -57,6 +57,29 @@ class SentenceWeightsSpec extends AnyFunSuite {
     assert(byDoc.exists { case (id, rs) => expectSents(id) > 3 + (id % 6).toInt })
   }
 
+  test("ta_langid_w: the external-lexicon path predicts IDENTICALLY to the " +
+    "literal-marker path; ta_lm_w broadcasts the model") {
+    val sf = "/root/testdata/sf0.001"
+    val lit = TextAnalysis.langid(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    val art = TextAnalysis.langidW(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("pred_lang"),
+        r.getAs[Long]("correct")))
+    assert(art.nonEmpty && art.length == lit.size)
+    art.foreach { case (id, pred, _) =>
+      assert(lit(id) == pred, s"doc $id: artifact path predicted $pred, " +
+        s"literal path ${lit(id)}")
+    }
+    // the planted corpus is recoverable: the artifact path is near-perfect
+    assert(art.count(_._3 == 1L) * 10 >= art.length * 9)
+    // both artifact joins broadcast (lexicons/models are KB–MB; the corpus
+    // side must never shuffle against artifact size)
+    val p1 = TextAnalysis.langidW(spark, sf).queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin") || p1.contains("BroadcastExchange"), p1)
+    val p2 = TextAnalysis.lmW(spark, sf).queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin") || p2.contains("BroadcastExchange"), p2)
+  }
+
   test("ta_weights: broadcast plan, no shuffle before the oracle sort, " +
     "weights actually hit") {
     val df = TextAnalysis.weightsClassify(spark, "")
