@@ -330,7 +330,7 @@ object Main {
             case Some(s) => (None, Some(s))
             case None => (None, None)
           }
-          val (v, n) = graft.sources.Clone.run(args(1), args(2), ver, tagRef)
+          val (v, n) = graft.sources.Clone.run(spark, args(1), args(2), ver, tagRef)
           println(s"cloned ${args(1)} v$v -> ${args(2)} ($n files linked)")
           return
         case "graph-soak" =>

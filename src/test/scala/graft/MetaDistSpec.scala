@@ -106,4 +106,24 @@ class MetaDistSpec extends AnyFunSuite {
     assert(Manifests.manifestDf(spark, dir, latest).count() ==
       Snapshots.walkData(data).size)
   }
+
+  test("distributed clone at >=10^4 files: executor-side links, manifest-" +
+    "copy commit, clone audits clean and agrees with the source") {
+    val dir = bigTable
+    val dst = s"${java.nio.file.Files.createTempDirectory("clonedist")}/pages"
+    val srcFiles = Snapshots.walkData(new java.io.File(dir, "data")).size
+    val (v, n) = graft.sources.Clone.run(spark, dir, dst, None, None)
+    assert(v == Snapshots.latestVersion(dir).get && n == srcFiles)
+    // clone committed as v1 with the SAME file list (manifest copied, not
+    // re-walked), every link present, doctor clean
+    assert(Snapshots.latestVersion(dst).contains(1))
+    assert(Snapshots.files(dst, 1).get._2.sorted ==
+      Snapshots.files(dir, v).get._2.sorted)
+    assert(Snapshots.walkData(new java.io.File(dst, "data")).size == srcFiles)
+    assert(Doctor.audit(dst, Some(spark)).map(_.code) == Seq("clean"))
+    // refuse to clone ONTO a table
+    val e = intercept[IllegalArgumentException](
+      graft.sources.Clone.run(spark, dir, dst, None, None))
+    assert(e.getMessage.contains("already a table"))
+  }
 }
