@@ -44,7 +44,11 @@ object Bench {
     "sim_knn", "sim_ivf", "sim_pq", "dd_embed_cos", "dd_semantic", "ta_quality", "ta_tokens", "ta_ngrams",
     "ta_tfidf", "ta_pii", "ta_search", "ta_bpe", "ta_lm", "ta_dsir", "q_funnel",
     "q_bucket_join", "st_session", "st_left_join", "st_ratelimit", "st_topk",
-    "q_pattern", "q_run_distinct", "q_drift", "q_outliers"
+    "q_pattern", "q_run_distinct", "q_drift", "q_outliers",
+    // round 5: the trained-artifact model stages (broadcast shapes), the
+    // sentence splitter, and the lossy-codec decode — staged-corpus ops,
+    // tracked for presence/cost-shape rather than raw weight
+    "ta_weights", "ta_langid_w", "ta_lm_w", "ta_sentences", "mm_jpeg"
   )
 
   def main(args: Array[String]): Unit = {
