@@ -2139,6 +2139,140 @@ object TextAnalysis {
        |FROM db JOIN $LM_MODEL_PQ m USING (w1, w2)
        |GROUP BY url ORDER BY url""".stripMargin
 
+  val BPE_MERGES_DIR = s"${graft.sources.OracleCorpus.DIR}/bpe-merges"
+  val BPE_MERGES_PQ = s"read_parquet('$BPE_MERGES_DIR/*.parquet')"
+
+  /** Merges the shipped tokenizer artifact carries (the `merges.txt` rank
+    * list of a trained BPE), applied by [[bpeApply]].
+    */
+  val K_BPE = 6
+
+  /** Re-segment a (w, n, seg) vocabulary state with ONE merge (a, b) —
+    * the shared apply step of training and encoding. Lossless only for
+    * a ≠ b (the trainer never emits a = b; [[bpeApply]] guards).
+    */
+  private def resegWith(state: DataFrame, a: Column, b: Column): DataFrame =
+    state
+      .withColumn("hits",
+        when(size(col("seg")) >= 2,
+          filter(sequence(lit(1), size(col("seg")) - 1), i =>
+            element_at(col("seg"), i) === a && element_at(col("seg"), i + 1) === b))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("seg",
+        transform(
+          filter(sequence(lit(1), size(col("seg"))), i =>
+            !array_contains(col("hits"), i - 1)),
+          i => when(array_contains(col("hits"), i), concat(a, b))
+            .otherwise(element_at(col("seg"), i))))
+      .drop("hits")
+
+  private def bpeVocab(spark: SparkSession): DataFrame =
+    graft.sources.OracleCorpus.docs(spark)
+      .select(explode(Toks.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("seg",
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))))
+
+  @volatile private var bpeMergesDone = false
+
+  /** TRAIN the artifact once: [[K_BPE]] greedy merge rounds over the
+    * extraction corpus's vocabulary, written as (rank, a, b) parquet — the
+    * merges.txt a trained tokenizer ships. Deterministic (count desc, then
+    * lexicographic pair).
+    */
+  private def ensureBpeMerges(spark: SparkSession): Unit = synchronized {
+    if (bpeMergesDone) return
+    val marker = new java.io.File(s"${graft.sources.OracleCorpus.DIR}/_BPEMERGES_READY")
+    val stamp = s"b:$K_BPE:${graft.sources.OracleCorpus.codeStamp()}"
+    if (!graft.sources.OracleCorpus.markerFresh(marker, stamp)) {
+      import spark.implicits._
+      var state = bpeVocab(spark).localCheckpoint()
+      val merges = (1 to K_BPE).map { r =>
+        val top = state
+          .select(col("n"),
+            explode(
+              when(size(col("seg")) >= 2,
+                zip_with(
+                  slice(col("seg"), lit(1), size(col("seg")) - 1),
+                  slice(col("seg"), lit(2), size(col("seg")) - 1),
+                  (x, y) => struct(x.as("a"), y.as("b"))))
+                .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"), col("n"))
+          .filter(col("a") =!= col("b"))
+          .groupBy("a", "b").agg(sum(col("n")).as("pn"))
+          .orderBy(col("pn").desc, col("a"), col("b")).limit(1)
+          .collect()(0)
+        val (a, b) = (top.getString(0), top.getString(1))
+        state = resegWith(state, lit(a), lit(b)).localCheckpoint()
+        (r, a, b)
+      }
+      merges.toDF("rank", "a", "b")
+        .coalesce(1).write.mode("overwrite").parquet(BPE_MERGES_DIR)
+      graft.sources.OracleCorpus.writeMarker(marker, stamp)
+    }
+    bpeMergesDone = true
+  }
+
+  /** `ta_bpe_apply`: ENCODE the corpus with the trained tokenizer artifact
+    * — the stage every packing/counting pipeline runs with a shipped
+    * merges table, where [[bpe]] is the trainer. The K ranked merges are
+    * read from parquet (tiny, collected in rank order → literal columns in
+    * the reseg chain, the broadcast-artifact shape), applied to the
+    * vocabulary state in rank order, and the piece distribution after
+    * encoding is emitted: (piece, n_types = words containing it, n_tokens
+    * = corpus occurrences). Both engines apply the SAME staged merges with
+    * the same reseg rule — the oracle is fully relational, no materialized
+    * intermediate. Scale: the vocabulary (not the corpus) is the working
+    * set; per-word reseg is a per-row lambda; one rollup exchange on piece.
+    */
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureBpeMerges(spark)
+    val merges = spark.read.parquet(BPE_MERGES_DIR)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    require(merges.length == K_BPE && merges.forall(m => m._1 != m._2),
+      s"bpe artifact malformed: ${merges.length} merges")
+    var state = bpeVocab(spark)
+    // localCheckpoint between rounds: resegWith references `seg` several
+    // times, so a naive 6-round chain nests the expression ~5^6-fold and
+    // Catalyst analysis never returns — the lineage cut keeps each round's
+    // plan O(1) (the dd_components device; the trainer does the same)
+    merges.foreach { case (a, b) =>
+      state = resegWith(state, lit(a), lit(b)).localCheckpoint()
+    }
+    state
+      .select(col("w"), col("n"), explode(col("seg")).as("piece"))
+      .groupBy("piece")
+      .agg(count_distinct(col("w")).as("n_types"), sum(col("n")).as("n_tokens"))
+      .orderBy("piece")
+  }
+
+  val bpeApplySql: String = {
+    def round(r: Int): String =
+      s"""mr$r AS (SELECT a, b FROM $BPE_MERGES_PQ WHERE rank = $r),
+         |s$r AS (
+         |  SELECT w, n,
+         |    [CASE WHEN list_contains(hits, i) THEN a||b ELSE seg[i] END
+         |     for i in generate_series(1, len(seg))
+         |     if NOT list_contains(hits, i-1)] AS seg
+         |  FROM (
+         |    SELECT w, n, seg, a, b,
+         |      [i for i in generate_series(1, len(seg)-1)
+         |       if seg[i]=a AND seg[i+1]=b] AS hits
+         |    FROM s${r - 1}, mr$r))""".stripMargin
+    s"""WITH wd AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) n FROM (
+       |    SELECT unnest(${Toks.SQL_TOKENS}) AS w
+       |    FROM ${graft.sources.OracleCorpus.DOCS_PQ}) GROUP BY 1),
+       |s0 AS (SELECT w, n, [w[i:i] for i in generate_series(1, length(w))] AS seg FROM wd),
+       |${(1 to K_BPE).map(round).mkString(",\n")},
+       |pieces AS (SELECT w, n, unnest(seg) piece FROM s$K_BPE)
+       |SELECT piece, CAST(count(DISTINCT w) AS BIGINT) n_types,
+       |       CAST(sum(n) AS BIGINT) n_tokens
+       |FROM pieces GROUP BY piece ORDER BY piece""".stripMargin
+  }
+
   // ---- sentence segmentation + sentence-aligned chunking -------------------
 
   val SENT_DIR = s"${graft.sources.OracleCorpus.DIR}/sentence-docs"
@@ -2274,6 +2408,7 @@ object TextAnalysis {
     "ta_weights" -> (weightsClassify _),
     "ta_langid_w" -> (langidW _),
     "ta_lm_w" -> (lmW _),
+    "ta_bpe_apply" -> (bpeApply _),
     "ta_sentences" -> (sentences _),
     "ta_heaps" -> (heaps _),
     "ta_linefix" -> (linefix _),
@@ -2314,6 +2449,7 @@ object TextAnalysis {
     "ta_weights" -> weightsClassifySql,
     "ta_langid_w" -> langidWSql,
     "ta_lm_w" -> lmWSql,
+    "ta_bpe_apply" -> bpeApplySql,
     "ta_sentences" -> sentencesSql,
     "ta_heaps" -> heapsSql,
     "ta_linefix" -> linefixSql,

@@ -80,6 +80,44 @@ class SentenceWeightsSpec extends AnyFunSuite {
     assert(p2.contains("BroadcastHashJoin") || p2.contains("BroadcastExchange"), p2)
   }
 
+  test("ta_bpe_apply: encoding with the trained merge artifact conserves " +
+    "characters, emits only derivable pieces, and every merge is used") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.bpeApply(spark, "").collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val merges = spark.read.parquet(TextAnalysis.BPE_MERGES_DIR)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    assert(merges.length == TextAnalysis.K_BPE)
+    // legal pieces: single chars plus the closure of the ranked merges
+    var legal = Set.empty[String]
+    merges.foreach { case (a, b) => legal += a + b }
+    out.foreach { case (p, n) =>
+      assert(n > 0L)
+      // codepoints, not UTF-16 units: the corpus carries astral-plane chars
+      assert(p.codePointCount(0, p.length) == 1 || legal.contains(p),
+        s"underivable piece '$p'")
+    }
+    // every trained merge's product survives in the encoded corpus (later
+    // merges may consume earlier products — those must appear as parts)
+    val pieceSet = out.map(_._1).toSet
+    merges.foreach { case (a, b) =>
+      assert(pieceSet.contains(a + b) ||
+        pieceSet.exists(p => p.length > (a + b).length && p.contains(a + b)),
+        s"merge '$a'+'$b' vanished from the encoding")
+    }
+    // character conservation: sum over pieces of n_tokens*len(piece) equals
+    // the corpus's total token characters — nothing lost or duplicated by
+    // the reseg chain
+    val encodedChars =
+      out.map { case (p, n) => n * p.codePointCount(0, p.length) }.sum
+    val rawChars = graft.sources.OracleCorpus.docs(spark)
+      .select(explode(graft.functions.Toks.tokens(col("text"))).as("w"))
+      .agg(sum(length(col("w")))).collect()(0).getLong(0)
+    assert(encodedChars == rawChars,
+      s"reseg lost characters: $encodedChars vs $rawChars")
+  }
+
   test("ta_weights: broadcast plan, no shuffle before the oracle sort, " +
     "weights actually hit") {
     val df = TextAnalysis.weightsClassify(spark, "")
