@@ -339,13 +339,133 @@ object Warc {
        |WHERE c.digest IS NULL OR r.digest IS NULL OR c.digest <> r.digest
        |ORDER BY url""".stripMargin
 
+  // ---- WET (extracted-text `conversion` records — Common Crawl's *.wet) ----
+
+  val WET_DIR = s"${OracleCorpus.DIR}/wet"
+  val WET_RECS = s"${OracleCorpus.DIR}/wet-records"
+  val WET_PQ = s"read_parquet('$WET_RECS/*.parquet')"
+
+  /** One WARC/1.0 `conversion` record carrying EXTRACTED text — the WET
+    * convention (what the reference pipeline's output looks like shipped as
+    * an archive): text/plain payload, `WARC-Refers-To` tying the conversion
+    * back to its response record by target URI.
+    */
+  def wetRecord(url: String, ts: java.sql.Timestamp, text: String,
+                lang: String): Array[Byte] = {
+    require(url != null && !url.exists(c => c == '\r' || c == '\n'),
+      s"CR/LF in WARC-Target-URI: $url")
+    val payload =
+      (if (text == null) "" else text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new StringBuilder
+    sb.append("WARC/1.0").append(CRLF)
+    sb.append("WARC-Type: conversion").append(CRLF)
+    sb.append("WARC-Target-URI: ").append(url).append(CRLF)
+    sb.append("WARC-Date: ").append(ISO.format(ts.toInstant)).append(CRLF)
+    sb.append("WARC-Refers-To: ").append(url).append(CRLF)
+    sb.append("Content-Type: text/plain").append(CRLF)
+    if (lang != null) sb.append("X-Graft-Lang: ").append(lang).append(CRLF)
+    sb.append("Content-Length: ").append(payload.length).append(CRLF)
+    sb.append(CRLF)
+    val head = sb.toString.getBytes("UTF-8")
+    val out = new Array[Byte](head.length + payload.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(payload, 0, out, head.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** Write extraction output as `.warc.wet` files, one per partition task
+    * (executor-side, the [[write]] layout rule).
+    */
+  def writeWet(docs: Dataset[graft.ExtractedDoc], dir: String, nFiles: Int): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".warc.wet")).foreach(_.delete())
+    docs
+      .repartition(nFiles, pmod(xxhash64(col("url")), lit(nFiles)))
+      .foreachPartition { (it: Iterator[graft.ExtractedDoc]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.File(dir, f"part-$pid%05d.warc.wet")
+        val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+        try it.foreach(x => os.write(wetRecord(x.url, x.warc_ts, x.text, x.lang)))
+        finally os.close()
+      }
+  }
+
+  /** Read a WET directory back: (url, warc_ts, text, lang) — the same
+    * framing walk as [[parse]] (conversion records use identical framing),
+    * payload decoded as UTF-8 text.
+    */
+  def readWet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.warc.wet")
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(parse _)
+      .select(col("url"), col("warc_ts"),
+        col("html").cast("string").as("text"), col("lang"))
+  }
+
+  @volatile private var wetDone = false
+
+  private def ensureWet(spark: SparkSession): Unit = synchronized {
+    if (wetDone) return
+    ensure(spark)
+    val marker = new java.io.File(s"${OracleCorpus.DIR}/_WET_READY")
+    val stamp = s"wet:$N_WARC:${OracleCorpus.codeStamp()}"
+    if (!OracleCorpus.markerFresh(marker, stamp)) {
+      import spark.implicits._
+      // the conversion archive of the SAME crawl the WARC staging archives:
+      // response records in warc/, their extractions in wet/
+      val docs = graft.operators.Extract.extract(
+        Corpus.pages(spark, N_WARC).as[graft.Page])
+      writeWet(docs, WET_DIR, 4)
+      readWet(spark, WET_DIR)
+        .select(col("url"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(col("text").cast("binary")).as("digest"))
+        .write.mode("overwrite").parquet(WET_RECS)
+      OracleCorpus.writeMarker(marker, stamp)
+    }
+    wetDone = true
+  }
+
+  /** WET round-trip rollup (`fmt_wet`): the production write→read path
+    * re-runs on the staged conversion archive and aggregates per lang
+    * (count, chars, order-independent digest of per-record text digests);
+    * DuckDB recomputes the tail over the materialized per-record parse —
+    * the [[fmtWarc]] device for the EXTRACTED-text archive format. The
+    * spec additionally pins text byte-identity against `Extract.extract`
+    * directly (the archive round-trip must not perturb one byte).
+    */
+  def fmtWet(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureWet(spark)
+    readWet(spark, WET_DIR)
+      .select(col("url"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text").cast("binary")).as("digest"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+        md5(concat_ws(" ", array_sort(collect_list(col("digest")))).cast("binary"))
+          .as("texts_h"))
+      .orderBy("lang")
+  }
+
+  val fmtWetSql: String =
+    s"""SELECT lang, count(*) n, CAST(sum(n_chars) AS BIGINT) chars,
+       |       md5(array_to_string(list_sort(list(digest)), ' ')) texts_h
+       |FROM $WET_PQ GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_warc" -> (fmtWarc _),
     "fmt_warcgz" -> (fmtWarcGz _),
+    "fmt_wet" -> (fmtWet _),
     "fmt_cdx" -> (fmtCdx _))
 
   def oracles: Map[String, String] = Map(
     "fmt_warc" -> fmtWarcSql,
     "fmt_warcgz" -> fmtWarcGzSql,
+    "fmt_wet" -> fmtWetSql,
     "fmt_cdx" -> fmtCdxSql)
 }
