@@ -22,7 +22,7 @@ object Main {
     val minArgs =
       if (args.nonEmpty && Set("profile", "scale", "mat-bench", "explain",
         "compact", "vacuum", "history", "changes", "soak", "tags", "meta",
-        "bloomindex", "graph-soak", "mirror-soak", "doctor").contains(args(0))) 2
+        "bloomindex", "graph-soak", "mirror-soak", "meta-soak", "doctor").contains(args(0))) 2
       else if (args.nonEmpty && Set("extract-incr", "upsert-stream").contains(args(0))) 4
       else 3
     if (args.length < minArgs) {
@@ -373,6 +373,46 @@ object Main {
           val (tl, rl) = timeMin(graft.operators.CrawlOps
             .communitiesOver(edges).select("label").distinct().count())
           println(f"GRAPH n=$n edges=$ne communities(4 rounds): $tl%.2f s ($rl labels)")
+          return
+        case "meta-soak" =>
+          // meta-soak <baseDir> [nFiles] — inflate a fresh table to nFiles
+          // committed data files and time every distributed metadata path
+          // at that scale ($files BatchScan, $partitions, doctor audit,
+          // vacuum live-set diff, clone): the 10^5-file wall VERDICT_r04
+          // named, exercised for real instead of argued about
+          val base = args(1)
+          val nf = if (args.length > 2) args(2).toInt else 100000
+          val dir = s"$base/pages"
+          graft.sources.PageTable.write(Corpus.pages(spark, 200L), dir, 16)
+          val dataDir = new java.io.File(dir, "data")
+          val src0 = graft.sources.Snapshots.walkData(dataDir).head
+          val bytes = java.nio.file.Files.readAllBytes(src0.toPath)
+          val bucketDirs = dataDir.listFiles.filter(f =>
+            f.isDirectory && f.getName.startsWith("bucket=")).sortBy(_.getName)
+          var i = 0
+          while (i < nf) {
+            val leaf = new java.io.File(bucketDirs(i % bucketDirs.length),
+              f"day=2031-${1 + i % 12}%02d-${1 + i % 28}%02d")
+            leaf.mkdirs()
+            java.nio.file.Files.write(
+              new java.io.File(leaf, f"part-syn-$i%06d.parquet").toPath, bytes)
+            i += 1
+          }
+          graft.sources.Snapshots.record(dir)
+          graft.sources.PageTable.register(spark, "msoak", base)
+          def t[A](what: String)(f: => A): A = {
+            val t0 = System.nanoTime(); val r = f
+            println(f"META-SOAK $what%-12s ${(System.nanoTime() - t0) / 1e9}%7.2f s  -> $r")
+            r
+          }
+          t("$files")(spark.sql(
+            "SELECT count(*) FROM msoak.`pages$files`").collect()(0).getLong(0))
+          t("$partitions")(spark.sql(
+            "SELECT count(*), sum(n_files) FROM msoak.`pages$partitions`")
+            .collect()(0).toString)
+          t("doctor")(graft.sources.Doctor.audit(dir, Some(spark)).map(_.code).mkString(","))
+          t("vacuum")(graft.sources.Compact.vacuum(spark, dir, 0L).toString)
+          t("clone")(graft.sources.Clone.run(spark, dir, s"$base/clone", None, None)._2)
           return
         case "mirror-soak" =>
           // mirror-soak <hosts> [docsPerHost] [reps] — dd_mirror's core on a
