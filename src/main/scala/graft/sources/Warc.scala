@@ -407,6 +407,43 @@ object Warc {
         col("html").cast("string").as("text"), col("lang"))
   }
 
+  val WET_GZ_DIR = s"${OracleCorpus.DIR}/wetgz"
+
+  /** Write extraction output as `.warc.wet.gz` — per-record gzip members
+    * (the shipping form of Common Crawl's WET), same member convention as
+    * [[writeGz]]: a byte offset plus member length is random access.
+    */
+  def writeWetGz(docs: Dataset[graft.ExtractedDoc], dir: String, nFiles: Int): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".warc.wet.gz")).foreach(_.delete())
+    docs
+      .repartition(nFiles, pmod(xxhash64(col("url")), lit(nFiles)))
+      .foreachPartition { (it: Iterator[graft.ExtractedDoc]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.File(dir, f"part-$pid%05d.warc.wet.gz")
+        val fos = new java.io.FileOutputStream(f)
+        try it.foreach { x =>
+          val gz = new java.util.zip.GZIPOutputStream(fos)
+          gz.write(wetRecord(x.url, x.warc_ts, x.text, x.lang))
+          gz.finish()
+        } finally fos.close()
+      }
+  }
+
+  /** Read a `.warc.wet.gz` directory: inflate members, shared framing walk,
+    * UTF-8 payload decode.
+    */
+  def readWetGz(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.warc.wet.gz")
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(b => parse(gunzipAll(b)))
+      .select(col("url"), col("warc_ts"),
+        col("html").cast("string").as("text"), col("lang"))
+  }
+
   @volatile private var wetDone = false
 
   private def ensureWet(spark: SparkSession): Unit = synchronized {
@@ -421,6 +458,7 @@ object Warc {
       val docs = graft.operators.Extract.extract(
         Corpus.pages(spark, N_WARC).as[graft.Page])
       writeWet(docs, WET_DIR, 4)
+      writeWetGz(docs, WET_GZ_DIR, 4)
       readWet(spark, WET_DIR)
         .select(col("url"), col("lang"),
           length(col("text")).cast("long").as("n_chars"),
@@ -457,15 +495,37 @@ object Warc {
        |       md5(array_to_string(list_sort(list(digest)), ' ')) texts_h
        |FROM $WET_PQ GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Member-gzip WET ingest (`fmt_wet_gz`): the production `.warc.wet.gz`
+    * read path over the SAME staged corpus, against the PLAIN-container
+    * per-record table — hash agreement proves the gz member path is
+    * record-for-record identical to uncompressed (the fmtWarcGz device for
+    * the extracted-text archive).
+    */
+  def fmtWetGz(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureWet(spark)
+    readWetGz(spark, WET_GZ_DIR)
+      .select(col("lang"), length(col("text")).cast("long").as("n_chars"),
+        md5(col("text").cast("binary")).as("digest"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+        md5(concat_ws(" ", array_sort(collect_list(col("digest")))).cast("binary"))
+          .as("texts_h"))
+      .orderBy("lang")
+  }
+
+  val fmtWetGzSql: String = fmtWetSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_warc" -> (fmtWarc _),
     "fmt_warcgz" -> (fmtWarcGz _),
     "fmt_wet" -> (fmtWet _),
+    "fmt_wet_gz" -> (fmtWetGz _),
     "fmt_cdx" -> (fmtCdx _))
 
   def oracles: Map[String, String] = Map(
     "fmt_warc" -> fmtWarcSql,
     "fmt_warcgz" -> fmtWarcGzSql,
     "fmt_wet" -> fmtWetSql,
+    "fmt_wet_gz" -> fmtWetGzSql,
     "fmt_cdx" -> fmtCdxSql)
 }

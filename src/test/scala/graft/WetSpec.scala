@@ -29,6 +29,27 @@ class WetSpec extends AnyFunSuite {
     assert(back.count() == 300L)
   }
 
+  test("WET gz members round-trip record-for-record identical to the plain " +
+    "container") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("wetgz").toString
+    val docs = Extract.extract(Corpus.pages(spark, 200L).as[Page])
+    Warc.writeWet(docs, s"$tmp/plain", 3)
+    Warc.writeWetGz(docs, s"$tmp/gz", 3)
+    val a = Warc.readWet(spark, s"$tmp/plain")
+      .select("url", "warc_ts", "text", "lang")
+    val b = Warc.readWetGz(spark, s"$tmp/gz")
+      .select("url", "warc_ts", "text", "lang")
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+    assert(b.count() == 200L)
+    // truncating an archive mid-member refuses at inflate (never silent
+    // partial output)
+    val f = new java.io.File(s"$tmp/gz").listFiles()
+      .filter(_.getName.endsWith(".warc.wet.gz")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    intercept[Exception](Warc.gunzipAll(bytes.take(bytes.length - 7)))
+  }
+
   test("WET damage discipline: truncated payloads and missing separators " +
     "refuse deterministically") {
     val rec = Warc.wetRecord("https://e.org/x",
