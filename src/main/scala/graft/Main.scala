@@ -628,11 +628,13 @@ object Main {
           import spark.implicits._
           // `zratio-gate` adds the compression-ratio quality conjunct
           // `near-dedup` adds the opt-in MinHash near-duplicate stage
-          val flags = Set("cut-spans", "scrub-pii", "zratio-gate", "near-dedup")
+          val flags = Set("cut-spans", "scrub-pii", "zratio-gate", "near-dedup",
+            "robots-gate")
           val cutSpans = args.contains("cut-spans")
           val scrubPii = args.contains("scrub-pii")
           val zratioGate = args.contains("zratio-gate")
           val nearDedup = args.contains("near-dedup")
+          val robotsGate = args.contains("robots-gate")
           val input =
             if (args(0) == "curate") {
               val seed = if (args.length > 3 && !flags(args(3))) args(3).toLong
@@ -641,7 +643,7 @@ object Main {
             } else spark.read.schema(Model.PAGES).parquet(args(1)).as[Page]
           val t0 = System.nanoTime()
           val rep = graft.operators.Curate.run(spark, input, args(2), cutSpans,
-            scrubPii, zratioGate, nearDedup)
+            scrubPii, zratioGate, nearDedup, robotsGate)
           val dt = (System.nanoTime() - t0) / 1e9
           println(f"  extracted        ${rep.extracted}%8d")
           println(f"  non-empty        ${rep.nonEmpty}%8d")

@@ -91,7 +91,8 @@ object Curate {
     */
   def run(spark: SparkSession, pages: Dataset[Page], outDir: String,
           cutSpans: Boolean = false, scrubPii: Boolean = false,
-          zratioGate: Boolean = false, nearDedup: Boolean = false): Report = {
+          zratioGate: Boolean = false, nearDedup: Boolean = false,
+          robotsGate: Boolean = false): Report = {
     import org.apache.spark.sql.expressions.Window
     def timed[T](stage: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -100,8 +101,26 @@ object Curate {
       r
     }
 
+    // optional page-level robots compliance gate (opt-in): drop pages whose
+    // OWN markup says noindex before any byte of them is extracted — a
+    // compliant corpus must honor the page directive even when robots.txt
+    // allows the path (the ex_metarobots rule, fused into the product
+    // pipeline). Uses the production parser (Structured.robotsMeta) over
+    // the production decode, per-row and partition-local: scan-speed, zero
+    // exchanges, no plan change downstream (the funnel's `extracted` count
+    // reflects the gate).
+    val input: Dataset[Page] =
+      if (!robotsGate) pages
+      else pages.filter { (p: Page) =>
+        p.html == null ||
+          graft.functions.Charset.sniffKind(p.html) != "html" || {
+            val h = graft.functions.Charset.decode(p.html)
+            !Structured.robotsMeta(h)._2.contains("noindex")
+          }
+      }
+
     val exDir = s"$outDir-extracted"
-    timed("extract")(Extract.extract(pages).toDF()
+    timed("extract")(Extract.extract(input).toDF()
       .select(col("url"), col("warc_ts"), col("lang"), col("text"), col("contentKind"))
       .write.mode("overwrite").parquet(exDir))
     val docs = spark.read.parquet(exDir)

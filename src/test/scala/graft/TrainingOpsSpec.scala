@@ -1287,6 +1287,38 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("curate robots-gate: noindex pages never reach extraction; " +
+    "index,follow and non-html pages pass; default path unchanged") {
+    import spark.implicits._
+    def page(i: Long, meta: String): Page = {
+      val body = (1 to 40).map(j => s"body word w${i}x$j content").mkString(" ")
+      Page(s"https://rg.example.org/p$i",
+        java.sql.Timestamp.valueOf("2025-03-01 00:00:00"),
+        (s"<html><head><title>t</title>$meta</head>" +
+          s"<body><p>$body</p></body></html>").getBytes("UTF-8"), null, "en")
+    }
+    val pages = spark.createDataset(Seq(
+      page(1, """<meta name="robots" content="noindex, nofollow">"""),
+      page(2, """<meta name="robots" content="index, follow">"""),
+      page(3, ""),
+      page(4, """<meta name="ROBOTS" content="NOINDEX">"""), // case-blind
+      page(5, """<meta name="robots" content="nofollow">""")) :+
+      Page("https://rg.example.org/txt",
+        java.sql.Timestamp.valueOf("2025-03-01 00:00:00"),
+        ("plain text payload " * 30).getBytes("UTF-8"), null, "en"))
+    val out = java.nio.file.Files.createTempDirectory("rg").toString
+    val rep = Curate.run(spark, pages, s"$out/gated", robotsGate = true)
+    assert(rep.extracted == 4, s"noindex pages extracted: $rep")
+    val kept = spark.read.parquet(s"$out/gated-extracted")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(!kept.exists(_.endsWith("/p1")) && !kept.exists(_.endsWith("/p4")))
+    assert(kept.exists(_.endsWith("/p2")) && kept.exists(_.endsWith("/p3")) &&
+      kept.exists(_.endsWith("/p5")) && kept.exists(_.endsWith("/txt")))
+    // flag off: nothing is dropped
+    val rep0 = Curate.run(spark, pages, s"$out/plain")
+    assert(rep0.extracted == 6)
+  }
+
   test("curate with near-dedup: planted page copies collapse to one kept doc per cluster") {
     import spark.implicits._
     val base = graft.sources.Corpus.pages(spark, 200)
