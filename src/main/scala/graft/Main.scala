@@ -407,6 +407,9 @@ object Main {
           }
           t("$files")(spark.sql(
             "SELECT count(*) FROM msoak.`pages$files`").collect()(0).getLong(0))
+          t("$snapshots")(spark.sql(
+            "SELECT max(n_files), max(n_missing) FROM msoak.`pages$snapshots`")
+            .collect()(0).toString)
           t("$partitions")(spark.sql(
             "SELECT count(*), sum(n_files) FROM msoak.`pages$partitions`")
             .collect()(0).toString)

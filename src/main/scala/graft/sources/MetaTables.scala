@@ -96,13 +96,26 @@ object MetaTables {
 
   private def snapshotRows(tableDir: String): Array[InternalRow] = {
     val dataDir = new java.io.File(tableDir, "data")
+    // ONE on-disk size map for every version's bytes/missing columns: the
+    // stat syscalls (the 10^5-file wall) run in the distributed listing
+    // when a session is active; the per-version work is then hash lookups.
+    // Driver walk kept for session-less use. Result rows stay log-bounded.
+    val sizes: Map[String, Long] =
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(s) =>
+          Manifests.listingDf(s, dataDir).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        case None =>
+          val base = dataDir.toPath
+          Snapshots.walkData(dataDir)
+            .map(f => base.relativize(f.toPath).toString -> f.length()).toMap
+      }
     Snapshots.allVersions(tableDir).map { v =>
       val (ts, files) = Snapshots.files(tableDir, v).get
-      val sizes = files.map(rel => new java.io.File(dataDir, rel))
-        .map(f => if (f.isFile) f.length() else -1L)
       new GenericInternalRow(Array[Any](
         v, ts * 1000L, files.size,
-        sizes.filter(_ >= 0).sum, sizes.count(_ < 0))): InternalRow
+        files.flatMap(sizes.get).sum,
+        files.count(!sizes.contains(_)))): InternalRow
     }.toArray
   }
 
